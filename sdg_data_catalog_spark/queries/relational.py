@@ -1,0 +1,683 @@
+"""Relational core: scans, filters, joins, aggregations, windows, sorts,
+set operations — all built-in Catalyst operators, all oracle-checkable.
+
+The reference (sdg-ai/sdg_data_catalog) expresses joins as dict lookups and
+FK structure (SURVEY.md §2.3: utils/db_connection.py:30, utils/utils.py:18-21,
+wrapper_ner.py:53-66); aggregations as Counter()/numpy reductions; top-k as
+np.argpartition (dataset_ner/active_learning.py:59). Here each becomes the
+idiomatic Spark DataFrame plan and Catalyst picks the physical strategy
+(broadcast-hash vs sort-merge, partial aggregation, TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q5-shaped join-agg (SURVEY.md §7 Phase 0).
+# lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, date filter, revenue agg.
+# nation/region are broadcast (fixed-size dims); the l⋈o⋈c chain shuffles on
+# its keys and AQE re-plans at runtime.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        lineitem
+        # predicate first so it pushes into the parquet scan
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape: wide partial-agg scan (the map-side-combine showcase).
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2)      AS sum_qty,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4)      AS avg_qty,
+           ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+           ROUND(CAST(AVG(l_discount) AS DOUBLE), 4)      AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 join surface
+# ---------------------------------------------------------------------------
+@register(
+    "join_fk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS order_count,
+           ROUND(CAST(COALESCE(SUM(o_totalprice), 0) AS DOUBLE), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK equi-join (paper⋈paragraph analog, db_connection.py:30) as a real
+    left join + group agg; sort-merge or broadcast chosen by Catalyst/AQE."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS customer_count,
+           ROUND(CAST(AVG(c_acctbal) AS DOUBLE), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-lookup join (utils/utils.py:18-21 vocab lookup) as explicit
+    broadcast-hash joins against fixed-size dims — no shuffle of the fact."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS active_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence probe (fastmatch.py:116 `in` membership) as LEFT SEMI."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-processed predicate (papers_download.py:49,61 — skip ids with an
+    existing artifact) as LEFT ANTI against the done-set."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_range",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0),
+               ('medium', 50000.0, 150000.0),
+               ('large', 150000.0, 1000000000.0)
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS order_count,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS tier_total
+    FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY tier
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) range join: fact x broadcast band dim.
+
+    With a broadcast build side this is BroadcastNestedLoopJoin — fine for a
+    3-row dim at any fact scale; never do this with two large sides."""
+    orders = table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 50_000.0), ("medium", 50_000.0, 150_000.0), ("large", 150_000.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(tiers),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("tier_total"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           MAX(s.ts) AS last_signup_ts
+    FROM events e
+    LEFT JOIN events s
+      ON s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the most recent prior signup of the
+    same user. Implemented shuffle-once: union both sides, one window pass
+    carrying the last signup ts forward — no self-join, no N^2 blowup.
+    (Reference has no as-of; SURVEY.md §2.3 new-engine surface.)"""
+    events = table(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_signup_ts", F.max("signup_ts").over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "last_signup_ts")
+    )
+
+
+@register(
+    "join_isin_probe",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+)
+def join_isin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probe (join_theta_semi analog) — pushed-down IN filter."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation surface
+# ---------------------------------------------------------------------------
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set construction (utils.py:25 label set; ner_pipeline.py:111
+    vocab build) as distinct aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(AVG(o_totalprice) AS DOUBLE), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_minmax_row",
+    oracle="""
+    SELECT p_brand,
+           ROUND(CAST(AVG(GREATEST(p_retailprice, CAST(p_size * 100 AS DOUBLE))) AS DOUBLE), 4) AS avg_row_max,
+           ROUND(CAST(AVG(LEAST(p_retailprice, CAST(p_size * 100 AS DOUBLE))) AS DOUBLE), 4) AS avg_row_min
+    FROM part GROUP BY p_brand
+    """,
+)
+def agg_minmax_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise max/argmax (TM_2 cell 34 `highest_prob = max(t1..t8)`) via
+    GREATEST/LEAST — codegen'd, no UDF."""
+    part = table(spark, sf_dir, "part")
+    size_scaled = (F.col("p_size") * 100).cast("double")
+    return part.groupBy("p_brand").agg(
+        F.round(F.avg(F.greatest(F.col("p_retailprice"), size_scaled)), 4).alias("avg_row_max"),
+        F.round(F.avg(F.least(F.col("p_retailprice"), size_scaled)), 4).alias("avg_row_min"),
+    )
+
+
+@register(
+    "agg_corpus_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           ROUND(CAST(AVG(len(string_split(text, ' '))) AS DOUBLE), 4) AS avg_tokens,
+           ROUND(CAST(AVG(CASE WHEN contains(text, 'data') THEN 1.0 ELSE 0.0 END) AS DOUBLE), 4) AS frac_with_data,
+           ROUND(CAST(AVG(n_chars) AS DOUBLE), 4) AS avg_chars
+    FROM documents
+    """,
+)
+def agg_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric corpus accumulation (data_transformation.py:25-47
+    update_statistics) as ONE single-pass agg — no per-metric scans."""
+    docs = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("text").contains("data").cast("double")), 4).alias("frac_with_data"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / ranking / top-k  +  §2.6 sorts / limits
+# ---------------------------------------------------------------------------
+@register(
+    "win_rownum_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (active_learning.py np.argpartition analog) via
+    row_number window; deterministic tie-break on the unique key."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS bal_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS bal_quartile
+    FROM customer
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(wt).alias("bal_quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey
+    FROM orders
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate ASC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject (heap
+    per partition + merge on driver) — no full sort, the Spark analog of
+    np.argpartition (active_learning.py:59)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "filter_range_slice",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def filter_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/limit row window (papers_download.py:51-54 begin/maxlines)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations / dedup
+# ---------------------------------------------------------------------------
+@register(
+    "setop_union",
+    oracle="""
+    SELECT k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    )
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_nationkey").alias("k"))
+    b = supplier.select(F.col("s_nationkey").alias("k"))
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("k")).intersect(
+        supplier.select(F.col("s_nationkey").alias("k"))
+    )
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AL loop invariant U = U - x* (ner_pipeline.py:386-401) as EXCEPT."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("k")).subtract(
+        supplier.select(F.col("s_nationkey").alias("k"))
+    )
+
+
+@register(
+    "dedup_exact_keys",
+    oracle="""
+    SELECT o_custkey, o_orderstatus,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM orders GROUP BY o_custkey, o_orderstatus
+    """,
+)
+def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min key) — dropDuplicates
+    keeps an arbitrary row, so scale pipelines should dedup via group-agg
+    (one shuffle, deterministic, skew-safe with AQE)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderkey").alias("first_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+@register(
+    "scan_pushdown_projection",
+    oracle="""
+    SELECT l_orderkey, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_quantity > 45
+    """,
+)
+def scan_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan: .explain shows PushedFilters +
+    2-column ReadSchema (the manual pruning of papers_download.py:48-60,
+    done by Catalyst instead)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")) & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_shipdate")
+
+
+@register(
+    "proj_meta",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           substr(o_orderpriority, 1, 1) AS priority_code,
+           CASE WHEN o_totalprice >= 100000 THEN 'big' ELSE 'small' END AS size_class
+    FROM orders
+    """,
+)
+def proj_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection (paper_processing.py:149-165 d_paper assembly) as
+    computed-column select."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.when(F.col("o_totalprice") >= 100_000, "big").otherwise("small").alias("size_class"),
+    )

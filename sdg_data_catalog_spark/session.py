@@ -1,0 +1,41 @@
+"""Tuned SparkSession factory.
+
+All entry points (tests, bench, driver contract) share one session shape:
+local[$SPARK_GRAFT_CPUS] while developing, but every config here is chosen
+to also hold on a large cluster (AQE handles runtime re-planning; shuffle
+partition count is only a hint once adaptive coalescing is on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Hint only — AQE coalesces down; on a real cluster this scales with
+        # executor count (rule of thumb: 2-3x total cores).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        # Deterministic timestamps: match DuckDB's naive-UTC reading of the
+        # driver parquet.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / mapInPandas / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
