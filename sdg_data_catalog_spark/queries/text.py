@@ -1,1 +1,295 @@
-"""Placeholder — filled in a later milestone."""
+"""Text/ETL operator surface over the documents table (SURVEY.md §2.8 +
+Phase 2): the TM_1 cleaning chain, tokenization, word count, tf-idf,
+stopword removal, n-grams, quality scoring, token budgeting, fingerprints.
+
+All hot paths are built-in pyspark.sql.functions (JVM, codegen); nothing
+here drops to Python. Oracles use DuckDB list/regex functions (1-based list
+indexing; regexp_replace needs the 'g' flag to match Spark's replace-all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.functions import text as T
+from sdg_data_catalog_spark.queries.registry import register
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + ")"
+
+
+@register(
+    "text_clean_chain",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text), 'https?://\\S+|www\\.\\S+', '', 'g'),
+                           '\\S*\\d\\S*', '', 'g'),
+                       '\\S*@\\S*', '', 'g'),
+                   '[^\\w\\s]', '', 'g'),
+               '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TM_1 cells 2-10 as one codegen'd expression chain."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.clean_chain(F.col("text")).alias("cleaned"))
+
+
+@register(
+    "agg_wordcount",
+    oracle="""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) > 2
+    GROUP BY w
+    """,
+)
+def agg_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count (TM_1 cell 20 Counter()) with the len>2 filter
+    (cell 3) — explode → hash agg with map-side partial aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "topk_freq",
+    oracle="""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY cnt DESC, word ASC
+    LIMIT 10
+    """,
+)
+def topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N frequent words (TM_1 cnt.most_common(10)) — agg then
+    TakeOrderedAndProject, deterministic tie-break on the word."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "agg_tf",
+    oracle="""
+    SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+    """,
+)
+def agg_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term frequency (TM_2 doc2bow)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, w AS word, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.word,
+           ROUND(CAST(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS DOUBLE), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) > 0.5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf with a relevance floor. The doc-frequency side is a small agg
+    (vocab-sized) → broadcast back against tf, so the big side shuffles once
+    for the tf agg and never again."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # scalar; avoids a crossJoin of a 1-row agg
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(df), "word")
+        .withColumn("tfidf", tfidf)
+        .filter(F.col("tfidf") > 0.5)
+        .select("doc_id", "word", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+@register(
+    "text_stopword_removal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t NOT IN {_STOP_SQL})) AS INTEGER) AS n_content_tokens
+    FROM documents
+    """,
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword anti-join (TM_1 cells 14-16) as an array filter against a
+    pinned stoplist — per-row, no explode, no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_tokens"),
+        F.size(T.content_tokens(F.col("text"))).alias("n_content_tokens"),
+    )
+
+
+@register(
+    "text_ngram_bigrams",
+    oracle="""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+    )
+    GROUP BY bigram
+    HAVING COUNT(*) >= 100
+    """,
+)
+def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram mining with a min-count threshold (TM_2 cells 8-12,
+    gensim.Phrases(min_count, threshold) analog). Bigrams are built
+    per-row with a higher-order transform (no self-join), then hash-agg'd."""
+    docs = table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 100)
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                     t -> lower(t) IN {_STOP_SQL})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS uniq_token_ratio,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND len(list_distinct(string_split(text, ' ')))
+                     >= 0.2 * len(string_split(text, ' '))
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring for training-data filtering: length, stopword ratio,
+    uniqueness, and a keep/drop flag — single narrow projection, fully
+    pushdown-friendly."""
+    docs = table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    keep = (q["n_tokens"] >= 20) & (q["uniq_token_ratio"] >= 0.2)
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["uniq_token_ratio"], 6).alias("uniq_token_ratio"),
+        keep.cast("int").alias("keep_flag"),
+    )
+
+
+@register(
+    "text_token_budget",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for corpus budgeting: whitespace + BPE-ish regex
+    tokens per language."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(T.token_count_ws(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.sum(T.token_count_bpe_ish(F.col("text"))).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-token-set fingerprint (md5 of sorted distinct tokens) —
+    the cheap dedup-cluster key."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "filter_contains",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_with_data
+    FROM documents WHERE contains(text, 'data')
+    GROUP BY lang
+    """,
+)
+def filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-paragraph filter (paper_processing.py:170-171
+    `"data" in el`)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("data"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs_with_data"))
+    )
+
+
+@register(
+    "filter_minwords",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 60
+    """,
+)
+def filter_minwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-token predicate (paper_processing.py:79-94 get_title
+    min_words)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(T.token_count_ws(F.col("text")) >= 60).select("doc_id", "lang")
