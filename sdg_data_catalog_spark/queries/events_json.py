@@ -1,1 +1,252 @@
-"""Placeholder — filled in a later milestone."""
+"""Events-table operators: JSON extraction, pivot, and the batch-equivalent
+time-window aggregations of the streaming surface (SURVEY.md §2.9).
+
+Structured Streaming's unified model means every window op here is the SAME
+operator the streaming wrappers (streaming/windows.py) run with readStream —
+implemented and oracle-checked in batch first, then streamed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(CAST(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE), 4) AS avg_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (json_parse: ujson.loads at
+    papers_download.py:47) via get_json_object — JVM-side JSON path, no
+    Python round-trip."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "json_serialize",
+    oracle="""
+    SELECT event_id,
+           '{"event_id":' || CAST(event_id AS VARCHAR)
+             || ',"event_type":"' || event_type
+             || '","user_id":' || CAST(user_id AS VARCHAR) || '}' AS payload
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → JSON sink shape (prodigy JSONL sink, prodigy_processing.py:
+    20-30): to_json(struct(...)) builds the task payload."""
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+
+
+@register(
+    "pivot_user_events",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(IF(event_type = 'click', 1, NULL)) AS BIGINT) AS click,
+           CAST(COUNT(IF(event_type = 'error', 1, NULL)) AS BIGINT) AS error,
+           CAST(COUNT(IF(event_type = 'purchase', 1, NULL)) AS BIGINT) AS purchase,
+           CAST(COUNT(IF(event_type = 'signup', 1, NULL)) AS BIGINT) AS signup,
+           CAST(COUNT(IF(event_type = 'view', 1, NULL)) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (one-hot analog, arr_onehot /
+    few_shot_learning cells 16-17). Pinning the pivot values skips the
+    extra distinct-scan Spark otherwise runs to discover them."""
+    ev = table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return out.na.fill(0, list(EVENT_TYPES))
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window agg — identical operator streams with
+    readStream + watermark (streaming/windows.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                       time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start,
+               event_type, value
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min size / 5 min slide): every event lands in two
+    overlapping windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '5 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) via the built-in session_window —
+    Spark merges adjacent events server-side; the oracle reconstructs the
+    same islands with a gaps-and-islands window chain."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed dedup (dropDuplicatesWithinWatermark batch equivalent):
+    first event per (user, type, 10-min bucket), deterministic survivor."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", "event_type", F.window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.min("event_id").alias("first_event_id"))
+        .select("user_id", "event_type", F.col("w.start").alias("window_start"), "first_event_id")
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS on_time_events
+    FROM events, maxts
+    WHERE ts >= m - INTERVAL '1 day'
+    GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-checkable: events older than
+    (max ts - 1 day) are 'late' and dropped — what withWatermark does
+    incrementally in the streaming wrapper."""
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # driver scalar, tiny agg
+    return (
+        ev.filter(F.col("ts") >= F.lit(max_ts) - F.expr("INTERVAL 1 DAY"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("on_time_events"))
+    )
+
+
+@register(
+    "win_user_running",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS event_seq
+    FROM events
+    """,
+)
+def win_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running state (the batch twin of the stateful streaming
+    operator in streaming/stateful.py)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).alias("event_seq"),
+    )
