@@ -1,0 +1,173 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference never dedups (SURVEY.md §2.7 `dedup` row: duplicate paper
+downloads are possible, papers_download.py). At 100 TB dedup is mandatory;
+this module provides the standard ladder:
+
+  exact        sha256(text) group — one shuffle on a 32-byte key
+  fingerprint  canonical-token-set md5 (functions/text.py) — catches
+               reorder/dup-token variants
+  n-gram Jaccard  exact set similarity via shingle inverted index —
+               O(sum_sh df^2) pair generation; use df capping at scale
+  MinHash+LSH  sketch + band bucketing — the scale path: candidate pairs
+               cost ~O(docs x bands), no all-pairs term
+  SimHash      64->16-bit fingerprint, hamming-ball pairing
+
+Every hash derives from md5 (functions/hashing.py) so results are engine-
+and cluster-size-independent; Spark's builtin hash() would not be
+reproducible against an external oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    MINHASH_P,
+    md5_int,
+    minhash_value,
+    simhash_bit_weight,
+)
+
+SHINGLE_N = 3
+
+
+def shingle_expr(text: Column, n: int = SHINGLE_N) -> Column:
+    """Token n-gram shingles as strings; empty array when too short
+    (guard needed: sequence(1, 0) is a DESCENDING range in Spark)."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(corpus: DataFrame, n: int = SHINGLE_N, max_df: int | None = None) -> DataFrame:
+    """(doc_id, sh) distinct shingle occurrences. ``max_df`` drops shingles
+    present in more than max_df docs — the standard pruning that bounds the
+    inverted-index join blowup at scale (hot shingles contribute O(df^2)
+    candidate pairs but carry no dedup signal)."""
+    sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingle_expr(F.col("text"), n))).alias("sh")
+    )
+    if max_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    return sh
+
+
+def exact_dedup_groups(corpus: DataFrame) -> DataFrame:
+    """sha256(text) → (text_hash, first doc id, group size). Deterministic
+    survivor (min id), unlike dropDuplicates."""
+    return (
+        corpus.select("doc_id", F.sha2(F.col("text"), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def jaccard_pairs(
+    corpus: DataFrame, threshold: float, n: int = SHINGLE_N, max_df: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join:
+    explode shingles → equi-join on shingle → count common → |A∪B| from
+    per-doc set sizes. One wide shuffle on the shingle key; AQE splits
+    skewed shingles."""
+    sh = shingles(corpus, n, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """K minhash values per doc as columns h0..h{K-1}. Single pass: the K
+    affine hashes are computed per shingle row inside codegen, then one
+    grouped MIN aggregation."""
+    sh = shingles(corpus, n)
+    x = sh.withColumn("xp", md5_int(F.col("sh")) % F.lit(MINHASH_P))
+    aggs = [F.min(minhash_value(F.col("xp"), i)).alias(f"h{i}") for i in range(MINHASH_K)]
+    return x.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of LSH_ROWS consecutive
+    minhashes. Join cost is per-bucket, not all-pairs — the 100 TB path."""
+    sigs = minhash_signatures(corpus, n)
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[F.col(f"h{b * LSH_ROWS + j}").cast("string") for j in range(LSH_ROWS)],
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_keys)).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(corpus: DataFrame, bits: int = 16) -> DataFrame:
+    """tf-weighted SimHash over tokens → (doc_id, simhash int)."""
+    tf = (
+        corpus.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("x", md5_int(F.col("w")))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("tf") * simhash_bit_weight(F.col("x"), b)).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    value: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        value = value + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("doc_id", value.alias("simhash"))
+
+
+def simhash_pairs(corpus: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Self-join here is all-pairs on doc count (fine at test scale); the
+    scale path blocks on simhash byte-chunks first (pigeonhole: a pair
+    within hamming d must agree on one of d+1 chunks) — see
+    tests/test_dedup.py for the blocked variant check."""
+    s = simhash(corpus, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.expr("bit_count(a.simhash ^ b.simhash)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

@@ -1,1 +1,289 @@
-"""Placeholder — filled in a later milestone."""
+"""Dedup + similarity query surface (BASELINE.json north star: the
+LLM-training-data-pipeline operators, first-class alongside SURVEY.md §2).
+
+Near-dup operators run on a synthetic near-dup corpus: documents UNION a
+copy with the first token dropped (ids +1,000,000) — this gives the
+operators real positives to find while staying fully oracle-reproducible.
+
+Oracle SQL strings for the sketch operators are generated from the same
+pinned constants as the Spark side (functions/hashing.py) so the two can't
+drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    MINHASH_P,
+    minhash_value_sql,
+)
+from sdg_data_catalog_spark.operators import dedup as D
+from sdg_data_catalog_spark.operators import similarity as S
+from sdg_data_catalog_spark.queries.registry import register
+
+# --- shared corpus construction (Spark + SQL twins) -----------------------
+
+_CORPUS_SQL = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, strpos(text, ' ') + 1) AS text
+        FROM documents
+    )
+"""
+
+_EXACT_CORPUS_SQL = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+"""
+
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM toks WHERE len(t) >= 3
+    )
+"""
+
+_XP_SQL = f"sh_int AS (SELECT doc_id, (('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P}) AS xp FROM sh)"
+
+_SIG_SQL = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(f"MIN({minhash_value_sql('xp', i)}) AS h{i}" for i in range(MINHASH_K))
+    + " FROM sh_int GROUP BY doc_id)"
+)
+
+_BANDS_SQL = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        "SELECT doc_id, '"
+        + str(b)
+        + "|' || "
+        + " || '|' || ".join(f"CAST(h{b * LSH_ROWS + j} AS VARCHAR)" for j in range(LSH_ROWS))
+        + " AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    + ")"
+)
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    orig = docs.select("doc_id", "text")
+    mod = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return orig.unionByName(mod)
+
+
+def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
+    orig = docs.select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return orig.unionByName(dup)
+
+
+# --- dedup ladder ---------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_EXACT_CORPUS_SQL}
+    SELECT sha256(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM corpus GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(_exact_dup_corpus(docs))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(_near_dup_corpus(docs), threshold=0.6)
+
+
+@register(
+    "dedup_minhash_sig",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    {_SHINGLE_SQL},
+    {_XP_SQL},
+    {_SIG_SQL}
+    SELECT * FROM sig
+    """,
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs.select("doc_id", "text"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    {_XP_SQL},
+    {_SIG_SQL},
+    {_BANDS_SQL}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_band_pairs(_near_dup_corpus(docs))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf,
+               ('0x' || substr(md5(w), 1, 15))::BIGINT AS x
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+        GROUP BY doc_id, w
+    ),
+    sums AS (
+        SELECT doc_id,
+               {", ".join(f"SUM(CASE WHEN ((x >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS s{b}" for b in range(16))}
+        FROM tf GROUP BY doc_id
+    ),
+    sh2 AS (
+        SELECT doc_id,
+               ({" + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))})::BIGINT AS simhash
+        FROM sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_pairs(_near_dup_corpus(docs), max_hamming=2)
+
+
+# --- similarity search ----------------------------------------------------
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    scored AS (
+        SELECT q_id, neighbor_id, {_COS_SQL} AS cos_sim
+        FROM q CROSS JOIN c WHERE q_id != neighbor_id
+    )
+    SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank, ROUND(cos_sim, 6) AS cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _plane_dot_sql(j: int) -> str:
+    c = 17 * (j + 1)
+    return (
+        f"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)"
+        f" * ((((i + {c}) * 2654435761) % 1000003 % 97 - 48) / 48.0)))"
+    )
+
+
+@register(
+    "sim_ann_lsh_bucket",
+    oracle=f"""
+    SELECT vec_id,
+           ({" + ".join(f"CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END" for j in range(S.N_PLANES))})::BIGINT AS bucket
+    FROM embeddings
+    """,
+)
+def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", S.lsh_bucket(F.col("embedding")).alias("bucket"))
+
+
+@register("sim_ann_lsh_topk")  # rank semantics oracle'd via bucket + knn; rows-only here
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, k=1)
+
+
+@register(
+    "sim_cosine_neardup",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS q_emb FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS c_emb FROM embeddings)
+    SELECT id_a, id_b, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM a JOIN b ON id_a < id_b
+    WHERE {_COS_SQL} >= 0.4
+    """,
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "sim_norm_stats",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 6) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(S.norm(F.col("embedding"))), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,82 @@
+"""Property tests for the dedup/similarity operators (SURVEY.md §5.2:
+differential + property checks beyond the oracle gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators import dedup as D
+from sdg_data_catalog_spark.operators import similarity as S
+from sdg_data_catalog_spark.queries.dedup_similarity import _near_dup_corpus
+
+
+def test_minhash_lsh_recall_of_high_jaccard(spark, sf_dir):
+    """LSH candidates must contain (almost) every truly-high-Jaccard pair:
+    with 4 bands x 4 rows, P(detect | j=0.9) = 1-(1-0.9^4)^4 ≈ 0.98.
+    On the planted corpus (j ≈ 0.95+) we demand >= 95% recall."""
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(corpus, threshold=0.9).collect()
+    }
+    cand = {(r.doc_a, r.doc_b) for r in D.minhash_band_pairs(corpus).collect()}
+    assert truth, "planted near-dups must exist"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} over {len(truth)} true pairs"
+
+
+def test_jaccard_max_df_pruning_is_subset(spark, sf_dir):
+    """df-capped Jaccard (the scale path) must not invent pairs."""
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents"))
+    full = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(corpus, threshold=0.6).collect()}
+    pruned = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(corpus, threshold=0.6, max_df=50).collect()
+    }
+    assert pruned <= full
+
+
+def test_knn_matches_numpy(spark, sf_dir):
+    """Differential test: Spark brute-force top-1 == numpy argmax."""
+    emb = table(spark, sf_dir, "embeddings")
+    got = {
+        r.q_id: (r.neighbor_id, r.cos_sim)
+        for r in S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=1).collect()
+    }
+    pdf = emb.orderBy("vec_id").toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    ids = pdf["vec_id"].to_numpy()
+    for qi in range(5):
+        best = int(np.argmax(sims[qi]))
+        assert got[ids[qi]][0] == ids[best]
+        assert abs(got[ids[qi]][1] - sims[qi][best]) < 1e-5
+
+
+def test_ann_lsh_topk_candidates_share_bucket(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = {
+        r.vec_id: r.bucket
+        for r in emb.select(
+            "vec_id", S.lsh_bucket(F.col("embedding")).alias("bucket")
+        ).collect()
+    }
+    for r in S.ann_lsh_topk(emb, k=1).collect():
+        assert buckets[r.q_id] == buckets[r.neighbor_id]
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Planted near-dups (one dropped token) must land within the hamming
+    ball; simhash of identical docs must be identical."""
+    docs = table(spark, sf_dir, "documents").limit(50)
+    corpus = _near_dup_corpus(docs)
+    sh = {r.doc_id: r.simhash for r in D.simhash(corpus).collect()}
+    close = 0
+    for doc_id in [r.doc_id for r in docs.collect()]:
+        h = bin(sh[doc_id] ^ sh[doc_id + 1_000_000]).count("1")
+        close += h <= 2
+    assert close >= 40  # >= 80% of planted pairs within hamming 2
