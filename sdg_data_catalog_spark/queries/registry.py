@@ -35,6 +35,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.dedup_similarity",
     "sdg_data_catalog_spark.queries.ranking",
     "sdg_data_catalog_spark.queries.catalog_etl",
+    "sdg_data_catalog_spark.queries.scoring_sampling",
 )
 
 _loaded = False
