@@ -1,0 +1,157 @@
+"""Multimodal column surface: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow batches.
+
+The reference's only binary-ish asset handling is the gzip'd PDF sink with
+post-download validation (scrapping/papers_download.py:136-150). A
+training-data engine needs the general shape: a `media` table whose payload
+is a binary column plus a typed metadata struct, with decode / feature
+extraction / resize / frame sampling as `mapInPandas` operators so the
+heavy bytes never leave the JVM→Arrow→pandas batch path (no per-row Python,
+no driver collect).
+
+The decode step is a DETERMINISTIC FAKE (this container ships no
+image/audio codecs): payload bytes are hashed into pixel statistics. The
+Spark-side plumbing — binary columns in Arrow batches, struct metadata,
+batch-shaped UDF signatures, size-aware partitioning — is real and tested.
+A real codec drops into `_decode_payload` behind the same signature.
+
+At 100 TB: media payloads dominate row size, so batch sizing is controlled
+with ``spark.sql.execution.arrow.maxRecordsPerBatch`` and files should be
+written with a small row-group target; metadata-only queries must prune the
+payload column (scan ReadSchema excludes `payload` — asserted in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Deterministic metadata derivation (doc_id → media shape). Kept as plain
+# int math so the DuckDB oracle can reproduce it exactly.
+MEDIA_TYPES = ("image", "audio", "video")
+FORMATS = {"image": "png", "audio": "wav", "video": "mp4"}
+
+
+def as_media(documents: DataFrame) -> DataFrame:
+    """documents → media table: (media_id, payload binary, meta struct).
+
+    Payload is the UTF-8 document text (a stand-in blob the oracle can
+    rebuild with ``encode(text)``); metadata is derived from doc_id with
+    pure integer math. Real ingestion would read payloads via
+    ``spark.read.format('binaryFile')`` and parse headers in the decode UDF.
+    """
+    ordinal = (F.col("doc_id") % 3 + 1).cast("int")
+    t = F.element_at(F.array(*(F.lit(m) for m in MEDIA_TYPES)), ordinal)
+    meta = F.struct(
+        t.alias("media_type"),
+        F.element_at(
+            F.array(*(F.lit(x) for x in FORMATS.values())), ordinal
+        ).alias("format"),
+        (64 + (F.col("doc_id") % 97) * 8).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 53) * 8).cast("int").alias("height"),
+        ((F.col("doc_id") % 29 + 1) * 1000).cast("int").alias("duration_ms"),
+        (8 + F.col("doc_id") % 24).cast("int").alias("n_frames"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Sample every-``every``-th frame index per video — pure built-ins
+    (sequence + explode), no UDF: frame selection is a plan, not Python."""
+    vids = media.filter(F.col("meta.media_type") == "video")
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))
+    return vids.select(
+        "media_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("byte_hist", ArrayType(IntegerType())),
+    ]
+)
+
+HIST_BINS = 16
+
+
+def decode_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Decode + feature-extract in Arrow batches (mapInPandas).
+
+    Stand-in decode: 16-bin byte histogram + mean byte value straight off
+    the payload. A real pipeline imports the codec ONCE before the batch
+    loop (same pattern as model broadcast in operators/scoring.py) and
+    emits pixel/spectrogram features with this exact signature.
+    """
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # real codec init goes here (once per task, not per row)
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=HIST_BINS)[:HIST_BINS]
+                out.append(
+                    (mid, mtype, len(arr), float(arr.mean()), hist.astype(int).tolist())
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return media.select(
+        "media_id", F.col("meta.media_type").alias("media_type"), "payload"
+    ).mapInPandas(decode, DECODE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes payloads through mapInPandas and rewrites the
+    metadata struct. The pixel transform itself needs a codec →
+    NotImplementedError placeholder executed lazily per batch, but the plan
+    (schema, batch shape, struct rebuild) is real.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", media.schema["payload"].dataType),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image codec not available in this container; plug PIL/ffmpeg here"
+        )
+        yield  # pragma: no cover — keeps this a generator
+
+    out = media.select(
+        "media_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).mapInPandas(resize, schema)
+    return out.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))

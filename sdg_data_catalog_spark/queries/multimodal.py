@@ -1,0 +1,86 @@
+"""Registered multimodal surface (media-as-binary over the documents table).
+
+Everything with deterministic math gets a full DuckDB oracle (metadata
+derivation, payload fingerprint, frame sampling); the byte-level decode is
+rows-only with a differential pytest twin (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators import multimodal as MM
+from sdg_data_catalog_spark.queries.registry import register
+
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+_FORMAT_SQL = "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+
+
+@register(
+    "mm_metadata",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           {_MEDIA_TYPE_SQL} AS media_type,
+           {_FORMAT_SQL} AS format,
+           CAST(64 + (doc_id % 97) * 8 AS INTEGER) AS width,
+           CAST(64 + (doc_id % 53) * 8 AS INTEGER) AS height,
+           CAST((doc_id % 29 + 1) * 1000 AS INTEGER) AS duration_ms,
+           CAST(8 + doc_id % 24 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only projection over the media table — must NOT read the
+    payload column (column pruning through the struct; asserted in tests)."""
+    media = MM.as_media(table(spark, sf_dir, "documents"))
+    return media.select("media_id", "meta.*")
+
+
+@register(
+    "mm_payload_fingerprint",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def mm_payload_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column fingerprint: dedup/integrity key over opaque payloads
+    (papers_download.py:136-148 validates+renames downloaded blobs; the
+    engine-side analog is a content hash computed JVM-side)."""
+    media = MM.as_media(table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 24 AS INTEGER) AS n_frames,
+           CAST(unnest(range(0, 8 + doc_id % 24, 4)) AS INTEGER) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling for videos: sequence+explode built-ins —
+    the selection plan is Catalyst-optimized, no Python in the loop."""
+    media = MM.as_media(table(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, every=4).withColumn(
+        "frame_idx", F.col("frame_idx").cast("int")
+    )
+
+
+@register("mm_decode_features")  # byte-level decode: rows-only, pytest twin
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.as_media(table(spark, sf_dir, "documents"))
+    return MM.decode_features(media)

@@ -36,6 +36,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.ranking",
     "sdg_data_catalog_spark.queries.catalog_etl",
     "sdg_data_catalog_spark.queries.scoring_sampling",
+    "sdg_data_catalog_spark.queries.multimodal",
 )
 
 _loaded = False
