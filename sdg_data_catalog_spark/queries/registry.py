@@ -37,6 +37,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.catalog_etl",
     "sdg_data_catalog_spark.queries.scoring_sampling",
     "sdg_data_catalog_spark.queries.multimodal",
+    "sdg_data_catalog_spark.queries.sources_sinks",
 )
 
 _loaded = False
