@@ -188,3 +188,25 @@ def lda_topics(corpus: DataFrame, k: int = 8, vocab_size: int = 64, seed: int = 
     topics = lda.fit(tf).transform(tf)
     to_arr = F.udf(lambda v: [float(x) for x in v], ArrayType(DoubleType()))
     return topics.select("doc_id", to_arr(F.col("topicDistribution")).alias("topic_dist"))
+
+
+def coherence_sweep(corpus: DataFrame, ks=(2, 4, 8), vocab_size: int = 64, seed: int = 100, sample_rows: int = 300) -> DataFrame:
+    """udf_coherence (TM_2 cells 17-20: coherence over k=2..40 step 6).
+    Fits one seeded MLlib LDA per k on a deterministic bounded sample and
+    reports logPerplexity per k. The grid loop is driver-side (few items);
+    every fit is a distributed job."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    spark = corpus.sparkSession
+    sample = corpus.orderBy("doc_id").limit(sample_rows)
+    toks = sample.select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=vocab_size, minDF=1.0)
+    tf = cv.fit(toks).transform(toks)
+    tf = tf.cache()
+    rows = []
+    for k in ks:
+        model = LDA(k=int(k), seed=seed, featuresCol="tf", maxIter=5).fit(tf)
+        rows.append((int(k), float(model.logPerplexity(tf))))
+    tf.unpersist()
+    return spark.createDataFrame(rows, "k INT, log_perplexity DOUBLE")

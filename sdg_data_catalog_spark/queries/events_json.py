@@ -250,3 +250,29 @@ def win_user_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w).alias("event_seq"),
     )
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value,
+             date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch twin (SURVEY §2.9 stream_stateful).
+    Per-user sequential fold — count, value total, max inter-event gap —
+    via groupBy(user_id).applyInPandas; the streaming version
+    (streaming/stateful.py:user_stats_stream) runs the SAME kernel under
+    applyInPandasWithState with (n, total, max_gap, last_ts) persisted in
+    the state store. Oracle expresses the fold relationally (LAG + MAX)."""
+    from sdg_data_catalog_spark.streaming.stateful import user_stats_batch
+
+    return user_stats_batch(table(spark, sf_dir, "events"))

@@ -38,6 +38,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.scoring_sampling",
     "sdg_data_catalog_spark.queries.multimodal",
     "sdg_data_catalog_spark.queries.sources_sinks",
+    "sdg_data_catalog_spark.queries.metrics_filters",
 )
 
 _loaded = False

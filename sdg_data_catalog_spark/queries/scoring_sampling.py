@@ -134,3 +134,13 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return SM.sample_fraction(orders, 0.1).select("o_orderkey")
+
+
+@register("udf_coherence")  # MLlib LDA perplexity sweep: engine-internal → rows-only
+def udf_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-selection sweep (TM_2 cells 17-20: compute_coherence_values over
+    a topic-count grid). MLlib has no c_v coherence; the selection metric is
+    logPerplexity (lower = better), swept over k on a bounded sample — the
+    driver loops over k (a handful of fits), each fit itself distributed."""
+    docs = table(spark, sf_dir, "documents")
+    return SC.coherence_sweep(docs, ks=(2, 4, 8), seed=100)

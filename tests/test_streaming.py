@@ -53,3 +53,82 @@ def test_stream_dedup_bounded_state(spark, events_dir):
     batch_n = spark.read.parquet(events_dir).count()
     assert got.count() == batch_n
     assert got.select("event_id").distinct().count() == batch_n
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir, events_dir):
+    from sdg_data_catalog_spark.streaming.stateful import (
+        user_stats_batch,
+        user_stats_stream,
+    )
+
+    events = W.read_events_stream(spark, events_dir)
+    stream = user_stats_stream(events)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a row per user per micro-batch: keep the last
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_gap_us"])
+        for r in spark.table("t_stateful").collect()
+    }
+    from sdg_data_catalog_spark.catalog import table as load
+
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_gap_us"])
+        for r in user_stats_batch(load(spark, sf_dir, "events")).collect()
+    }
+    assert got == expect
+
+
+def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path_factory):
+    """Split events into two files and force one file per trigger: the
+    (n, total, max_gap, last_ts) state must carry across micro-batches so
+    the final row per user equals the single-pass batch fold."""
+    import pyspark.sql.functions as F
+
+    from sdg_data_catalog_spark.catalog import table as load
+    from sdg_data_catalog_spark.streaming.stateful import (
+        OUT_SCHEMA,
+        user_stats_batch,
+        user_stats_stream,
+    )
+
+    d = tmp_path_factory.mktemp("events_two_batches")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw nanos-as-long
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(str(d / "a"))
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(str(d / "b"))
+
+    raw = (
+        spark.readStream.schema(W.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    q = (
+        user_stats_stream(events)
+        .writeStream.format("memory")
+        .queryName("t_stateful2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user is the final state
+    import pandas as pd
+
+    emitted = spark.table("t_stateful2").toPandas()
+    got = {
+        int(r.user_id): (int(r.n_events), r.total_value, int(r.max_gap_us))
+        for r in emitted.groupby("user_id").tail(1).itertuples()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_gap_us"])
+        for r in user_stats_batch(load(spark, sf_dir, "events")).collect()
+    }
+    assert got == expect
