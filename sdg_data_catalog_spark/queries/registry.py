@@ -39,6 +39,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.multimodal",
     "sdg_data_catalog_spark.queries.sources_sinks",
     "sdg_data_catalog_spark.queries.metrics_filters",
+    "sdg_data_catalog_spark.queries.scalar_functions",
 )
 
 _loaded = False
