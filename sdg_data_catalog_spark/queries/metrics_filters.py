@@ -24,6 +24,7 @@ the reference's driver-side sklearn loops.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -297,4 +298,62 @@ def limit_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
         .limit(150)
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(c.c_custkey, oc.o_custkey) AS custkey,
+           c.c_name,
+           CAST(COALESCE(oc.n_orders, 0) AS BIGINT) AS n_orders,
+           (c.c_custkey IS NOT NULL) AS has_customer
+    FROM customer c FULL OUTER JOIN oc ON c.c_custkey = oc.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join surface (SURVEY §2.3 'new-engine join surface':
+    inner/left/right/full/semi/anti). Orders are pre-aggregated to custkey
+    before the join — the shuffle moves one row per customer, not one per
+    order, and AQE coalesces the post-agg partitions."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    oc = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        customer.join(oc, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("c_custkey").isNotNull().alias("has_customer"),
+        )
+    )
+
+
+@register(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(SUM(value * (user_id % 10 + 1)) AS DOUBLE)
+                 / CAST(SUM(user_id % 10 + 1) AS DOUBLE), 4) AS weighted_avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via pandas_udf GROUPED_AGG (SURVEY §2.4 'new-engine agg surface';
+    SNIPPETS.md pattern). The kernel sees each group's columns as whole
+    pandas Series (one Arrow transfer per group-partition) — the vectorized
+    path; a weighted mean the oracle re-derives relationally."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = table(spark, sf_dir, "events")
+    w = (F.col("user_id") % 10 + 1).cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(wavg(F.col("value"), w), 4).alias("weighted_avg_value"))
     )

@@ -40,6 +40,8 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.sources_sinks",
     "sdg_data_catalog_spark.queries.metrics_filters",
     "sdg_data_catalog_spark.queries.scalar_functions",
+    # aliases must load last: they bind SURVEY §2 exact IDs to the above
+    "sdg_data_catalog_spark.queries.aliases",
 )
 
 _loaded = False
@@ -57,6 +59,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+def alias(name: str, target: str) -> None:
+    """Register ``name`` as a second key for an already-registered query —
+    the exact SURVEY.md §2 operator ID when the primary registration uses a
+    more specific name. Same callable, same oracle; the driver exercises
+    both keys."""
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query id {name!r}")
+    if target not in _QUERIES:
+        raise KeyError(f"alias target {target!r} not registered")
+    _QUERIES[name] = _QUERIES[target]
+    if target in _ORACLES:
+        _ORACLES[name] = _ORACLES[target]
 
 
 def _load_all() -> None:
