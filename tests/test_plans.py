@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the properties that make queries survive
+a 1000-executor / 100 TB scale-up are asserted here, so a refactor that
+silently drops a pushdown or turns a broadcast join into a cartesian product
+fails CI — not the cluster.
+
+Checked per plan:
+  - predicate pushdown reaches the parquet scan (PushedFilters non-empty);
+  - column pruning reaches the scan (ReadSchema carries only needed cols);
+  - small dims join via BroadcastHashJoin, never CartesianProduct;
+  - whole-stage codegen is present (JVM-side execution, no Python in the
+    relational path).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sdg_data_catalog_spark.queries.registry import all_queries
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = all_queries()
+    return {name: _formatted_plan(qs[name](spark, sf_dir)) for name in (
+        "q5_revenue_by_nation",
+        "q1_pricing_summary",
+        "join_fk",
+        "scan_pushdown_projection",
+        "topk_global",
+        "join_broadcast_dim",
+    )}
+
+
+def test_q5_pushes_shipdate_filter_into_scan(plans):
+    plan = plans["q5_revenue_by_nation"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q5_prunes_lineitem_columns(plans):
+    # 4 needed columns out of 16 — the scan schema must not carry the rest
+    plan = plans["q5_revenue_by_nation"]
+    li_schema = next(
+        l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l
+    )
+    assert "l_comment" not in li_schema and "l_partkey" not in li_schema
+
+
+def test_q5_joins_are_broadcast_not_cartesian(plans):
+    plan = plans["q5_revenue_by_nation"]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_single_aggregation_exchange(plans):
+    # partial (map-side) + final agg around exactly one shuffle
+    plan = plans["q1_pricing_summary"]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+
+
+def test_scan_projection_reaches_reader(plans):
+    plan = plans["scan_pushdown_projection"]
+    li_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "comment" not in li_schema
+
+
+def test_topk_is_take_ordered_not_global_sort(plans):
+    plan = plans["topk_global"]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_dim_join_broadcasts_small_side(plans):
+    plan = plans["join_broadcast_dim"]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_relational_plans_stay_jvm_side(plans):
+    # no Python evaluation nodes in pure-relational paths
+    for name in ("q5_revenue_by_nation", "q1_pricing_summary", "join_fk", "topk_global"):
+        assert "BatchEvalPython" not in plans[name], name
+        assert "ArrowEvalPython" not in plans[name], name
+
+
+def test_codegen_present(spark, sf_dir):
+    # '*(n)' prefixes in the executed plan mark whole-stage-codegen spans
+    qs = all_queries()
+    for name in ("q5_revenue_by_nation", "q1_pricing_summary"):
+        df = qs[name](spark, sf_dir)
+        df.collect()  # finalize THIS df's adaptive plan (a write plans separately)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in executed, name
