@@ -40,6 +40,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.sources_sinks",
     "sdg_data_catalog_spark.queries.metrics_filters",
     "sdg_data_catalog_spark.queries.scalar_functions",
+    "sdg_data_catalog_spark.queries.scale_ops",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )

@@ -1,0 +1,160 @@
+"""Scale-path physical-layout operators (PERF.md 'deltas to revisit'):
+bucketed co-located joins, partition-pruned layouts, and salted skew joins.
+
+None of these change query SEMANTICS — each oracle is the plain relational
+answer — they change the PHYSICAL plan so the same answer survives a 100 TB
+scale-up: bucketing removes the per-query shuffle from repeated fact-fact
+joins, partitioned layouts turn predicates into directory pruning, salting
+splits a hot key across tasks. The reference has no analog (single-process
+pandas never shuffles); these are the operators a Spark deployment of its
+pipeline would need on day one at scale.
+
+tests/test_plans.py asserts the physical properties (no Exchange under the
+bucketed join; PartitionFilters on the pruned scan).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing. Both sides are written
+    `bucketBy(8, orderkey).sortBy(orderkey)`; the join then reads bucket i
+    against bucket i — SortMergeJoin with ZERO Exchange (asserted in
+    tests/test_plans.py). At 100 TB this converts every repeated l⋈o join
+    from a full dual-shuffle into a local merge per bucket pair; the one-off
+    layout cost amortizes across the workload. `hint('merge')` pins SMJ so
+    the demo shows the bucketed path even where the small side would
+    broadcast at test scale."""
+    sfn = _sf_name(sf_dir)
+    li_tbl, o_tbl = f"li_bkt_{sfn}", f"o_bkt_{sfn}"
+    if not spark.catalog.tableExists(li_tbl):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", os.path.join(_SCRATCH, sfn, "li_bucketed"))
+            .mode("overwrite").saveAsTable(li_tbl)
+        )
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", os.path.join(_SCRATCH, sfn, "o_bucketed"))
+            .mode("overwrite").saveAsTable(o_tbl)
+        )
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw bucketed join (pre-aggregation) — used by the plan test to
+    assert the join subtree has no Exchange."""
+    join_bucketed(spark, sf_dir)  # ensure tables exist
+    sfn = _sf_name(sf_dir)
+    li = spark.table(f"li_bkt_{sfn}")
+    o = spark.table(f"o_bkt_{sfn}")
+    return li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source IN ('src3', 'src7')
+    GROUP BY source
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning. Documents are
+    written `partitionBy('source')`; the source predicate then prunes
+    directories BEFORE any I/O (PartitionFilters in the scan node, asserted
+    in tests/test_plans.py) — at 100 TB, a predicate on the partition column
+    reads 2/20ths of the dataset instead of filtering post-scan."""
+    path = os.path.join(_SCRATCH, _sf_name(sf_dir), "docs_by_source")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            table(spark, sf_dir, "documents")
+            .write.partitionBy("source").mode("overwrite").parquet(path)
+        )
+    docs = spark.read.parquet(path)
+    return (
+        docs.filter(F.col("source").isin("src3", "src7"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def partition_pruned_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw pruned scan for the plan test."""
+    scan_partition_pruned(spark, sf_dir)  # ensure layout exists
+    path = os.path.join(_SCRATCH, _sf_name(sf_dir), "docs_by_source")
+    return spark.read.parquet(path).filter(F.col("source") == "src3").select("doc_id")
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side gets a deterministic salt
+    (orderkey % 8) appended to the join key; the dim side is exploded into
+    all 8 salt replicas; the join runs on (key, salt), splitting any hot
+    key's rows across 8 tasks instead of one straggler. Semantics are
+    identical to the plain join (the oracle). AQE's skew-join handles
+    moderate skew automatically; explicit salting is the tool for the
+    pathological keys AQE's split threshold misses. `hint('merge')` keeps
+    the exercise honest at test scale (dim would otherwise broadcast —
+    broadcasting is of course the first fix for a skewed dim join)."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_salt = 8
+    fact = orders.withColumn("salt", (F.col("o_orderkey") % n_salt).cast("int"))
+    dim = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    joined = fact.hint("merge").join(
+        dim, (F.col("o_custkey") == F.col("c_custkey")) & (fact["salt"] == dim["salt"])
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

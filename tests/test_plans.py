@@ -94,3 +94,19 @@ def test_codegen_present(spark, sf_dir):
         df.collect()  # finalize THIS df's adaptive plan (a write plans separately)
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in executed, name
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    from sdg_data_catalog_spark.queries.scale_ops import bucketed_join_plan
+
+    plan = _formatted_plan(bucketed_join_plan(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket i reads against bucket i directly
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    from sdg_data_catalog_spark.queries.scale_ops import partition_pruned_plan
+
+    plan = _formatted_plan(partition_pruned_plan(spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and "src3" in scan_lines[0]
