@@ -30,6 +30,9 @@ from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 HEADLINE = (
     "q5_revenue_by_nation",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
     "join_fk",
     "win_rownum_topk",
     "agg_rollup",
