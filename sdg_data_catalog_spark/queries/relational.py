@@ -805,3 +805,98 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Declared agg/window surface completions (§2.4 / §2.5 'new-engine' notes)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS quartiles,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). At 100 TB prefer `approx_percentile` (t-digest, one
+    pass, mergeable partials) — exact percentile needs a per-group sort;
+    both are registered (see agg_approx_distinct for the sketch pattern)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("transform(percentile(value, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))").alias("quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("agg_approx_distinct")  # sketch internals differ per engine: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (`approx_count_distinct`) — the
+    scale path for cardinality (exact distinct shuffles every distinct key;
+    HLL partials are constant-size and mergeable). Engines' sketches differ,
+    so the contract check is rows-only; the ±5% accuracy bound against exact
+    countDistinct is asserted in tests/test_contract.py's pytest twin."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "win_ntile_firstlast",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(first_value(value) OVER w, 2) AS first_value,
+           ROUND(last_value(value) OVER
+                 (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first / last window surface (§2.5). last_value takes the
+    full frame explicitly — the default frame ends at CURRENT ROW, a classic
+    silent-wrong-answer; the plan stays one window exchange per partition
+    key."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+        F.round(F.last("value").over(w_full), 2).alias("last_value"),
+    )
+
+
+@register(
+    "win_range_between",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY value
+                 RANGE BETWEEN 25.0 PRECEDING AND CURRENT ROW), 2) AS sum_near
+    FROM events
+    """,
+)
+def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (§2.5 rangeBetween): the frame is defined by
+    VALUE distance, not row count — ties share a frame, so the result is
+    deterministic without a tie-break column."""
+    ev = table(spark, sf_dir, "events")
+    # float range frames need the SQL form (the DataFrame API frame bounds
+    # are integer row/range offsets only)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(
+            "ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY value "
+            "RANGE BETWEEN 25.0 PRECEDING AND CURRENT ROW), 2)"
+        ).alias("sum_near"),
+    )

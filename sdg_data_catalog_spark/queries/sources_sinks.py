@@ -356,3 +356,44 @@ def sink_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(_validate_and_ledger, "doc_id BIGINT, ok BOOLEAN, sha256 STRING, n_bytes BIGINT")
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+    WITH base AS (SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 != 0),
+    updates AS (SELECT doc_id, 'upd-' || source AS source, n_chars + 1 AS n_chars
+                FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, is_update FROM (
+        SELECT u.doc_id, u.source, u.n_chars, TRUE AS is_update FROM updates u
+        UNION ALL
+        SELECT b.doc_id, b.source, b.n_chars, FALSE AS is_update
+        FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM updates)
+    )
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on a parquet sink (the Delta-less form of
+    incremental catalog maintenance — the reference re-INSERTs per row with
+    no conflict handling, db_connection.py:61-87). Updates win over base via
+    LEFT ANTI + UNION; the result is written and read back, so the oracle
+    verifies the merged table, not just the plan. At scale the same shape is
+    one `MERGE INTO` on Delta/Iceberg; the anti-join formulation shuffles
+    only on doc_id and broadcasts when updates are small."""
+    path = _io_dir(sf_dir, "docs_upserted")
+    docs = table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
+    updates = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.lit("upd-"), F.col("source")).alias("source"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    merged = (
+        updates.withColumn("is_update", F.lit(True))
+        .unionByName(
+            base.join(updates.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("is_update", F.lit(False))
+        )
+    )
+    merged.write.parquet(path)
+    return spark.read.parquet(path)

@@ -34,3 +34,25 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
         return
     err = compare(name, df, oracles[name], duck)
     assert err is None, f"{name}: {err}"
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    """agg_approx_distinct rows-only twin: HLL estimate within ±5% of exact."""
+    import pyspark.sql.functions as F
+
+    from sdg_data_catalog_spark.catalog import table
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(2, 0.05 * ex), (et, approx[et], ex)
