@@ -293,3 +293,75 @@ def filter_minwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_words)."""
     docs = table(spark, sf_dir, "documents")
     return docs.filter(T.token_count_ws(F.col("text")) >= 60).select("doc_id", "lang")
+
+
+_LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "value"),
+    "fr": ("le", "les", "de", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "los", "de", "y", "una"),
+}
+
+
+def _profile_sql(profile: tuple) -> str:
+    inlist = ", ".join(f"'{w}'" for w in profile)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_profile_sql(_LANG_PROFILES['en'])} AS s_en,
+             {_profile_sql(_LANG_PROFILES['fr'])} AS s_fr,
+             {_profile_sql(_LANG_PROFILES['de'])} AS s_de,
+             {_profile_sql(_LANG_PROFILES['es'])} AS s_es
+      FROM documents)
+    SELECT doc_id,
+           CAST(s_en AS INT) AS s_en, CAST(s_fr AS INT) AS s_fr,
+           CAST(s_de AS INT) AS s_de, CAST(s_es AS INT) AS s_es,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted_lang,
+           (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                 WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                 WHEN s_de >= s_es THEN 'de'
+                 ELSE 'es' END = lang) AS is_correct
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via marker-token profiles (the training-data
+    pipeline north star's 'language-ID (n-gram heuristic)'). Each language
+    scores as the count of its marker tokens in the document; argmax with a
+    deterministic preference order breaks ties. Single-pass higher-order
+    filters per profile — one codegen stage, no shuffle, no UDF; real
+    deployments swap the profiles for char-trigram frequency tables (same
+    plan shape, wider arrays)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def _score(prof):
+        # closure (not a default arg: a 2-arg lambda would receive the
+        # element index as its second parameter)
+        return F.size(F.filter(toks, lambda x: x.isin(*prof)))
+
+    scores = {lang: _score(prof) for lang, prof in _LANG_PROFILES.items()}
+    s_en, s_fr, s_de, s_es = scores["en"], scores["fr"], scores["de"], scores["es"]
+    pred = (
+        F.when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es), "en")
+        .when((s_fr >= s_de) & (s_fr >= s_es), "fr")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        s_en.alias("s_en"),
+        s_fr.alias("s_fr"),
+        s_de.alias("s_de"),
+        s_es.alias("s_es"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
