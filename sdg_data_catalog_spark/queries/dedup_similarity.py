@@ -287,3 +287,12 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(S.norm(F.col("embedding"))), 6).alias("avg_norm"),
     )
+
+
+@register("sim_ann_ivf_topk")  # approximate by design: rows-only + recall test
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the north star's 'IVF or LSH-bucketed variant' —
+    both are registered). Coarse-quantize into cells, search within the
+    query's cell; recall vs sim_knn_bruteforce asserted in pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5)

@@ -80,3 +80,25 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
         h = bin(sh[doc_id] ^ sh[doc_id + 1_000_000]).count("1")
         close += h <= 2
     assert close >= 40  # >= 80% of planted pairs within hamming 2
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with n_probe=1 on random-ish synthetic vectors: every returned
+    neighbor must be a true cosine neighbor ranking no better than brute
+    force says, and recall@5 must be non-trivial (> 0.1 even on data with
+    no cluster structure)."""
+    from sdg_data_catalog_spark.catalog import table as load
+    from sdg_data_catalog_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(emb, emb.filter("vec_id < 10"), k=5).collect()
+    }
+    approx = S.ivf_topk(emb, k=5).collect()
+    assert approx, "IVF returned no candidates"
+    hits = sum((r["q_id"], r["neighbor_id"]) in exact for r in approx)
+    recall = hits / len(exact)
+    assert recall > 0.1, f"recall@5 = {recall}"
+    # sanity: cosine values are genuine (within [-1, 1], rounded to 6)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
