@@ -23,12 +23,8 @@ from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
-
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
-
-
-def _sf_name(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+from sdg_data_catalog_spark.sources.formats import SCRATCH as _SCRATCH
+from sdg_data_catalog_spark.sources.formats import table_safe_sf_name as _sf_name
 
 
 @register(

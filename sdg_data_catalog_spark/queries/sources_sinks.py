@@ -21,24 +21,14 @@ scan_pickle), never a fact-table path.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
-
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
-
-
-def _io_dir(sf_dir: str, leaf: str) -> str:
-    """Repo-local scratch path, namespaced by scale factor and operator."""
-    sf = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(_SCRATCH, sf, leaf)
-    if os.path.exists(path):
-        shutil.rmtree(path, ignore_errors=True)
-    return path
+from sdg_data_catalog_spark.sources.formats import SCRATCH as _SCRATCH
+from sdg_data_catalog_spark.sources.formats import io_dir as _io_dir
 
 
 # ---------------------------------------------------------------------------

@@ -15,13 +15,10 @@ from __future__ import annotations
 
 import pytest
 
+from sdg_data_catalog_spark.plans import inspect as P
 from sdg_data_catalog_spark.queries.registry import all_queries
 
-
-def _formatted_plan(df) -> str:
-    jdf = df._jdf
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return jdf.queryExecution().explainString(mode)
+_formatted_plan = P.formatted_plan
 
 
 @pytest.fixture(scope="module")
@@ -53,14 +50,13 @@ def test_q5_prunes_lineitem_columns(plans):
 
 def test_q5_joins_are_broadcast_not_cartesian(plans):
     plan = plans["q5_revenue_by_nation"]
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert P.has_broadcast_join(plan)
+    assert not P.has_pathological_join(plan)
 
 
 def test_q1_single_aggregation_exchange(plans):
     # partial (map-side) + final agg around exactly one shuffle
-    plan = plans["q1_pricing_summary"]
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+    assert P.shuffle_exchanges(plans["q1_pricing_summary"]) <= 2
 
 
 def test_scan_projection_reaches_reader(plans):
@@ -82,8 +78,7 @@ def test_broadcast_dim_join_broadcasts_small_side(plans):
 def test_relational_plans_stay_jvm_side(plans):
     # no Python evaluation nodes in pure-relational paths
     for name in ("q5_revenue_by_nation", "q1_pricing_summary", "join_fk", "topk_global"):
-        assert "BatchEvalPython" not in plans[name], name
-        assert "ArrowEvalPython" not in plans[name], name
+        assert P.python_eval_nodes(plans[name]) == [], name
 
 
 def test_codegen_present(spark, sf_dir):
@@ -92,8 +87,7 @@ def test_codegen_present(spark, sf_dir):
     for name in ("q5_revenue_by_nation", "q1_pricing_summary"):
         df = qs[name](spark, sf_dir)
         df.collect()  # finalize THIS df's adaptive plan (a write plans separately)
-        executed = df._jdf.queryExecution().executedPlan().toString()
-        assert "*(" in executed, name
+        assert P.codegen_spans(P.executed_plan(df)) >= 1, name
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
