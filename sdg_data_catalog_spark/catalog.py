@@ -32,7 +32,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Dimension tables small enough to broadcast at any scale factor (region and
 # nation are fixed-size in TPC-H; the gazetteer/vocab dims the catalog uses
-# are a few thousand rows).
+# are a few thousand rows). table() stamps these with a broadcast hint so
+# every join against them picks BroadcastHashJoin regardless of the
+# session's autoBroadcastJoinThreshold.
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
@@ -46,7 +48,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, path)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in BROADCAST_DIMS:
+        from pyspark.sql import functions as F
+
+        df = F.broadcast(df)
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
 from sdg_data_catalog_spark.sources.formats import SCRATCH as _SCRATCH
-from sdg_data_catalog_spark.sources.formats import io_dir as _io_dir
+from sdg_data_catalog_spark.sources.formats import (
+    io_dir as _io_dir,
+    roundtrip_csv,
+    roundtrip_json,
+    roundtrip_parquet,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -45,9 +50,9 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes dropped fields (the manual pruning the reference hand-rolled
     is a ReadSchema property here)."""
     path = _io_dir(sf_dir, "docs_jsonl")
-    table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars").write.json(path)
+    out = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
     schema = "doc_id BIGINT, lang STRING, source STRING"  # n_chars pruned at scan
-    return spark.read.schema(schema).json(path).filter(F.col("lang").isNotNull())
+    return roundtrip_json(out, spark, path, schema).filter(F.col("lang").isNotNull())
 
 
 @register(
@@ -57,8 +62,8 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV scan with explicit schema (ner_pipeline.py:69 pd.read_csv)."""
     path = _io_dir(sf_dir, "docs_csv")
-    table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars").write.option("header", True).csv(path)
-    return spark.read.schema("doc_id BIGINT, source STRING, n_chars BIGINT").option("header", True).csv(path)
+    out = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return roundtrip_csv(out, spark, path, "doc_id BIGINT, source STRING, n_chars BIGINT")
 
 
 @register(
@@ -223,13 +228,8 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     (utils/db_connection.py:68-73 — one transaction per row). Spark writes
     whole partitions atomically; read-back verifies the round trip."""
     path = _io_dir(sf_dir, "source_counts_parquet")
-    (
-        table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"))
-        .write.parquet(path)
-    )
-    return spark.read.parquet(path)
+    out = table(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("n_docs"))
+    return roundtrip_parquet(out, spark, path)
 
 
 @register(
