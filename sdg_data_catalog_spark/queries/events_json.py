@@ -276,3 +276,37 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdg_data_catalog_spark.streaming.stateful import user_stats_batch
 
     return user_stats_batch(table(spark, sf_dir, "events"))
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(IF(event_type = 'click', 1, NULL)) AS click,
+             COUNT(IF(event_type = 'view', 1, NULL)) AS view,
+             COUNT(IF(event_type = 'error', 1, NULL)) AS error
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, CAST(n AS BIGINT) AS n FROM (
+      SELECT user_id, 'click' AS kind, click AS n FROM wide
+      UNION ALL SELECT user_id, 'view', view FROM wide
+      UNION ALL SELECT user_id, 'error', error FROM wide
+    ) WHERE n > 0
+    """,
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of pivot_user_events, via the native
+    `unpivot` operator (SQL `stack`): wide per-type count columns back to
+    (user_id, kind, n) long form. In-row reshape, no shuffle beyond the
+    originating aggregation."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "error"])
+    )
+    return (
+        wide.unpivot("user_id", ["click", "view", "error"], "kind", "n")
+        .filter(F.col("n") > 0)
+    )
