@@ -20,8 +20,11 @@ reproducible against an external oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sdg_data_catalog_spark.functions.hashing import (
     LSH_BANDS,
@@ -47,14 +50,37 @@ def shingle_expr(text: Column, n: int = SHINGLE_N) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_sets(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shs: array<string>) — each doc's DISTINCT shingle set,
+    computed in an Arrow-vectorized pandas UDF.
+
+    Measured (sf0.1, 20k docs): the pure-SQL `shingle_expr` path takes
+    ~4 s because higher-order functions (transform + lambda) run in the
+    interpreted expression evaluator, outside whole-stage codegen; the
+    Arrow batch UDF does the same work in 0.9 s. Values are identical
+    (same single-space split), so DuckDB oracles built on the SQL
+    formulation stay valid."""
+
+    @pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            w = t.split(" ") if t else []
+            if len(w) < n:
+                out.append([])
+            else:
+                out.append(list(dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))))
+        return pd.Series(out)
+
+    return corpus.select("doc_id", _sh(F.col("text")).alias("shs"))
+
+
 def shingles(corpus: DataFrame, n: int = SHINGLE_N, max_df: int | None = None) -> DataFrame:
     """(doc_id, sh) distinct shingle occurrences. ``max_df`` drops shingles
     present in more than max_df docs — the standard pruning that bounds the
     inverted-index join blowup at scale (hot shingles contribute O(df^2)
     candidate pairs but carry no dedup signal)."""
-    sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(shingle_expr(F.col("text"), n))).alias("sh")
-    )
+    sh = shingle_sets(corpus, n).select("doc_id", F.explode("shs").alias("sh"))
     if max_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
@@ -95,6 +121,94 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def jaccard_pairs_blocked(
+    corpus: DataFrame, threshold: float, n: int = SHINGLE_N, n_blocks: int = 8
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via BLOCKED set intersection — same
+    results as `jaccard_pairs`, ~4× faster when shingle document
+    frequencies are high (low-entropy corpora).
+
+    Why: the inverted-index join materializes Σ_sh df² candidate rows
+    through a shuffle (11 M rows at sf0.1 on the synthetic 20-word
+    vocabulary) and then hash-aggregates ~4.4 M (doc_a, doc_b) groups.
+    Here each doc's distinct shingle set stays in-row; docs hash into B
+    blocks; the B(B+1)/2 block pairs join (each block replicated B times
+    — the only shuffle), and one numpy pass per block pair counts all
+    intersections: postings sorted by shingle id, searchsorted range
+    match, ragged expansion, bincount-style unique. Counts are exact
+    integers, so `jaccard = common/(|A|+|B|-common)` needs no fp slack —
+    bit-identical to the SQL oracle.
+
+    Scale: replication cost is O(N·B); B is chosen so a block's shingle
+    sets fit executor memory ((N/B)·shingles·bytes). For corpora where
+    even that is unaffordable, the MinHash-LSH ladder
+    (`minhash_band_pairs`) is the candidate-pruning path. Measured at
+    sf0.1: 2.9 s steady vs 11.7 s for the inverted-index join
+    (/root/repo/PERF.md)."""
+    docs = shingle_sets(corpus, n).filter(F.size("shs") > 0)
+    blk = docs.select(
+        "doc_id", "shs", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("blk")
+    )
+    blocks = blk.groupBy("blk").agg(F.collect_list(F.struct("doc_id", "shs")).alias("rows"))
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    pairs = (
+        a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        .withColumn("same_block", F.col("blk_a") == F.col("blk_b"))
+        .select("rows_a", "rows_b", "same_block")
+    )
+
+    def intersect(batches):
+        for pdf in batches:
+            oa, ob, oj = [], [], []
+            for rows_a, rows_b, same in zip(pdf["rows_a"], pdf["rows_b"], pdf["same_block"]):
+                ids_a = np.fromiter((r["doc_id"] for r in rows_a), dtype=np.int64, count=len(rows_a))
+                ids_b = np.fromiter((r["doc_id"] for r in rows_b), dtype=np.int64, count=len(rows_b))
+                la = [r["shs"] for r in rows_a]
+                lb = [r["shs"] for r in rows_b]
+                na = np.array([len(x) for x in la], dtype=np.int64)
+                nb = np.array([len(x) for x in lb], dtype=np.int64)
+                # shared int ids for this block pair's shingle vocabulary
+                _, inv = np.unique(np.concatenate(la + lb), return_inverse=True)
+                ca, cb = inv[: na.sum()], inv[na.sum() :]
+                ra = np.repeat(np.arange(len(la)), na)
+                rb = np.repeat(np.arange(len(lb)), nb)
+                ordb = np.argsort(cb, kind="stable")
+                cb_s, rb_s = cb[ordb], rb[ordb]
+                lo = np.searchsorted(cb_s, ca, "left")
+                hi = np.searchsorted(cb_s, ca, "right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                # ragged expansion: A-posting i matches B rows rb_s[lo[i]:hi[i]]
+                a_rep = np.repeat(ra, cnt)
+                starts = np.repeat(lo, cnt)
+                offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                b_idx = rb_s[starts + offs]
+                uk, common = np.unique(a_rep * len(lb) + b_idx, return_counts=True)
+                ia, ib = uk // len(lb), uk % len(lb)
+                ka, kb = ids_a[ia], ids_b[ib]
+                if same:
+                    keep = ka < kb
+                    ia, ib, ka, kb, common = ia[keep], ib[keep], ka[keep], kb[keep], common[keep]
+                jac = common / (na[ia] + nb[ib] - common)
+                keep = jac >= threshold
+                lo_, hi_ = np.minimum(ka, kb), np.maximum(ka, kb)
+                oa.extend(lo_[keep])
+                ob.extend(hi_[keep])
+                oj.extend(np.round(jac[keep], 6))
+            yield pd.DataFrame(
+                {
+                    "doc_a": pd.Series(oa, dtype="int64"),
+                    "doc_b": pd.Series(ob, dtype="int64"),
+                    "jaccard": pd.Series(oj, dtype="float64"),
+                }
+            )
+
+    return pairs.mapInPandas(intersect, "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
 
 
 def minhash_signatures(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:

@@ -131,8 +131,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact intersection (operators/dedup.py::jaccard_pairs_blocked);
+    identical results to the inverted-index formulation the oracle uses —
+    equality asserted in tests/test_dedup_similarity.py."""
     docs = table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(_near_dup_corpus(docs), threshold=0.6)
+    return D.jaccard_pairs_blocked(_near_dup_corpus(docs), threshold=0.6)
 
 
 @register(

@@ -38,6 +38,22 @@ def test_jaccard_max_df_pruning_is_subset(spark, sf_dir):
     assert pruned <= full
 
 
+def test_jaccard_blocked_matches_inverted_index(spark, sf_dir):
+    """Differential: the blocked numpy formulation must reproduce the
+    declarative inverted-index join exactly (pairs AND values)."""
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents"))
+    ref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs(corpus, threshold=0.6).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_pairs_blocked(corpus, threshold=0.6).collect()
+    }
+    assert ref, "planted near-dups must exist"
+    assert got == ref
+
+
 def test_knn_matches_numpy(spark, sf_dir):
     """Differential test: Spark brute-force top-1 == numpy argmax."""
     emb = table(spark, sf_dir, "embeddings")
