@@ -86,6 +86,63 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def rate_events_stream(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """Live unbounded source: the built-in `rate` source emits
+    (timestamp, value) at a fixed rate; rows map deterministically into the
+    events schema (event_id = the monotonic value, user hash, type from a
+    modulo lookup) so every downstream window/dedup/stateful operator runs
+    unchanged against a genuinely unbounded stream.
+
+    This is the demo/liveness twin of the file source: file + availableNow
+    proves batch parity (oracle-checkable), rate + processingTime proves
+    the same plans run continuously. No oracle by construction — the input
+    is wall-clock-driven."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.col("value"), F.lit(97)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("error")),
+            (F.pmod(F.col("value"), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * F.lit(37), F.lit(1000)) / 10.0).alias("value"),
+    )
+
+
+def run_processing_time(
+    stream_df: DataFrame, query_name: str, interval: str = "1 seconds", batches: int = 2
+):
+    """Run a continuous query with a processing-time trigger until it has
+    committed `batches` micro-batches, then stop and return the sink table
+    plus the final progress dict. Demo harness for the rate source —
+    production jobs simply never stop."""
+    import time
+
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            progress = q.recentProgress
+            if len([p for p in progress if p["numInputRows"] > 0]) >= batches:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(query_name), q.lastProgress
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the whole backlog once into an in-memory sink and return the
     result as a batch DataFrame (test/demo harness)."""

@@ -132,3 +132,17 @@ def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path_fact
         for r in user_stats_batch(load(spark, sf_dir, "events")).collect()
     }
     assert got == expect
+
+
+def test_rate_source_live_windows(spark):
+    """Liveness: the same tumbling-window agg runs continuously on the
+    built-in rate source under a processing-time trigger — at least two
+    non-empty micro-batches commit, and results respect the events schema."""
+    ev = W.rate_events_stream(spark, rows_per_second=500)
+    agg = W.tumbling_counts(ev, watermark="10 seconds")
+    out, progress = W.run_processing_time(agg, "rate_demo", interval="1 seconds", batches=2)
+    rows = out.collect()
+    assert rows, "continuous query produced no output"
+    assert {r.event_type for r in rows} <= {"click", "view", "error"}
+    assert all(r.n > 0 for r in rows)
+    assert progress is not None and progress["sources"][0]["description"].startswith("Rate")
