@@ -90,6 +90,54 @@ def test_codegen_present(spark, sf_dir):
         assert P.codegen_spans(P.executed_plan(df)) >= 1, name
 
 
+@pytest.fixture(scope="module")
+def tpch_plans(spark, sf_dir):
+    qs = all_queries()
+    return {name: _formatted_plan(qs[name](spark, sf_dir)) for name in (
+        "q4_priority_exists",
+        "q19_disjunctive_join",
+        "q22_idle_customers",
+        "q17_small_quantity",
+    )}
+
+
+def test_q4_exists_becomes_semi_join(tpch_plans):
+    """EXISTS must plan as a semi join (stop at first match), and the order
+    date-range must push into the scan."""
+    plan = tpch_plans["q4_priority_exists"]
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+    assert not P.has_pathological_join(plan)
+
+
+def test_q19_disjunction_still_prunes_and_broadcasts(tpch_plans):
+    """The OR-of-conjuncts must not defeat join planning: part broadcasts,
+    no cartesian, and Catalyst extracts a pushable lineitem implication."""
+    plan = tpch_plans["q19_disjunctive_join"]
+    assert P.has_broadcast_join(plan)
+    assert not P.has_pathological_join(plan)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+
+
+def test_q22_not_exists_is_anti_join(tpch_plans):
+    plan = tpch_plans["q22_idle_customers"]
+    assert "LeftAnti" in plan
+    # the scalar-subquery threshold plans as a 1-row BroadcastNestedLoopJoin
+    # (O(n·1) — benign, it's how a scalar comparison against an aggregate
+    # looks in DataFrame form); a CartesianProduct would be the real O(n·m)
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_window_after_selective_join(tpch_plans):
+    """The correlated-avg decorrelation must keep the brand filter BEFORE
+    the window: the window input is the broadcast-joined (pruned) side."""
+    plan = tpch_plans["q17_small_quantity"]
+    assert "Window" in plan
+    assert P.has_broadcast_join(plan)
+    # brand filter pushes into the part scan, not evaluated post-join
+    assert "EqualTo(p_brand,Brand#23)" in plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     from sdg_data_catalog_spark.queries.scale_ops import bucketed_join_plan
 
