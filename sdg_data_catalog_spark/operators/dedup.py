@@ -246,6 +246,67 @@ def minhash_band_pairs(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """(doc_id, component) — connected components over an undirected
+    near-dup pair list; component = MIN doc_id reachable from the node.
+    This is the rung of the dedup ladder the pair generators feed: a
+    near-dup GROUP decision ("keep component representative, drop the
+    rest"), not just a pair list.
+
+    Algorithm: iterative min-label propagation. Each node starts as its
+    own label; every round each node takes the min of its and its
+    neighbors' labels; stop when a round changes nothing. Rounds needed =
+    graph diameter (near-dup clusters are shallow — dup clusters of size
+    k have diameter ≤ k and k is small; the planted corpus converges in
+    2). Each round is one equi-join on node id + one groupBy — both
+    hash-partitioned on the same key, so AQE reuses the partitioning.
+    The round count is checked on the driver via a 1-row count, and
+    `localCheckpoint` cuts lineage so plan size stays constant across
+    rounds. For adversarial deep-chain graphs at scale, the
+    large-star/small-star variant (alternating conditional joins) cuts
+    rounds to O(log n) — not needed for dedup-shaped graphs.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(corpus: DataFrame, bits: int = 16) -> DataFrame:
     """tf-weighted SimHash over tokens → (doc_id, simhash int)."""
     tf = (

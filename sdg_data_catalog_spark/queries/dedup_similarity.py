@@ -139,6 +139,55 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT CAST(s AS BIGINT) AS doc_id,
+           CAST(LEAST(s, MIN(d)) AS BIGINT) AS component,
+           LEAST(s, MIN(d)) = s AS is_survivor
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP decision: connected components over the 0.6-Jaccard
+    pair graph (operators/dedup.py::connected_components — iterative
+    min-label propagation), plus survivor flag (component representative =
+    min doc_id). The oracle computes the same closure with a recursive CTE
+    — exponential-ish in DuckDB vs O(diameter) rounds in Spark, which is
+    the point of doing it with joins."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs_blocked(_near_dup_corpus(docs), threshold=0.6)
+    labels = D.connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        "component",
+        (F.col("component") == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+@register(
     "dedup_minhash_sig",
     oracle=f"""
     WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -118,3 +118,22 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert recall > 0.1, f"recall@5 = {recall}"
     # sanity: cosine values are genuine (within [-1, 1], rounded to 6)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+
+
+def test_components_partition_the_pair_graph(spark, sf_dir):
+    """Invariants: component id is the min member and itself a member;
+    exactly one survivor per component; every paired doc gets a label;
+    both endpoints of every pair share a component."""
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents"))
+    pairs = D.jaccard_pairs_blocked(corpus, threshold=0.6)
+    labels = D.connected_components(pairs)
+    lab = {r.doc_id: r.component for r in labels.collect()}
+    assert lab, "pair graph must be non-empty"
+    by_comp = {}
+    for d, c in lab.items():
+        assert c <= d
+        by_comp.setdefault(c, []).append(d)
+    for c, members in by_comp.items():
+        assert c == min(members) and c in members
+    for r in pairs.collect():
+        assert lab[r.doc_a] == lab[r.doc_b]
