@@ -33,6 +33,7 @@ from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 # steady-state times reported under "extended" (not part of "value", which
 # stays comparable round-over-round on the relational headline).
 EXTENDED = (
+    "pipeline_curation",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_cosine_neardup",

@@ -94,6 +94,50 @@ def _exact_dup_corpus(docs: DataFrame) -> DataFrame:
     return orig.unionByName(dup)
 
 
+@register(
+    "pipeline_curation",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    ),
+    kept AS (SELECT * FROM q WHERE ws_tokens >= 20 AND uniq_ratio >= 0.2),
+    fp AS (
+        SELECT *, md5(array_to_string(
+                   list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        FROM kept
+    ),
+    survivors AS (
+        SELECT * FROM fp
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    ),
+    budget AS (
+        SELECT doc_id, lang, ws_tokens,
+               SUM(ws_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM survivors
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM budget WHERE cum_tokens <= 200000
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: quality gate → fingerprint dedup →
+    token-budget prefix cut (operators/curation.py). The budget stage uses
+    the two-phase scalable running sum (range shuffle + broadcast offsets),
+    NOT a single-partition global window — differential-tested against the
+    naive window in tests/test_dedup_similarity.py."""
+    from sdg_data_catalog_spark.operators import curation as C
+
+    docs = table(spark, sf_dir, "documents")
+    return C.curate(docs.select("doc_id", "lang", "text"))
+
+
 # --- dedup ladder ---------------------------------------------------------
 
 @register(

@@ -137,3 +137,22 @@ def test_components_partition_the_pair_graph(spark, sf_dir):
         assert c == min(members) and c in members
     for r in pairs.collect():
         assert lab[r.doc_a] == lab[r.doc_b]
+
+
+def test_scalable_running_total_matches_global_window(spark, sf_dir):
+    """Differential: two-phase prefix sum (range shuffle + broadcast
+    offsets) must equal the naive single-partition global window."""
+    from pyspark.sql.window import Window
+
+    from sdg_data_catalog_spark.operators.curation import running_total
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("v")
+    )
+    got = {
+        r.doc_id: r.cum
+        for r in running_total(docs, "doc_id", F.col("v"), "cum", num_partitions=7).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = {r.doc_id: r.cum for r in docs.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == ref
