@@ -156,3 +156,37 @@ def test_scalable_running_total_matches_global_window(spark, sf_dir):
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ref = {r.doc_id: r.cum for r in docs.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == ref
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Differential vs a reference union-find on seeded random graphs
+    (chains, stars, and sparse G(n,p) — deeper than dedup graphs get)."""
+    import random
+
+    def union_find(n_edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in n_edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    cases = []
+    cases.append([(i, i + 1) for i in range(30)])            # one deep chain
+    cases.append([(0, i) for i in range(1, 20)])             # star
+    rng = random.Random(42)
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(45)])
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        ref = union_find(edges)
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        got = {r.doc_id: r.component for r in D.connected_components(pairs, max_iters=64).collect()}
+        assert got == ref
