@@ -190,3 +190,28 @@ def test_components_match_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
         got = {r.doc_id: r.component for r in D.connected_components(pairs, max_iters=64).collect()}
         assert got == ref
+
+
+def test_star_components_match_propagation(spark, sf_dir):
+    """The O(log n) large/small-star variant must produce the identical
+    labeling as min-propagation on every test graph, including the deep
+    chain where star needs ~log2(30)≈5 rounds vs 30."""
+    import random
+
+    cases = [
+        [(i, i + 1) for i in range(30)],
+        [(0, i) for i in range(1, 20)],
+    ]
+    rng = random.Random(7)
+    cases.append([(rng.randrange(50), rng.randrange(50)) for _ in range(40)])
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents").limit(40))
+    jac = D.jaccard_pairs_blocked(corpus, threshold=0.6)
+    for edges in [c for c in cases]:
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+        prop = {r.doc_id: r.component for r in D.connected_components(pairs, max_iters=64).collect()}
+        star = {r.doc_id: r.component for r in D.connected_components_star(pairs).collect()}
+        assert star == prop
+    prop = {r.doc_id: r.component for r in D.connected_components(jac).collect()}
+    star = {r.doc_id: r.component for r in D.connected_components_star(jac).collect()}
+    assert star == prop
