@@ -365,3 +365,83 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("is_correct"),
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS g2,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                    ELSE [] END AS g3
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        GROUP BY doc_id, w
+    ),
+    top AS (SELECT doc_id, MAX(cnt) AS max_tf FROM tf GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN len(g2) > 0
+                 THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0.0 END, 6)
+               AS dup_2gram_frac,
+           ROUND(CASE WHEN len(g3) > 0
+                 THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0.0 END, 6)
+               AS dup_3gram_frac,
+           ROUND(t.max_tf * 1.0 / g.n_tokens, 6) AS top_token_frac
+    FROM grams g JOIN top t ON g.doc_id = t.doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals for corpus filtering (the Gopher-rules
+    family, public: Rae et al. 2021 §A1.1): duplicate 2-/3-gram fraction
+    and top-token concentration. N-gram stats are in-row expressions (no
+    shuffle); top-token frequency uses the scalable explode → (doc, word)
+    hash-agg → per-doc max — two shuffles on shrinking keys, never a
+    per-row O(vocab²) loop."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g2 = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+        "                element_at(split(text, ' '), i + 1)))"
+    )
+    g3 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 2),"
+        "  i -> concat_ws(' ', element_at(split(text, ' '), i),"
+        "                 element_at(split(text, ' '), i + 1),"
+        "                 element_at(split(text, ' '), i + 2)))"
+        " ELSE array() END"
+    )
+    dup = lambda g: F.when(  # noqa: E731
+        F.size(g) > 0, 1.0 - F.size(F.array_distinct(g)) / F.size(g)
+    ).otherwise(F.lit(0.0))
+    grams = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(dup(g2), 6).alias("dup_2gram_frac"),
+        F.round(dup(g3), 6).alias("dup_3gram_frac"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = tf.groupBy("doc_id").agg(F.max("cnt").alias("max_tf"))
+    return grams.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.round(F.col("max_tf") / F.col("n_tokens"), 6).alias("top_token_frac"),
+    )
