@@ -387,3 +387,36 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.write.parquet(path)
     return spark.read.parquet(path)
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files carry (doc_id, lang),
+    generation 2 adds n_chars; `mergeSchema` unifies them — old files
+    surface NULL for the new column, no rewrite of existing data. The
+    reference has no schema evolution at all (SURVEY.md §1.3: fixed DDL,
+    stringly columns); at 100 TB, additive evolution without rewriting
+    petabytes is table stakes. mergeSchema reads every footer — on huge
+    file counts prefer an explicit unified schema; both paths shown here
+    (explicit schema on the final select)."""
+    path = _io_dir(sf_dir, "docs_evolve")
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
