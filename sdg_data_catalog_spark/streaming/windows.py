@@ -143,6 +143,50 @@ def run_processing_time(
     return stream_df.sparkSession.table(query_name), q.lastProgress
 
 
+def run_foreach_batch_counts(
+    events: DataFrame, state_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """`foreachBatch` incremental sink — the production pattern for merging
+    micro-batches into a table when the sink has no native streaming writer
+    (plain parquet here; on Delta/Iceberg the merge body becomes one
+    MERGE INTO). Each micro-batch's per-user counts fold into the state
+    table via union + re-aggregate on the key; a tmp-dir swap keeps the
+    read-then-overwrite safe. Returns the final state table.
+
+    Parity property (tested): after draining any file split of the input,
+    the state table equals the one-shot batch `groupBy(user_id).count()` —
+    micro-batch boundaries must not show in the result."""
+    import shutil
+    import tempfile
+
+    spark = events.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        batch_agg = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            cur = spark.read.parquet(state_dir)
+            merged = (
+                cur.unionByName(batch_agg)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+            )
+        else:
+            merged = batch_agg.withColumn("n_events", F.col("n_events").cast("bigint"))
+        tmp = tempfile.mkdtemp(prefix="febatch_")
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = events.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.read.parquet(state_dir)
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the whole backlog once into an in-memory sink and return the
     result as a batch DataFrame (test/demo harness)."""

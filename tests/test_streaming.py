@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import shutil
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from sdg_data_catalog_spark.queries.events_json import stream_session, stream_tumbling
@@ -146,3 +148,26 @@ def test_rate_source_live_windows(spark):
     assert {r.event_type for r in rows} <= {"click", "view", "error"}
     assert all(r.n > 0 for r in rows)
     assert progress is not None and progress["sources"][0]["description"].startswith("Rate")
+
+
+def test_foreach_batch_upsert_matches_batch_counts(spark, sf_dir, tmp_path_factory):
+    """foreachBatch incremental sink: after draining a 3-file split with
+    maxFilesPerTrigger=1 (3 micro-batches), the merged state table must
+    equal the one-shot batch groupBy counts — batch boundaries invisible."""
+    from sdg_data_catalog_spark.catalog import table
+
+    src = tmp_path_factory.mktemp("febatch_src")
+    state = str(tmp_path_factory.mktemp("febatch_state") / "state")
+    table(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    got = W.run_foreach_batch_counts(stream, state)
+    expect = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
