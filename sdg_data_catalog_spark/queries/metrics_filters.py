@@ -81,19 +81,23 @@ def filter_emptysent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_notdigit",
     oracle="""
     SELECT doc_id,
-           list_filter(string_split(text || ' ' || CAST(n_chars AS VARCHAR), ' '),
-                       x -> NOT regexp_matches(x, '^[0-9]+$')) AS word_tokens
+           array_to_string(
+             list_filter(string_split(text || ' ' || CAST(n_chars AS VARCHAR), ' '),
+                         x -> NOT regexp_matches(x, '^[0-9]+$')), '|') AS word_tokens
     FROM documents
     """,
 )
 def filter_notdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop purely-numeric tokens inside a token array (TM_1 cell 6).
-    Higher-order `filter` on the array column — no explode, no UDF."""
+    Higher-order `filter` on the array column — no explode, no UDF. Output
+    is surfaced '|'-joined: scalar columns keep the result safe for
+    order-insensitive canonicalization (list cells are unhashable in a
+    pandas sort)."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.concat_ws(" ", "text", "n_chars"), " ")
     return docs.select(
         "doc_id",
-        F.filter(toks, lambda x: ~x.rlike("^[0-9]+$")).alias("word_tokens"),
+        F.array_join(F.filter(toks, lambda x: ~x.rlike("^[0-9]+$")), "|").alias("word_tokens"),
     )
 
 
@@ -102,7 +106,7 @@ def filter_notdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            substr(text, 1, 80) AS abstract,
-           [source, lang] AS authors
+           source || '|' || lang AS authors
     FROM documents
     """,
 )
@@ -122,11 +126,14 @@ def proj_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.regexp_extract(xml, r"<abstract><p>([^<]*)</p></abstract>", 1).alias("abstract"),
-        F.expr(
-            r"""regexp_extract_all(
-                  format_string('<front><abstract><p>%s</p></abstract><contrib contrib-type="author"><name>%s</name></contrib><contrib contrib-type="author"><name>%s</name></contrib></front>',
-                                substr(text, 1, 80), source, lang),
-                  '<name>([^<]*)</name>', 1)"""
+        F.array_join(
+            F.expr(
+                r"""regexp_extract_all(
+                      format_string('<front><abstract><p>%s</p></abstract><contrib contrib-type="author"><name>%s</name></contrib><contrib contrib-type="author"><name>%s</name></contrib></front>',
+                                    substr(text, 1, 80), source, lang),
+                      '<name>([^<]*)</name>', 1)"""
+            ),
+            "|",
         ).alias("authors"),
     )
 

@@ -253,11 +253,12 @@ _IDS_SQL = (
     "vectorize_pad",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN len({_IDS_SQL}) >= {_PAD_LEN}
-                THEN {_IDS_SQL}[1:{_PAD_LEN}]
-                ELSE list_concat({_IDS_SQL},
-                     list_transform(range(1, {_PAD_LEN} + 1 - len({_IDS_SQL})), x -> 0))
-           END AS token_ids
+           array_to_string(
+             CASE WHEN len({_IDS_SQL}) >= {_PAD_LEN}
+                  THEN {_IDS_SQL}[1:{_PAD_LEN}]
+                  ELSE list_concat({_IDS_SQL},
+                       list_transform(range(1, {_PAD_LEN} + 1 - len({_IDS_SQL})), x -> 0))
+             END, ',') AS token_ids
     FROM documents
     """,
 )
@@ -265,10 +266,12 @@ def vectorize_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text → fixed-length token-id vector (utils/utils.py:18-25
     sentences_to_vec: tokenize + vocab lookup + truncate/pad to max_seq_len;
     arr_pad/arr_truncate). Vocab lookup is the md5 hash-trick here; the
-    broadcast-vocab variant lives in operators/scoring.py."""
+    broadcast-vocab variant lives in operators/scoring.py. Surfaced
+    ','-joined for canon safety (the in-array form is the internal shape)."""
     docs = table(spark, sf_dir, "documents")
     ids = F.transform(F.split(F.col("text"), " "), lambda t: md5_int(t) % 10000)
     padded = F.when(F.size(ids) >= _PAD_LEN, F.slice(ids, 1, _PAD_LEN)).otherwise(
         F.concat(ids, F.array_repeat(F.lit(0).cast("bigint"), _PAD_LEN - F.size(ids)))
     )
-    return docs.select("doc_id", padded.alias("token_ids"))
+    joined = F.array_join(F.transform(padded, lambda x: x.cast("string")), ",")
+    return docs.select("doc_id", joined.alias("token_ids"))

@@ -820,19 +820,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT event_type,
-           list_transform(quantile_cont(value, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS quartiles,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    quantile_cont). At 100 TB prefer `approx_percentile` (t-digest, one
-    pass, mergeable partials) — exact percentile needs a per-group sort;
-    both are registered (see agg_approx_distinct for the sketch pattern)."""
+    quantile_cont). Surfaced as scalar p25/p50/p75 columns (array-typed
+    outputs break order-insensitive canonicalization downstream). At
+    100 TB prefer `approx_percentile` (t-digest, one pass, mergeable
+    partials) — exact percentile needs a per-group sort; both are
+    registered (see agg_approx_distinct for the sketch pattern)."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.expr("transform(percentile(value, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))").alias("quartiles"),
+        F.round(F.expr("percentile(value, 0.25D)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75D)"), 4).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -46,15 +46,17 @@ def str_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "str_len_filter",
     oracle="""
-    SELECT doc_id, list_filter(string_split(substr(text, 1, 120), ' '), x -> len(x) > 2) AS long_tokens
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(substr(text, 1, 120), ' '), x -> len(x) > 2), '|') AS long_tokens
     FROM documents
     """,
 )
 def str_len_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TM_1 cell 3: drop words of <= 2 chars (higher-order filter, no explode)."""
+    """TM_1 cell 3: drop words of <= 2 chars (higher-order filter, no
+    explode). '|'-joined scalar output for canon safety."""
     toks = F.split(F.col("text").substr(1, 120), " ")
     return _docs(spark, sf_dir).select(
-        "doc_id", F.filter(toks, lambda x: F.length(x) > 2).alias("long_tokens")
+        "doc_id", F.array_join(F.filter(toks, lambda x: F.length(x) > 2), "|").alias("long_tokens")
     )
 
 
@@ -189,19 +191,20 @@ def str_contractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_stopwords",
     oracle="""
     SELECT doc_id,
-           list_filter(string_split(substr(text, 1, 120), ' '),
-                       x -> x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')) AS content_tokens
+           array_to_string(
+             list_filter(string_split(substr(text, 1, 120), ' '),
+                         x -> x NOT IN ('the', 'a', 'of', 'and', 'to', 'in')), '|') AS content_tokens
     FROM documents
     """,
 )
 def str_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cells 14-16: stopword removal as an array-level filter (the
     exploded anti-join variant is text_stopword_removal; this is the
-    in-row form — no shuffle at all)."""
+    in-row form — no shuffle at all). '|'-joined output for canon safety."""
     stop = ("the", "a", "of", "and", "to", "in")
     toks = F.split(F.col("text").substr(1, 120), " ")
     return _docs(spark, sf_dir).select(
-        "doc_id", F.filter(toks, lambda x: ~x.isin(*stop)).alias("content_tokens")
+        "doc_id", F.array_join(F.filter(toks, lambda x: ~x.isin(*stop)), "|").alias("content_tokens")
     )
 
 
@@ -209,19 +212,22 @@ def str_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_stem",
     oracle="""
     SELECT doc_id,
-           list_transform(string_split(substr(text, 1, 120), ' '),
-                          x -> regexp_replace(x, '(ing|ed|s)$', '')) AS stemmed
+           array_to_string(
+             list_transform(string_split(substr(text, 1, 120), ' '),
+                            x -> regexp_replace(x, '(ing|ed|s)$', '')), '|') AS stemmed
     FROM documents
     """,
 )
 def str_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cell 18 (PorterStemmer): the suffix-stripping core expressed as a
     per-token regexp inside transform — the full Porter cascade is just more
-    chained rules; no Python per row."""
+    chained rules; no Python per row. '|'-joined output for canon safety."""
     toks = F.split(F.col("text").substr(1, 120), " ")
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.transform(toks, lambda x: F.regexp_replace(x, r"(ing|ed|s)$", "")).alias("stemmed"),
+        F.array_join(
+            F.transform(toks, lambda x: F.regexp_replace(x, r"(ing|ed|s)$", "")), "|"
+        ).alias("stemmed"),
     )
 
 
@@ -229,16 +235,17 @@ def str_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_tokenize",
     oracle=r"""
     SELECT doc_id,
-           string_split_regex(trim(substr(text, 1, 120)), '\s+') AS tokens,
+           array_to_string(string_split_regex(trim(substr(text, 1, 120)), '\s+'), '|') AS tokens,
            CAST(len(string_split_regex(trim(substr(text, 1, 120)), '\s+')) AS INT) AS n_tokens
     FROM documents
     """,
 )
 def str_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TM_2 cell 4 / utils/utils.py:18-20: whitespace-regex tokenizer."""
+    """TM_2 cell 4 / utils/utils.py:18-20: whitespace-regex tokenizer.
+    '|'-joined token output for canon safety; n_tokens keeps the size."""
     toks = F.split(F.trim(F.col("text").substr(1, 120)), r"\s+")
     return _docs(spark, sf_dir).select(
-        "doc_id", toks.alias("tokens"), F.size(toks).alias("n_tokens")
+        "doc_id", F.array_join(toks, "|").alias("tokens"), F.size(toks).alias("n_tokens")
     )
 
 
@@ -337,22 +344,24 @@ def date_today(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT vec_id, l, list_aggregate(l, 'max') AS mx FROM base),
     e AS (SELECT vec_id, list_transform(l, x -> exp(x - mx)) AS exps FROM m)
     SELECT vec_id,
-           list_transform(exps, x -> round(x / list_aggregate(exps, 'sum'), 6)) AS softmax
+           CAST(unnest(range(len(exps))) AS INT) AS pos,
+           unnest(list_transform(exps, x -> round(x / list_aggregate(exps, 'sum'), 6))) AS softmax
     FROM e
     """,
 )
 def math_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """active_learning.py:138-140,166-168: numerically-stable softmax
     (exp(x - max) / sum) — pure higher-order array expressions over the
-    embedding column; no UDF, no explode."""
+    embedding column; no UDF. The vector is surfaced exploded to
+    (vec_id, pos, value) scalar rows — canon-safe and the shape a
+    downstream relational consumer wants anyway."""
     emb = table(spark, sf_dir, "embeddings")
     arr = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
     mx = F.array_max(arr)
     exps = F.transform(arr, lambda x: F.exp(x - mx))
     s = F.aggregate(exps, F.lit(0.0), lambda acc, x: acc + x)
-    return emb.select(
-        "vec_id", F.transform(exps, lambda x: F.round(x / s, 6)).alias("softmax")
-    )
+    sm = F.transform(exps, lambda x: F.round(x / s, 6))
+    return emb.select("vec_id", F.posexplode(sm).alias("pos", "softmax"))
 
 
 # ---------------------------------------------------------------------------
@@ -361,24 +370,27 @@ def math_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "arr_truncate",
     oracle="""
+    WITH t AS (SELECT vec_id,
+                      list_transform(embedding[1:8], x -> round(CAST(x AS DOUBLE), 4)) AS head8
+               FROM embeddings)
     SELECT vec_id,
-           list_transform(embedding[1:8], x -> round(CAST(x AS DOUBLE), 4)) AS head8
-    FROM embeddings
+           CAST(unnest(range(len(head8))) AS INT) AS pos,
+           unnest(head8) AS val
+    FROM t
     """,
 )
 def arr_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """utils/utils.py:20,24: [:max_seq_len] truncation via slice."""
+    """utils/utils.py:20,24: [:max_seq_len] truncation via slice; surfaced
+    exploded to (vec_id, pos, val) scalar rows for canon safety."""
     emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.transform(F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 4)).alias("head8"),
-    )
+    head8 = F.transform(F.slice("embedding", 1, 8), lambda x: F.round(x.cast("double"), 4))
+    return emb.select("vec_id", F.posexplode(head8).alias("pos", "val"))
 
 
 @register(
     "arr_map_lookup",
     oracle="""
-    SELECT e.vec_id, [n1.n_name, n2.n_name] AS decoded
+    SELECT e.vec_id, n1.n_name || '|' || n2.n_name AS decoded
     FROM embeddings e
     JOIN nation n1 ON n1.n_nationkey = e.label % 25
     JOIN nation n2 ON n2.n_nationkey = (e.label + 7) % 25
@@ -399,7 +411,7 @@ def arr_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ids = F.array(F.col("label") % 25, (F.col("label") + 7) % 25)
     return emb.select(
-        "vec_id", F.transform(ids, lambda i: mapping[i]).alias("decoded")
+        "vec_id", F.array_join(F.transform(ids, lambda i: mapping[i]), "|").alias("decoded")
     )
 
 
@@ -407,20 +419,21 @@ def arr_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arr_onehot",
     oracle="""
     SELECT vec_id,
-           [CASE WHEN label % 5 = 0 THEN 1 ELSE 0 END,
+           array_to_string([CASE WHEN label % 5 = 0 THEN 1 ELSE 0 END,
             CASE WHEN label % 5 = 1 THEN 1 ELSE 0 END,
             CASE WHEN label % 5 = 2 THEN 1 ELSE 0 END,
             CASE WHEN label % 5 = 3 THEN 1 ELSE 0 END,
-            CASE WHEN label % 5 = 4 THEN 1 ELSE 0 END] AS onehot
+            CASE WHEN label % 5 = 4 THEN 1 ELSE 0 END], ',') AS onehot
     FROM embeddings
     """,
 )
 def arr_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """few_shot_learning.ipynb cells 16-17: label → one-hot row."""
+    """few_shot_learning.ipynb cells 16-17: label → one-hot row, surfaced
+    ','-joined ('1,0,0,0,0') for canon safety."""
     emb = table(spark, sf_dir, "embeddings")
     cls = F.col("label") % 5
-    onehot = F.array(*[F.when(cls == i, 1).otherwise(0) for i in range(5)])
-    return emb.select("vec_id", onehot.alias("onehot"))
+    onehot = F.array(*[F.when(cls == i, F.lit("1")).otherwise(F.lit("0")) for i in range(5)])
+    return emb.select("vec_id", F.array_join(onehot, ",").alias("onehot"))
 
 
 # ---------------------------------------------------------------------------
