@@ -197,14 +197,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2000-01-01')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-processed predicate (papers_download.py:49,61 — skip ids with an
-    existing artifact) as LEFT ANTI against the done-set."""
+    existing artifact) as LEFT ANTI against the done-set. The done-set is
+    the *recent* orders (>= 2000-01-01): in the synthetic data every
+    customer has some order, so the unfiltered anti-join is vacuously empty
+    — the date predicate keeps the check exercising real rows at every sf
+    (and is pushed into the build-side scan)."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
@@ -612,18 +618,20 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT c_nationkey AS k FROM customer
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT s_nationkey AS k FROM supplier
+    SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AL loop invariant U = U - x* (ner_pipeline.py:386-401) as EXCEPT."""
-    customer = table(spark, sf_dir, "customer")
-    supplier = table(spark, sf_dir, "supplier")
-    return customer.select(F.col("c_nationkey").alias("k")).subtract(
-        supplier.select(F.col("s_nationkey").alias("k"))
-    )
+    """AL loop invariant U = U - x* (ner_pipeline.py:386-401) as EXCEPT:
+    customers with a finished order but no open one. Both sides are real
+    multi-partition sets (the earlier customer-minus-supplier nationkey
+    variant was vacuously empty at every sf)."""
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    return f.subtract(o)
 
 
 @register(

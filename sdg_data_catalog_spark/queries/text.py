@@ -164,21 +164,28 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_ngram_bigrams",
     oracle="""
+    WITH thr AS (SELECT greatest(5, count(*) // 20) AS min_cnt FROM documents)
     SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM (
         SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
         FROM (SELECT string_split(text, ' ') AS t FROM documents)
-    )
-    GROUP BY bigram
-    HAVING COUNT(*) >= 100
+    ), thr
+    GROUP BY bigram, min_cnt
+    HAVING COUNT(*) >= min_cnt
     """,
 )
 def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram mining with a min-count threshold (TM_2 cells 8-12,
     gensim.Phrases(min_count, threshold) analog). Bigrams are built
-    per-row with a higher-order transform (no self-join), then hash-agg'd."""
+    per-row with a higher-order transform (no self-join), then hash-agg'd.
+    The threshold scales with corpus size — max(5, n_docs/20) — so the
+    query returns real rows at every sf instead of a fixed cutoff that is
+    vacuous below some scale; the 1-row threshold aggregate rides in as a
+    broadcast cross join."""
     docs = table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    thr = docs.agg(
+        F.greatest(F.lit(5).cast("long"), F.floor(F.count(F.lit(1)) / 20)).alias("min_cnt")
+    )
     bigrams = F.expr(
         "transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
@@ -187,7 +194,9 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 100)
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") >= F.col("min_cnt"))
+        .select("bigram", "cnt")
     )
 
 

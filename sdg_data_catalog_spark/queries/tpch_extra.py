@@ -364,17 +364,27 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS totacctbal
     FROM customer, threshold
     WHERE c_acctbal > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2000-01-01')
     GROUP BY c_mktsegment
     """,
 )
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold (global AVG broadcast as
     a 1-row cross join) + NOT EXISTS (LEFT ANTI join against orders'
-    custkeys). The anti-join build side is orders projected to one column
-    and distinct — the smallest thing that answers the predicate."""
+    custkeys). "Idle" = no order since 2000-01-01 (with no date cutoff the
+    result is vacuously empty — every synthetic customer has some order).
+    The anti-join build side is orders date-filtered at the scan, projected
+    to one column, distinct — the smallest thing that answers the
+    predicate."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
     avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
