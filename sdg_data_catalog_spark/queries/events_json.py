@@ -64,6 +64,50 @@ def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_parse_spans",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(n_chars % 40 + 5 AS INTEGER) AS s1 FROM documents
+    )
+    SELECT doc_id, 0 AS span_idx, 0 AS start_pos, s1 AS end_pos,
+           'DATASET_NAME' AS label
+    FROM base
+    UNION ALL
+    SELECT doc_id, 1 AS span_idx, s1 + 5 AS start_pos, s1 + 15 AS end_pos,
+           'METHOD' AS label
+    FROM base WHERE doc_id % 4 <> 0
+    """,
+)
+def json_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stringified-span annotation ingest (ner_pipeline.py:126,257,284: the
+    annotations CSV's `entities` column holds Python-repr
+    ``[(start, end, 'LABEL'), ...]`` lists re-parsed per row with
+    ast.literal_eval — SURVEY §1.4's "parse once with from_json at
+    ingest"). Here the repr string is normalized to JSON with a constant
+    `translate` (tuple parens → brackets, single → double quotes), parsed
+    JVM-side with `from_json` into a nested array, and exploded to typed
+    (doc_id, span_idx, start_pos, end_pos, label) rows — no Python eval
+    anywhere. Span count varies per doc (1 or 2) so the variable-length
+    path is exercised; the oracle regenerates the spans relationally,
+    checking serialize→parse is the identity."""
+    docs = table(spark, sf_dir, "documents")
+    s1 = (F.col("n_chars") % 40 + 5).cast("int")
+    one = F.format_string("[(0, %s, 'DATASET_NAME')]", s1)
+    two = F.format_string(
+        "[(0, %s, 'DATASET_NAME'), (%s, %s, 'METHOD')]", s1, s1 + 5, s1 + 15
+    )
+    ents = F.when(F.col("doc_id") % 4 == 0, one).otherwise(two)
+    parsed = F.from_json(F.translate(ents, "()'", '[]"'), "array<array<string>>")
+    return docs.select("doc_id", F.posexplode(parsed).alias("span_idx", "span")).select(
+        "doc_id",
+        "span_idx",
+        F.col("span")[0].cast("int").alias("start_pos"),
+        F.col("span")[1].cast("int").alias("end_pos"),
+        F.col("span")[2].alias("label"),
+    )
+
+
+@register(
     "pivot_user_events",
     oracle="""
     SELECT user_id,

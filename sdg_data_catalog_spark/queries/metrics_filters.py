@@ -111,11 +111,13 @@ def filter_notdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def proj_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XPath-ish field extraction (paper_processing.py:71-77,105-118:
-    get_abstract / get_authors over BeautifulSoup XML). The XML fragment is
-    rendered per row, then abstract + author list are pulled back out with
-    regexp_extract / regexp_extract_all — JVM-side, codegen'd. The oracle
-    checks render→extract is the identity on the underlying fields."""
+    """XPath field extraction (paper_processing.py:71-77,105-118:
+    get_abstract / get_authors over BeautifulSoup XML). A nested XML
+    fragment is rendered per row — abstract under front/abstract/p, authors
+    as repeated contrib elements — then parsed back out with `xpath_string`
+    (scalar) and `xpath` (multi-valued node-set), all JVM-side. The oracle
+    checks render→extract is the identity on the underlying fields; the
+    full file-based nested scan is scan_xml (sources_sinks.py)."""
     docs = table(spark, sf_dir, "documents")
     xml = F.format_string(
         '<front><abstract><p>%s</p></abstract>'
@@ -123,16 +125,11 @@ def proj_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
         '<contrib contrib-type="author"><name>%s</name></contrib></front>',
         F.col("text").substr(1, 80), F.col("source"), F.col("lang"),
     )
-    return docs.select(
+    return docs.select("doc_id", xml.alias("xml")).select(
         "doc_id",
-        F.regexp_extract(xml, r"<abstract><p>([^<]*)</p></abstract>", 1).alias("abstract"),
+        F.expr("xpath_string(xml, '/front/abstract/p')").alias("abstract"),
         F.array_join(
-            F.expr(
-                r"""regexp_extract_all(
-                      format_string('<front><abstract><p>%s</p></abstract><contrib contrib-type="author"><name>%s</name></contrib><contrib contrib-type="author"><name>%s</name></contrib></front>',
-                                    substr(text, 1, 80), source, lang),
-                      '<name>([^<]*)</name>', 1)"""
-            ),
+            F.expr("xpath(xml, '/front/contrib[@contrib-type=\"author\"]/name/text()')"),
             "|",
         ).alias("authors"),
     )

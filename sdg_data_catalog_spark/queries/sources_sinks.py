@@ -68,30 +68,81 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_xml",
-    oracle="SELECT doc_id, lang AS xml_lang, source AS xml_source FROM documents",
+    oracle="""
+    SELECT doc_id,
+           source || '-' || CAST(doc_id AS VARCHAR) AS title,
+           substr(text, 1, 60) AS abstract,
+           array_to_string(
+             list_transform(range(0, 1 + CAST(doc_id % 3 AS INTEGER)),
+                            i -> source || '_a' || CAST(i AS VARCHAR)), '|') AS authors,
+           array_to_string(
+             list_transform(range(0, 1 + CAST(doc_id % 3 AS INTEGER)),
+                            i -> 'U' || CAST((doc_id + i) % 7 AS VARCHAR)), '|') AS affiliations,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_authors
+    FROM documents
+    """,
 )
 def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CERMXML-ish scan (paper_processing.py:226,67-69: glob *.cermxml +
-    BeautifulSoup per file). Spark: render each row as an XML fragment,
-    write as text files, read back distributed and parse fields with
-    regexp_extract — the parse runs JVM-side inside codegen, no Python UDF.
-    The oracle checks the generate→parse round-trip is the identity."""
+    """Nested CERMXML article scan (paper_processing.py:67-129: BeautifulSoup
+    get_title/get_abstract/get_authors over ``front`` / repeated
+    ``contrib[contrib-type=author]`` elements, each with a nested ``aff``).
+
+    Each document is rendered as a genuinely nested article — a variable
+    number (1-3) of author contribs plus a decoy editor contrib — written as
+    text files, read back distributed, and parsed with the `xpath()` SQL
+    family: `xpath_string` for the scalar title/abstract and `xpath(...)`
+    returning a multi-valued array for the author/affiliation lists, with
+    the `[@contrib-type="author"]` predicate proving the structural filter
+    (the editor must NOT appear). All parsing runs JVM-side; the oracle
+    checks generate→parse is the identity on the underlying fields.
+    Multi-valued outputs are '|'-joined for canonicalization safety."""
     path = _io_dir(sf_dir, "docs_xml")
-    (
-        table(spark, sf_dir, "documents")
-        .select(
-            F.format_string(
-                "<article><id>%s</id><lang>%s</lang><src>%s</src></article>",
-                F.col("doc_id"), F.col("lang"), F.col("source"),
-            ).alias("value")
-        )
-        .write.text(path)
+    docs = table(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+    contribs = F.concat_ws(
+        "",
+        F.transform(
+            idx,
+            lambda i: F.format_string(
+                '<contrib contrib-type="author"><name>%s_a%s</name>'
+                "<aff>U%s</aff></contrib>",
+                F.col("source"),
+                i.cast("string"),
+                ((F.col("doc_id") + i) % 7).cast("string"),
+            ),
+        ),
     )
+    article = F.format_string(
+        "<article><front><title>%s-%s</title><abstract><p>%s</p></abstract>"
+        '%s<contrib contrib-type="editor"><name>ed_%s</name></contrib>'
+        "</front></article>",
+        F.col("source"),
+        F.col("doc_id"),
+        F.col("text").substr(1, 60),
+        contribs,
+        F.col("lang"),
+    )
+    docs.select(article.alias("value")).write.text(path)
     xml = spark.read.text(path)
+    authors = F.expr(
+        "xpath(value, '/article/front/contrib[@contrib-type=\"author\"]/name/text()')"
+    )
+    affs = F.expr(
+        "xpath(value, '/article/front/contrib[@contrib-type=\"author\"]/aff/text()')"
+    )
     return xml.select(
-        F.regexp_extract("value", r"<id>(\d+)</id>", 1).cast("bigint").alias("doc_id"),
-        F.regexp_extract("value", r"<lang>([^<]*)</lang>", 1).alias("xml_lang"),
-        F.regexp_extract("value", r"<src>([^<]*)</src>", 1).alias("xml_source"),
+        F.expr("xpath_string(value, '/article/front/title')").alias("_title"),
+        F.expr("xpath_string(value, '/article/front/abstract/p')").alias("abstract"),
+        F.array_join(authors, "|").alias("authors"),
+        F.array_join(affs, "|").alias("affiliations"),
+        F.size(authors).alias("n_authors"),
+    ).select(
+        F.regexp_extract("_title", r"-(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("_title").alias("title"),
+        "abstract",
+        "authors",
+        "affiliations",
+        "n_authors",
     )
 
 
