@@ -38,6 +38,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only if it isn't already the wanted value — query
+    builders must not mutate the shared session on every invocation (the
+    tuned factory in session.py sets these up front; this is the safety net
+    for foreign sessions like the external driver's plain one)."""
+    try:
+        if spark.conf.get(key) == value:
+            return
+    except Exception:
+        pass
+    spark.conf.set(key, value)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from an sf dir."""
     if name not in TABLES:
@@ -45,7 +58,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Deterministic timestamp semantics regardless of who built the session
     # (the driver's session may not set a timezone; DuckDB reads naive-UTC).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     if name == "events":
         return _load_events(spark, path)
     df = spark.read.parquet(path)
@@ -62,7 +75,7 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     (matching DuckDB's truncating nanos→micros read)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -266,6 +266,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     `connected_components_star` below — O(log n) rounds, same output
     (differential-tested equal); this propagation form wins on shallow
     dedup graphs by doing cheaper rounds.
+
+    If the graph diameter exceeds ``max_iters`` (propagation has NOT
+    converged after the final round), silently returning the drifting
+    labels would be a wrong answer — instead this detects exhaustion and
+    falls back to `connected_components_star`, which converges in
+    O(log n) rounds regardless of diameter.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -279,6 +285,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -305,6 +312,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:  # diameter > max_iters: labels are still drifting
+        return connected_components_star(pairs)
     return labels
 
 
@@ -404,12 +413,10 @@ def simhash(corpus: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_pairs(corpus: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
-
-    Self-join here is all-pairs on doc count (fine at test scale); the
-    scale path blocks on simhash byte-chunks first (pigeonhole: a pair
-    within hamming d must agree on one of d+1 chunks) — see
-    tests/test_dedup.py for the blocked variant check."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming — all-pairs
+    self-join reference form. Quadratic in doc count: kept ONLY as the
+    differential-test twin for `simhash_pairs_blocked` (the registered,
+    scale-correct form). Do not register or run this at scale."""
     s = simhash(corpus, bits)
     a, b = s.alias("a"), s.alias("b")
     return (
@@ -421,4 +428,62 @@ def simhash_pairs(corpus: DataFrame, max_hamming: int = 2, bits: int = 16) -> Da
             F.col("b.doc_id").alias("doc_b"),
             F.col("hamming").cast("int").alias("hamming"),
         )
+    )
+
+
+def simhash_pairs_blocked(
+    corpus: DataFrame, max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
+    chunk blocking — the 100 TB form.
+
+    The h-bit fingerprint is split into (max_hamming + 1) contiguous
+    chunks; two fingerprints within hamming distance d must agree EXACTLY
+    on at least one chunk (pigeonhole: d differing bits can dirty at most
+    d of the d+1 chunks). Candidate generation is therefore an EQUI-join
+    on (chunk_index, chunk_value) — per-bucket cost, no all-pairs term —
+    followed by an exact hamming verify on the surviving candidates.
+    This is the standard near-dup detection design (Manku et al.,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07).
+    Differential-tested equal to `simhash_pairs` in tests."""
+    n_chunks = max_hamming + 1
+    chunk_bits = (bits + n_chunks - 1) // n_chunks
+    mask = (1 << chunk_bits) - 1
+    s = simhash(corpus, bits)
+    chunk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    F.shiftright(F.col("simhash"), i * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("cv"),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+    )
+    ck = s.select("doc_id", "simhash", chunk.alias("c")).select(
+        "doc_id", "simhash", "c.ci", "c.cv"
+    )
+    a, b = ck.alias("a"), ck.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )

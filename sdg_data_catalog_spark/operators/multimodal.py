@@ -103,26 +103,28 @@ def decode_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     Stand-in decode: 16-bin byte histogram + mean byte value straight off
     the payload. A real pipeline imports the codec ONCE before the batch
     loop (same pattern as model broadcast in operators/scoring.py) and
-    emits pixel/spectrogram features with this exact signature.
+    emits pixel/spectrogram features with this exact signature. Decoder
+    memory is bounded by re-chunking INSIDE the UDF — not by mutating the
+    session-wide Arrow batch conf as a side effect of building the plan.
     """
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         # real codec init goes here (once per task, not per row)
         for pdf in batches:
-            out = []
-            for mid, mtype, payload in zip(
-                pdf["media_id"], pdf["media_type"], pdf["payload"]
-            ):
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(arr >> 4, minlength=HIST_BINS)[:HIST_BINS]
-                out.append(
-                    (mid, mtype, len(arr), float(arr.mean()), hist.astype(int).tolist())
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+            for lo in range(0, len(pdf), batch_size):  # decoder-side re-chunk
+                chunk = pdf.iloc[lo : lo + batch_size]
+                out = []
+                for mid, mtype, payload in zip(
+                    chunk["media_id"], chunk["media_type"], chunk["payload"]
+                ):
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    hist = np.bincount(arr >> 4, minlength=HIST_BINS)[:HIST_BINS]
+                    out.append(
+                        (mid, mtype, len(arr), float(arr.mean()), hist.astype(int).tolist())
+                    )
+                yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return media.select(
         "media_id", F.col("meta.media_type").alias("media_type"), "payload"

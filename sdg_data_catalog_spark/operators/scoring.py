@@ -96,20 +96,25 @@ def ner_score(corpus: DataFrame, batch_size: int = 256) -> DataFrame:
     → scores/paths). mapInPandas streams Arrow batches; the 'model' is the
     deterministic token-prob table, entities are tokens containing 'data'
     (the reference's candidate heuristic). path_score reproduces the SQL
-    twin rank_al_lc exactly — asserted in tests."""
-    spark = corpus.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    twin rank_al_lc exactly — asserted in tests.
+
+    Batch sizing: a real model would bound GPU/host memory by re-chunking
+    INSIDE the UDF (below) — never by mutating the session-wide Arrow
+    batch conf as a plan-build side effect, which would silently shrink
+    every other operator's batches for the rest of the session."""
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a real model would be loaded once here (before the loop)
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                score = sum(math.log(token_prob(t)) for t in toks)
-                ents = [t for t in toks if "data" in t]
-                out.append((doc_id, score, len(ents), ents))
-            yield pd.DataFrame(out, columns=[f.name for f in NER_SCORE_SCHEMA.fields])
+            for lo in range(0, len(pdf), batch_size):  # model-side re-chunk
+                chunk = pdf.iloc[lo : lo + batch_size]
+                out = []
+                for doc_id, text in zip(chunk["doc_id"], chunk["text"]):
+                    toks = text.split(" ")
+                    score = sum(math.log(token_prob(t)) for t in toks)
+                    ents = [t for t in toks if "data" in t]
+                    out.append((doc_id, score, len(ents), ents))
+                yield pd.DataFrame(out, columns=[f.name for f in NER_SCORE_SCHEMA.fields])
 
     return corpus.select("doc_id", "text").mapInPandas(score_batches, NER_SCORE_SCHEMA)
 
@@ -186,8 +191,12 @@ def lda_topics(corpus: DataFrame, k: int = 8, vocab_size: int = 64, seed: int = 
     tf = model.transform(toks)
     lda = LDA(k=k, seed=seed, featuresCol="tf", maxIter=10)
     topics = lda.fit(tf).transform(tf)
-    to_arr = F.udf(lambda v: [float(x) for x in v], ArrayType(DoubleType()))
-    return topics.select("doc_id", to_arr(F.col("topicDistribution")).alias("topic_dist"))
+    # JVM-side vector→array conversion — not a per-row Python UDF
+    from pyspark.ml.functions import vector_to_array
+
+    return topics.select(
+        "doc_id", vector_to_array(F.col("topicDistribution")).alias("topic_dist")
+    )
 
 
 def coherence_sweep(corpus: DataFrame, ks=(2, 4, 8), vocab_size: int = 64, seed: int = 100, sample_rows: int = 300) -> DataFrame:

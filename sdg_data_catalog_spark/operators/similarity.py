@@ -207,18 +207,32 @@ def cosine_neardup_pairs(
     return pairs.mapInPandas(gemm, "id_a BIGINT, id_b BIGINT, cos_sim DOUBLE")
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
-    """IVF coarse quantizer: the first `n_cells` vectors (by vec_id) act as
-    deterministic centroids (k-means would converge them; determinism
-    matters more than centroid quality for the operator contract). Each
-    vector joins against the broadcast centroid table and keeps its argmin
-    L2 cell — one broadcast join + one window min, no shuffle of the
-    embedding table beyond the window."""
-    cents = (
+def ivf_centroids(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the first `n_cells` vectors
+    (by vec_id) act as centroids (k-means would converge them; determinism
+    matters more than centroid quality for the operator contract)."""
+    return (
         embeddings.orderBy("vec_id")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 1,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: each vector joins against the broadcast
+    centroid table and keeps its `n_probe` nearest L2 cells (n_probe=1 —
+    the index-build default — is the argmin cell; queries pass n_probe>1
+    to widen the search) — one broadcast join + one window top-n, no
+    shuffle of the embedding table beyond the window. Pass `centroids`
+    explicitly when assigning a query set so both sides share ONE codebook
+    (quantizing queries against query-derived centroids would silently
+    break cell agreement)."""
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
     dist2 = F.aggregate(
         F.zip_with(
             F.col("embedding"), F.col("centroid"),
@@ -231,19 +245,33 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cell_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("vec_id", "embedding", "cell_id")
     )
 
 
-def ivf_topk(embeddings: DataFrame, k: int = 5, n_cells: int = 16, n_probe: int = 1) -> DataFrame:
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
     """IVF approximate top-k: exact cosine ranking restricted to vectors in
-    the query's cell (n_probe=1; probing neighbor cells raises recall). The
-    candidate join is an equi-join on cell_id — the shuffle moves each
-    vector once, versus N× for brute force. Recall vs the exact baseline is
-    asserted in tests/test_dedup_similarity.py."""
-    assigned = ivf_assign(embeddings, n_cells).cache()
-    q = assigned.filter(F.col("vec_id") < 10).select(
+    the query's `n_probe` nearest cells. The index side is assigned to its
+    single argmin cell; the query side fans out to n_probe cells, so the
+    candidate join stays an equi-join on cell_id — the shuffle moves each
+    indexed vector once, versus N× for brute force — and raising n_probe
+    trades compute for recall. `queries` takes any (vec_id, embedding)
+    DataFrame like knn_bruteforce; it defaults to vec_id < 10 of the corpus
+    (the registered demo query set). A candidate is indexed in exactly one
+    cell, so multi-probe never produces duplicate (query, candidate) rows.
+    Recall vs the exact baseline is asserted in
+    tests/test_dedup_similarity.py."""
+    cents = ivf_centroids(embeddings, n_cells)
+    assigned = ivf_assign(embeddings, n_cells, centroids=cents).cache()
+    qbase = queries if queries is not None else embeddings.filter(F.col("vec_id") < 10)
+    q = ivf_assign(qbase, n_cells, n_probe=n_probe, centroids=cents).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "cell_id"
     )
     c = assigned.select(

@@ -291,8 +291,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form is the pigeonhole chunk-blocked candidate join
+    (operators/dedup.py::simhash_pairs_blocked) — equi-join on
+    (chunk_index, chunk_value), per-bucket cost, no all-pairs term; the
+    quadratic self-join twin exists only as its differential test."""
     docs = table(spark, sf_dir, "documents")
-    return D.simhash_pairs(_near_dup_corpus(docs), max_hamming=2)
+    return D.simhash_pairs_blocked(_near_dup_corpus(docs), max_hamming=2)
 
 
 # --- similarity search ----------------------------------------------------

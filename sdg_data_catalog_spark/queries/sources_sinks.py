@@ -417,27 +417,35 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on a parquet sink (the Delta-less form of
     incremental catalog maintenance — the reference re-INSERTs per row with
     no conflict handling, db_connection.py:61-87). Updates win over base via
-    LEFT ANTI + UNION; the result is written and read back, so the oracle
-    verifies the merged table, not just the plan. At scale the same shape is
-    one `MERGE INTO` on Delta/Iceberg; the anti-join formulation shuffles
-    only on doc_id and broadcasts when updates are small."""
-    path = _io_dir(sf_dir, "docs_upserted")
+    LEFT ANTI + UNION; the merge is published through the atomic
+    versioned-dir + pointer-file swap (sources/atomic.py) — version 0 is
+    the base table, version 1 the merged table, and a concurrent reader
+    holding the old snapshot keeps its files while new readers resolve the
+    flipped pointer (tested in tests/test_contract.py). At scale the same
+    shape is one `MERGE INTO` on Delta/Iceberg; the anti-join formulation
+    shuffles only on doc_id and broadcasts when updates are small."""
+    from sdg_data_catalog_spark.sources.atomic import publish, read_latest
+
+    root = _io_dir(sf_dir, "docs_upserted")
     docs = table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
+    publish(base.withColumn("is_update", F.lit(False)), root, 0)
     updates = docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id",
         F.concat(F.lit("upd-"), F.col("source")).alias("source"),
         (F.col("n_chars") + 1).alias("n_chars"),
     )
+    current = read_latest(spark, root)
     merged = (
         updates.withColumn("is_update", F.lit(True))
         .unionByName(
-            base.join(updates.select("doc_id"), "doc_id", "left_anti")
+            current.drop("is_update")
+            .join(updates.select("doc_id"), "doc_id", "left_anti")
             .withColumn("is_update", F.lit(False))
         )
     )
-    merged.write.parquet(path)
-    return spark.read.parquet(path)
+    publish(merged, root, 1)
+    return read_latest(spark, root)
 
 
 @register(

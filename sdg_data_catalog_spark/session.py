@@ -34,8 +34,11 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         .config("spark.sql.files.minPartitionNum", "8")
         .config("spark.sql.files.openCostInBytes", "262144")
         # Deterministic timestamps: match DuckDB's naive-UTC reading of the
-        # driver parquet.
+        # driver parquet; events.parquet carries TIMESTAMP(NANOS), which the
+        # vectorized reader only accepts as long (catalog._load_events
+        # converts to µs timestamps).
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for every pandas_udf / mapInPandas / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -1,0 +1,71 @@
+"""Atomic versioned-parquet publication.
+
+Plain ``df.write.mode("overwrite").parquet(path)`` is NOT atomic for
+readers: overwrite deletes the old files first, so a concurrent reader sees
+a missing or half-written table. Delta/Iceberg solve this with a
+transaction log; this module is the minimal plain-parquet equivalent the
+sink operators share (sink_upsert, the foreachBatch incremental sink):
+
+  root/
+    versions/v000000042/   immutable parquet snapshots, never rewritten
+    LATEST                 one-line pointer file, flipped with os.replace
+
+Writers publish a NEW version dir, then atomically flip the pointer
+(``os.replace`` is atomic on POSIX). Readers resolve LATEST once and read
+an immutable snapshot — they see the old version or the new one, never a
+partial table. Old versions are pruned with a retention floor so in-flight
+readers of the previous snapshot don't lose their files mid-query.
+
+Reference analog: per-row INSERT+commit into SQLite
+(sdg-ai/sdg_data_catalog utils/db_connection.py:61-87) — single-writer,
+no snapshot isolation; at 100 TB this pointer dance is what MERGE INTO
+gives you transactionally on a real table format.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def latest_version(root: str) -> tuple[str, int] | None:
+    """(current snapshot dir, version number), or None before first publish."""
+    ptr = os.path.join(root, "LATEST")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as fh:
+        name = fh.read().strip()
+    return os.path.join(root, "versions", name), int(name[1:])
+
+
+def publish(df: DataFrame, root: str, version: int, keep: int = 2) -> str:
+    """Write ``df`` as snapshot ``version`` and atomically flip LATEST to it.
+
+    Idempotent per version: re-publishing an already-current-or-older
+    version (a replayed micro-batch, a retried job) is a no-op. Returns the
+    directory readers of this version should use."""
+    cur = latest_version(root)
+    vname = f"v{version:09d}"
+    vdir = os.path.join(root, "versions", vname)
+    if cur is not None and cur[1] >= version:
+        return vdir  # replay of a committed version: already published
+    os.makedirs(root, exist_ok=True)
+    df.write.mode("overwrite").parquet(vdir)
+    tmp_ptr = os.path.join(root, f".LATEST.{version}.tmp")
+    with open(tmp_ptr, "w") as fh:
+        fh.write(vname)
+    os.replace(tmp_ptr, os.path.join(root, "LATEST"))  # atomic flip
+    vroot = os.path.join(root, "versions")
+    names = sorted(os.listdir(vroot))
+    for old in names[:-keep]:  # retention floor for in-flight readers
+        shutil.rmtree(os.path.join(vroot, old), ignore_errors=True)
+    return vdir
+
+
+def read_latest(spark: SparkSession, root: str) -> DataFrame:
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    return spark.read.parquet(cur[0])

@@ -74,6 +74,8 @@ def user_stats_stream(events: DataFrame) -> DataFrame:
     def stats(key, pdfs, state: GroupState):
         if state.exists:
             n, total, max_gap, last_us = state.get
+            if last_us == -1:  # map the stored sentinel back to None
+                last_us = None
         else:
             n, total, max_gap, last_us = 0, 0.0, 0, None
         for pdf in pdfs:

@@ -43,7 +43,9 @@ EVENTS_RAW_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Open the events parquet dir as a stream; one file = one microbatch
     backlog unit. Converts nanos → timestamp exactly like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from sdg_data_catalog_spark.catalog import _ensure_conf
+
+    _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
@@ -143,6 +145,43 @@ def run_processing_time(
     return stream_df.sparkSession.table(query_name), q.lastProgress
 
 
+def merge_counts_batch(
+    spark: SparkSession, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Idempotent per-micro-batch merge (the foreachBatch body).
+
+    foreachBatch is at-least-once: after a failure the SAME batch_id is
+    re-invoked with the same data, and a naive read-merge-overwrite would
+    double-count it. `sources.atomic.publish` makes this exactly-once:
+    the LATEST pointer doubles as the batch ledger (replayed batch_id <=
+    committed version → no-op) and the versioned-dir + pointer flip keeps
+    every published state immutable, so a crash mid-publish leaves the old
+    state visible and the replay simply re-writes the same version dir.
+
+    On Delta/Iceberg this whole body is one `MERGE INTO` with
+    txnAppId/txnVersion = batch_id; the pointer dance is what plain
+    parquet needs to get the same guarantee."""
+    from sdg_data_catalog_spark.sources.atomic import latest_version, publish
+
+    cur = latest_version(state_dir)
+    if cur is not None and cur[1] >= batch_id:
+        return  # replayed micro-batch: already folded into the state
+    batch_agg = (
+        batch_df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    if cur is not None:
+        merged = (
+            spark.read.parquet(cur[0])
+            .unionByName(batch_agg)
+            .groupBy("user_id")
+            .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+        )
+    else:
+        merged = batch_agg
+    publish(merged, state_dir, batch_id)
+
+
 def run_foreach_batch_counts(
     events: DataFrame, state_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -150,41 +189,37 @@ def run_foreach_batch_counts(
     micro-batches into a table when the sink has no native streaming writer
     (plain parquet here; on Delta/Iceberg the merge body becomes one
     MERGE INTO). Each micro-batch's per-user counts fold into the state
-    table via union + re-aggregate on the key; a tmp-dir swap keeps the
-    read-then-overwrite safe. Returns the final state table.
+    table via `merge_counts_batch` — idempotent per batch_id and atomic
+    via a versioned dir + pointer-file flip, with a checkpointLocation
+    tied to the state dir so a re-run RESUMES (processes only new files)
+    instead of replaying the whole backlog against existing state.
+    Returns the final state table.
 
     Parity property (tested): after draining any file split of the input,
     the state table equals the one-shot batch `groupBy(user_id).count()` —
-    micro-batch boundaries must not show in the result."""
-    import shutil
-    import tempfile
+    micro-batch boundaries must not show in the result; neither must
+    retried micro-batches (tested by double-applying a batch)."""
+    import os
 
     spark = events.sparkSession
+    os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        merge_counts_batch(spark, state_dir, batch_df, batch_id)
 
-        batch_agg = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
-            cur = spark.read.parquet(state_dir)
-            merged = (
-                cur.unionByName(batch_agg)
-                .groupBy("user_id")
-                .agg(F.sum("n_events").cast("bigint").alias("n_events"))
-            )
-        else:
-            merged = batch_agg.withColumn("n_events", F.col("n_events").cast("bigint"))
-        tmp = tempfile.mkdtemp(prefix="febatch_")
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
-
-    writer = events.writeStream.foreachBatch(merge).trigger(availableNow=True)
-    q = writer.start()
+    q = (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(state_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()
-    return spark.read.parquet(state_dir)
+    from sdg_data_catalog_spark.sources.atomic import latest_version
+
+    ptr = latest_version(state_dir)
+    if ptr is None:  # empty input stream: no batch ever committed
+        return spark.createDataFrame([], "user_id BIGINT, n_events BIGINT")
+    return spark.read.parquet(ptr[0])
 
 
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:

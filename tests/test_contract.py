@@ -36,6 +36,31 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     assert err is None, f"{name}: {err}"
 
 
+def test_atomic_publish_survives_concurrent_reader(spark, tmp_path):
+    """sink_upsert's publication primitive: a reader pinned to the previous
+    snapshot keeps its files across a new publish (retention floor), new
+    readers see the flipped pointer, replaying a committed version is a
+    no-op, and pruning keeps exactly `keep` versions."""
+    import os
+
+    from sdg_data_catalog_spark.sources.atomic import latest_version, publish, read_latest
+
+    root = str(tmp_path / "atomic")
+    publish(spark.range(10).withColumnRenamed("id", "k"), root, 0)
+    pinned = spark.read.parquet(latest_version(root)[0])  # reader on v0
+    publish(spark.range(20).withColumnRenamed("id", "k"), root, 1)
+    assert pinned.count() == 10  # old snapshot still readable mid-flight
+    assert read_latest(spark, root).count() == 20
+    publish(spark.range(99).withColumnRenamed("id", "k"), root, 1)  # replay
+    assert read_latest(spark, root).count() == 20  # idempotent: unchanged
+    publish(spark.range(30).withColumnRenamed("id", "k"), root, 2)
+    assert sorted(os.listdir(os.path.join(root, "versions"))) == [
+        "v000000001",
+        "v000000002",
+    ]
+    assert read_latest(spark, root).count() == 30
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     """agg_approx_distinct rows-only twin: HLL estimate within ±5% of exact."""
     import pyspark.sql.functions as F

@@ -98,6 +98,32 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert close >= 40  # >= 80% of planted pairs within hamming 2
 
 
+def test_simhash_blocked_equals_allpairs(spark, sf_dir):
+    """Pigeonhole chunk-blocking is exact, not approximate: the blocked
+    equi-join candidate generation must recover EXACTLY the all-pairs
+    self-join result (same pairs, same hamming distances)."""
+    docs = table(spark, sf_dir, "documents").limit(80)
+    corpus = _near_dup_corpus(docs)
+    ref = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_pairs(corpus, max_hamming=2).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_pairs_blocked(corpus, max_hamming=2).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
+def test_connected_components_exhaustion_falls_back(spark):
+    """A chain longer than max_iters must still come back fully converged
+    (exhaustion triggers the large-star/small-star fallback instead of
+    returning drifting labels)."""
+    n = 24
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    labels = {r.doc_id: r.component for r in D.connected_components(pairs, max_iters=3).collect()}
+    assert set(labels.values()) == {0} and len(labels) == n + 1
+
+
 def test_ivf_recall_against_bruteforce(spark, sf_dir):
     """IVF with n_probe=1 on random-ish synthetic vectors: every returned
     neighbor must be a true cosine neighbor ranking no better than brute
@@ -118,6 +144,30 @@ def test_ivf_recall_against_bruteforce(spark, sf_dir):
     assert recall > 0.1, f"recall@5 = {recall}"
     # sanity: cosine values are genuine (within [-1, 1], rounded to 6)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in approx)
+
+
+def test_ivf_multiprobe_monotone_recall(spark, sf_dir):
+    """Raising n_probe widens the candidate set, so recall vs brute force
+    must be monotonically non-decreasing, reaching 1.0 when every cell is
+    probed; an explicit external query set must route through the SAME
+    codebook as the index side."""
+    from sdg_data_catalog_spark.catalog import table as load
+    from sdg_data_catalog_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id >= 20 AND vec_id < 30")
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=n_probe).collect()
+        return sum((r["q_id"], r["neighbor_id"]) in exact for r in got) / len(exact)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16, (r1, r4, r16)
+    assert r16 == 1.0  # probing every cell IS brute force
 
 
 def test_components_partition_the_pair_graph(spark, sf_dir):

@@ -171,3 +171,24 @@ def test_foreach_batch_upsert_matches_batch_counts(spark, sf_dir, tmp_path_facto
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )
     assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
+
+    # at-least-once safety: re-applying the LAST committed micro-batch (what
+    # foreachBatch does after a failure) must be a no-op, not a double count
+    from sdg_data_catalog_spark.sources.atomic import latest_version
+
+    replay = spark.read.parquet(str(src))
+    last_batch_id = latest_version(state)[1]
+    W.merge_counts_batch(spark, state, replay, last_batch_id)
+    again = spark.read.parquet(latest_version(state)[0])
+    assert _as_sorted_tuples(again) == _as_sorted_tuples(expect)
+
+    # restartability: a fresh availableNow run over the same source + state
+    # resumes from the checkpoint (no new files -> no new batches -> state
+    # unchanged), instead of replaying the backlog into the existing counts
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    got2 = W.run_foreach_batch_counts(stream2, state)
+    assert _as_sorted_tuples(got2) == _as_sorted_tuples(expect)
