@@ -38,6 +38,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers (once per session).
+
+    Worker-shipped callables (mapInPandas / applyInPandas bodies) that
+    reference package-level helpers are cloudpickled BY REFERENCE — the
+    worker must be able to `import sdg_data_catalog_spark`. That holds when
+    the driver process runs from the repo root (tests, bench) but NOT for a
+    foreign session started elsewhere (the external driver runs from its
+    own cwd): the task then dies with ModuleNotFoundError. `addPyFile` of a
+    package zip is the standard cluster deployment fix (same mechanism as
+    --py-files) and is a no-op burden when the path import would already
+    work."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="sdg_data_catalog_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_root)))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
     """Set a session conf only if it isn't already the wanted value — query
     builders must not mutate the shared session on every invocation (the
@@ -59,6 +93,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Deterministic timestamp semantics regardless of who built the session
     # (the driver's session may not set a timezone; DuckDB reads naive-UTC).
     _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
+    _ensure_pyfiles(spark)
     if name == "events":
         return _load_events(spark, path)
     df = spark.read.parquet(path)
