@@ -98,6 +98,15 @@ def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
     assert close >= 40  # >= 80% of planted pairs within hamming 2
 
 
+def test_minhash_vectorized_equals_declarative(spark, sf_dir):
+    """The in-row numpy signature path must be bit-identical to the
+    explode + grouped-MIN formulation the DuckDB oracle mirrors."""
+    corpus = _near_dup_corpus(table(spark, sf_dir, "documents").limit(120))
+    sql_form = {tuple(r) for r in D.minhash_signatures_sql(corpus).collect()}
+    vec_form = {tuple(r) for r in D.minhash_signatures(corpus).collect()}
+    assert vec_form == sql_form and len(vec_form) > 0
+
+
 def test_simhash_blocked_equals_allpairs(spark, sf_dir):
     """Pigeonhole chunk-blocking is exact, not approximate: the blocked
     equi-join candidate generation must recover EXACTLY the all-pairs
