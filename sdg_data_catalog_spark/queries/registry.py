@@ -31,6 +31,7 @@ _ORACLES: dict[str, str] = {}
 _MODULES = (
     "sdg_data_catalog_spark.queries.relational",
     "sdg_data_catalog_spark.queries.tpch_extra",
+    "sdg_data_catalog_spark.queries.tpch_rest",
     "sdg_data_catalog_spark.queries.text",
     "sdg_data_catalog_spark.queries.events_json",
     "sdg_data_catalog_spark.queries.dedup_similarity",

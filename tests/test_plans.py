@@ -152,3 +152,51 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     plan = _formatted_plan(partition_pruned_plan(spark, sf_dir))
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert scan_lines and "src3" in scan_lines[0]
+
+
+@pytest.fixture(scope="module")
+def tpch_rest_plans(spark, sf_dir):
+    qs = all_queries()
+    return {name: _formatted_plan(qs[name](spark, sf_dir)) for name in (
+        "q2_min_acctbal_supplier",
+        "q16_supplier_relation",
+        "q21_waiting_supplier",
+        "q11_important_stock",
+    )}
+
+
+def test_q2_correlated_min_is_window_not_rescan(tpch_rest_plans):
+    """The correlated per-part MIN must decorrelate into a window over the
+    shipped relation — one lineitem scan total, dims broadcast."""
+    plan = tpch_rest_plans["q2_min_acctbal_supplier"]
+    assert "Window" in plan
+    assert P.has_broadcast_join(plan)
+    assert not P.has_pathological_join(plan)
+    # exactly one lineitem scan: the subquery must not re-read the fact table
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q16_not_in_is_anti_join(tpch_rest_plans):
+    plan = tpch_rest_plans["q16_supplier_relation"]
+    assert "LeftAnti" in plan
+    assert P.has_broadcast_join(plan)
+    assert not P.has_pathological_join(plan)
+
+
+def test_q21_double_exists_is_single_aggregate(tpch_rest_plans):
+    """The EXISTS / NOT-EXISTS pair must collapse into one per-order
+    aggregate: no nested-loop anti join, no more than two lineitem scans
+    (stats pass + late-line pass), status filter pushed into orders."""
+    plan = tpch_rest_plans["q21_waiting_supplier"]
+    assert not P.has_pathological_join(plan)
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q11_threshold_is_single_pass(tpch_rest_plans):
+    """The global-total HAVING must reuse the per-part aggregate (empty-frame
+    window over the dim-bounded agg output), not re-evaluate the aggregate
+    subtree: two lineitem scans would mean the decorrelation failed."""
+    plan = tpch_rest_plans["q11_important_stock"]
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
