@@ -553,3 +553,27 @@ def simhash_pairs_blocked(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing ANY
+    token n-gram with the evaluation set (the standard pretraining hygiene
+    step — eval contamination via verbatim n-gram overlap).
+
+    Scale shape: the eval side is small by definition (a benchmark), so
+    its DISTINCT shingle set broadcasts; candidate detection is then a
+    map-side semi join on the exploded corpus shingles — no shuffle of the
+    corpus text, one shuffle of the (doc_id) contamination list for the
+    final anti join. Corpus side cost is O(total shingles), the same pass
+    the MinHash signatures already make."""
+    ev = (
+        eval_docs.select(F.explode(shingle_expr(F.col("text"), n)).alias("sh"))
+        .distinct()
+    )
+    contaminated = (
+        corpus.select("doc_id", F.explode(shingle_expr(F.col("text"), n)).alias("sh"))
+        .join(F.broadcast(ev), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti")

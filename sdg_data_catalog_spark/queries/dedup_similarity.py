@@ -396,3 +396,73 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's cell; recall vs sim_knn_bruteforce asserted in pytest."""
     emb = table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, k=5)
+
+
+# --- LLM-pipeline layout & hygiene ----------------------------------------
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tk,
+                 CAST(SUM(tk) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+          FROM base),
+    packs AS (
+        SELECT doc_id, tk, cum,
+               unnest(range((cum - tk) // 512, ((cum - 1) // 512) + 1)) AS pack_id
+        FROM c
+    )
+    SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(GREATEST(cum - tk, pack_id * 512) - pack_id * 512 AS BIGINT)
+               AS pack_offset,
+           CAST(LEAST(cum, (pack_id + 1) * 512)
+                - GREATEST(cum - tk, pack_id * 512) AS BIGINT) AS n_tokens
+    FROM packs
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at a 512-token context length
+    (operators/packing.py): every document maps to its pack slice(s); a
+    boundary straddler emits one row per touched pack. The only global
+    coordination is the two-phase prefix sum — the oracle's single
+    `SUM() OVER (ORDER BY doc_id)` is exactly the single-partition
+    formulation the Spark side exists to avoid."""
+    from sdg_data_catalog_spark.operators.packing import pack_sequences as _pack
+
+    return _pack(table(spark, sf_dir, "documents"), budget=512)
+
+
+@register(
+    "dedup_decontaminate",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    {_SHINGLE_SQL},
+    ev AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS esh
+        FROM (SELECT string_split(text, ' ') AS t FROM eval_docs)
+        WHERE len(t) >= 3
+    ),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.sh = ev.esh
+    )
+    SELECT c.doc_id, c.source FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    every 97th document plays the held-out eval set; corpus documents
+    sharing any 3-gram with it are dropped. Eval shingles broadcast;
+    the corpus pass is map-side + one doc_id anti join — the corpus text
+    itself never shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text", "source")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return D.decontaminate(corpus, eval_docs).select("doc_id", "source")

@@ -150,20 +150,24 @@ def proj_abstract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-position zip join (TM_2 cell 33 df.join(df_topic_prob);
     wrapper_ner.py:66 dat.loc[res]). `monotonically_increasing_id` is NOT
-    stable across shuffles (SURVEY §7), so both sides get `row_number` over
-    an explicit total order, then equi-join on position.
+    stable across shuffles (SURVEY §7), so both sides get a GLOBAL position
+    over an explicit total order, then equi-join on position.
 
-    Scale note: a global row_number is a single-partition window — inherently
-    sequential. At 100 TB, positional identity should be carried as a real
-    key column at ingest (or zipWithIndex at source); this operator exists
-    for parity with the reference's pandas positional semantics, and the
-    plan documents the cost honestly rather than hiding it."""
+    Scale path: a bare `row_number() OVER (ORDER BY key)` is a
+    single-partition window — every row through one task. Both sides
+    instead use the two-phase prefix sum (operators/curation.running_total
+    with a constant 1: range-shuffle by key, O(#partitions) offsets to the
+    driver, per-partition local row_number + broadcast offset), so position
+    assignment parallelizes like a sort. The position join itself then
+    shuffles both sides on `pos` — at 100 TB, positional identity should be
+    carried as a real key column from ingest; this operator exists for
+    parity with the reference's pandas positional semantics."""
+    from sdg_data_catalog_spark.operators.curation import running_total
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     embs = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    wa = Window.orderBy("doc_id")
-    wb = Window.orderBy("vec_id")
-    a = docs.withColumn("pos", F.row_number().over(wa))
-    b = embs.withColumn("pos", F.row_number().over(wb))
+    a = running_total(docs, "doc_id", F.lit(1).cast("bigint"), "pos")
+    b = running_total(embs, "vec_id", F.lit(1).cast("bigint"), "pos")
     return a.join(b, "pos").select("pos", "doc_id", "lang", "vec_id", "label")
 
 

@@ -274,3 +274,42 @@ def test_star_components_match_propagation(spark, sf_dir):
     prop = {r.doc_id: r.component for r in D.connected_components(jac).collect()}
     star = {r.doc_id: r.component for r in D.connected_components_star(jac).collect()}
     assert star == prop
+
+
+def test_pack_sequences_invariant(spark, sf_dir):
+    """Every pack except the last must hold exactly `budget` tokens, and
+    each document's slices must reassemble to its full token count."""
+    from sdg_data_catalog_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    packs = pack_sequences(docs, budget=256).collect()
+    per_pack = {}
+    per_doc = {}
+    for r in packs:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    last = max(per_pack)
+    assert all(v == 256 for p, v in per_pack.items() if p != last)
+    assert 0 < per_pack[last] <= 256
+    n_toks = {
+        r["doc_id"]: r["tk"]
+        for r in docs.selectExpr("doc_id", "size(split(text, ' ')) AS tk").collect()
+    }
+    assert per_doc == n_toks
+
+
+def test_decontaminate_removes_exact_and_keeps_disjoint(spark, sf_dir):
+    """A doc copied verbatim from the eval set must be dropped; a doc with a
+    disjoint vocabulary must survive."""
+    corpus = table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+    ev = corpus.filter(F.col("doc_id") == corpus.agg(F.min("doc_id")).collect()[0][0])
+    planted = corpus.unionByName(
+        spark.createDataFrame(
+            [(999_999, "zebra quokka axolotl wombat capuchin lemur")],
+            "doc_id BIGINT, text STRING",
+        )
+    )
+    out = {r["doc_id"] for r in D.decontaminate(planted, ev).collect()}
+    contaminated_id = ev.collect()[0]["doc_id"]
+    assert contaminated_id not in out  # shares all its shingles with eval
+    assert 999_999 in out  # disjoint vocab survives
