@@ -124,19 +124,17 @@ def _duckdb_baseline(names, sf_dir, tables=None) -> dict[str, float]:
         return {}
 
 
-def _ensure_sf1() -> str | None:
-    """Generate the sf1 tier (10× sf0.1, FK-preserving key offsets) once."""
-    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
-        return None
-    marker = os.path.join(SF1_DIR, "_COMPLETE")
+def _ensure_replica(mult: int, out_dir: str) -> str | None:
+    """Generate a `mult`× FK-preserving key-offset replica of sf0.1 once."""
+    marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.isfile(marker):
-        return SF1_DIR
+        return out_dir
     if not os.path.isdir(SF1_SRC):
         return None
     try:
         import duckdb
 
-        os.makedirs(SF1_DIR, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
         for t in SF1_TABLES:
@@ -152,7 +150,7 @@ def _ensure_sf1() -> str | None:
                 "pk": ("part", "p_partkey"),
             }.items()
         }
-        rep = "CROSS JOIN range(10) r(i)"
+        rep = f"CROSS JOIN range({mult}) r(i)"
         jobs = {
             "region": "SELECT * FROM region",
             "nation": "SELECT * FROM nation",
@@ -170,12 +168,29 @@ def _ensure_sf1() -> str | None:
             ),
         }
         for t, q in jobs.items():
-            con.execute(f"COPY ({q}) TO '{SF1_DIR}/{t}.parquet' (FORMAT PARQUET)")
+            con.execute(f"COPY ({q}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
         with open(marker, "w") as fh:
             fh.write("ok")
-        return SF1_DIR
+        return out_dir
     except Exception:
         return None
+
+
+def _ensure_sf1() -> str | None:
+    """The sf1 tier (10× sf0.1) — on by default, SPARK_GRAFT_SF1=0 disables."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    return _ensure_replica(10, SF1_DIR)
+
+
+def _ensure_sf10() -> str | None:
+    """The sf10 asymptote tier (100× sf0.1, ~2 GB) — OFF by default (adds
+    minutes of generation + bench time); SPARK_GRAFT_SF10=1 enables. Exists
+    to measure where the Spark/DuckDB ratio lands once proportional work
+    fully dominates the per-query fixed cost (PERF.md records the result)."""
+    if os.environ.get("SPARK_GRAFT_SF10", "0") != "1":
+        return None
+    return _ensure_replica(100, os.path.join(_REPO, ".scratch", "sf10"))
 
 
 def main() -> None:
@@ -214,6 +229,17 @@ def main() -> None:
             "value": round(sum(sf1_timings.values()), 4),
             "baseline_duckdb": sf1_base,
             "baseline_total": round(sum(sf1_base.values()), 4),
+        }
+
+    sf10_dir = _ensure_sf10()
+    if sf10_dir:
+        _, _, sf10_timings = _bench_spark(qs, names, spark, sf10_dir, reps=3)
+        sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
+        result["sf10"] = {
+            "queries": sf10_timings,
+            "value": round(sum(sf10_timings.values()), 4),
+            "baseline_duckdb": sf10_base,
+            "baseline_total": round(sum(sf10_base.values()), 4),
         }
 
     print(json.dumps(result))

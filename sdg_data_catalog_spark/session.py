@@ -26,12 +26,15 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         # Hint only — AQE coalesces down; on a real cluster this scales with
         # executor count (rule of thumb: 2-3x total cores).
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
-        # Scan splitting: guarantee a floor of read parallelism on small
+        # Scan splitting: guarantee a floor of one read split per core on
         # single-file tables (default openCost=4MB floors split size, so a
         # 11 MB file scanned as 3 tasks leaves 29 of 32 cores idle —
-        # measured 11% off the headline total). At scale these are inert:
-        # totalBytes/128MB >> 8 and 256 KB still coalesces tiny files.
-        .config("spark.sql.files.minPartitionNum", "8")
+        # measured 11% off the headline total; a 1.4 GB file at the default
+        # 128 MB maxPartitionBytes plans 11 splits — 1/3 of the cores —
+        # measured 2× off the sf10 scan-heavy aggregations). At scale these
+        # are inert: totalBytes/128MB >> #cores and 256 KB still coalesces
+        # tiny files.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.files.openCostInBytes", "262144")
         # Deterministic timestamps: match DuckDB's naive-UTC reading of the
         # driver parquet; events.parquet carries TIMESTAMP(NANOS), which the
