@@ -354,3 +354,49 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("user_id", ["click", "view", "error"], "kind", "n")
         .filter(F.col("n") > 0)
     )
+
+
+@register(
+    "stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.py::conversion_join): click→purchase conversions per
+    user within a 1-hour horizon. In streaming form both sides carry
+    watermarks and the time-interval condition bounds join state (a click
+    can leave state once the purchase watermark passes click_ts + horizon);
+    the batch form is the same logical join, oracle-checked. The equi-key
+    (user_id) makes it a hash join with a range residual — never a
+    cartesian; at 100 TB both sides shuffle on user_id once."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+                "lag_us"
+            ),
+        )
+    )

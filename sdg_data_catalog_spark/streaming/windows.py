@@ -222,15 +222,61 @@ def run_foreach_batch_counts(
     return spark.read.parquet(ptr[0])
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> DataFrame:
     """Drain the whole backlog once into an in-memory sink and return the
-    result as a batch DataFrame (test/demo harness)."""
+    result as a batch DataFrame (test/demo harness). Aggregating streams
+    default to complete mode; non-aggregating ones (joins, dedup, maps)
+    must use append — pass output_mode explicitly for those."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode or ("complete" if stream_df.isStreaming else "append"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def conversion_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 HOUR",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within `horizon` of a same-user
+    click. Both sides MUST carry watermarks and the join MUST carry a
+    time-interval condition — that pair is what lets Structured Streaming
+    expire join state (a buffered click is droppable once the purchase-side
+    watermark passes click_ts + horizon). Without it, state grows without
+    bound. Batch twin: queries.events_json.stream_join."""
+    c = (
+        clicks.select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+                "lag_us"
+            ),
+        )
+    )

@@ -192,3 +192,19 @@ def test_foreach_batch_upsert_matches_batch_counts(spark, sf_dir, tmp_path_facto
     )
     got2 = W.run_foreach_batch_counts(stream2, state)
     assert _as_sorted_tuples(got2) == _as_sorted_tuples(expect)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    """The stream-stream interval join must produce exactly the batch
+    join's pairs once the backlog drains (unified-model parity)."""
+    from sdg_data_catalog_spark.queries.events_json import stream_join
+
+    ev = W.read_events_stream(spark, events_dir)
+    pairs = W.conversion_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got = W.run_available_now(pairs, "t_ssjoin", output_mode="append")
+    expect = stream_join(spark, sf_dir)
+    assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
+    assert got.count() > 0
