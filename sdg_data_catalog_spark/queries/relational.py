@@ -898,6 +898,24 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_quantiles")  # sketch internals differ per engine: rows-only
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (`approx_percentile`, Greenwald-Khanna): ONE
+    pass, constant-size mergeable partials — the 100 TB path where the
+    exact `percentile` in agg_percentiles needs a per-group sort of every
+    value. accuracy=10000 bounds rank error at n/10000 per group. Sketch
+    internals differ per engine, so the contract check is rows-only; the
+    error bound against the exact quartiles is asserted in
+    tests/test_properties.py."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.25, 10000).alias("p25"),
+        F.percentile_approx("value", 0.50, 10000).alias("p50"),
+        F.percentile_approx("value", 0.75, 10000).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("agg_approx_distinct")  # sketch internals differ per engine: rows-only
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch (`approx_count_distinct`) — the

@@ -154,3 +154,49 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "sink_range_clustered",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered data layout: `repartitionByRange` +
+    `sortWithinPartitions` on l_shipdate before the parquet write, so each
+    output file covers a narrow, near-disjoint shipdate span and every
+    row group's footer min/max statistics are selective. A later
+    date-range scan then skips whole row groups in the reader (and whole
+    files via footer stats) instead of decoding the full table — at 100 TB
+    this is the difference between scanning a month and scanning the
+    decade, bought with ONE extra range shuffle at write time. The
+    clustering invariant (file spans near-disjoint, each file's span ≪
+    the global span) is asserted from the parquet footers in
+    tests/test_plans.py; the read-back aggregate is oracle-checked against
+    the unclustered original — layout must never change results."""
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    path = io_dir(sf_dir, "lineitem_range_clustered", fresh=False)
+    if not os.path.exists(path):
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_shipdate", "l_quantity", "l_extendedprice")
+            .repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

@@ -200,3 +200,28 @@ def test_q11_threshold_is_single_pass(tpch_rest_plans):
     plan = tpch_rest_plans["q11_important_stock"]
     assert plan.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_dir):
+    """The range-clustered layout must produce files whose shipdate spans
+    are pairwise disjoint (boundary ties aside) — the property that makes
+    parquet footer min/max stats selective for range scans."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    all_queries()["sink_range_clustered"](spark, sf_dir).collect()
+    path = io_dir(sf_dir, "lineitem_range_clustered", fresh=False)
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        stats = [md.row_group(rg).column(0).statistics for rg in range(md.num_row_groups)]
+        if stats:
+            spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    assert len(spans) >= 4  # the layout actually fanned out
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "file shipdate spans overlap — clustering failed"

@@ -105,3 +105,37 @@ def test_simhash_bits_deterministic():
     # md5-based shingle hash is stable: spot-check the SQL and Column paths
     # agree textually on their constant structure
     assert H.minhash_value_sql("x", 3) == H.minhash_value_sql("x", 3)
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """GK-sketch quartiles must land within the documented rank-error bound
+    of the exact interpolated quartiles per group."""
+    from pyspark.sql import functions as F
+
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    approx = {
+        r["event_type"]: r for r in all_queries()["agg_approx_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    from sdg_data_catalog_spark.catalog import table
+
+    exact = {
+        r["event_type"]: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.25D)").alias("p25"),
+            F.expr("percentile(value, 0.50D)").alias("p50"),
+            F.expr("percentile(value, 0.75D)").alias("p75"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        spread = e["hi"] - e["lo"] or 1.0
+        for q in ("p25", "p50", "p75"):
+            assert abs(a[q] - e[q]) <= 0.05 * spread, (et, q, a[q], e[q])
