@@ -200,3 +200,90 @@ def sink_range_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+def _zvalue(c1, c2, bits: int = 16):
+    """Morton/Z-order interleave of two pre-quantized integer columns —
+    pure JVM bit expressions (shiftleft/shiftright/bitwiseAND), no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        b1 = F.shiftright(c1, i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(c2, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(b1, 2 * i + 1)).bitwiseOR(F.shiftleft(b2, 2 * i))
+    return z
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-06-01'
+      AND l_partkey BETWEEN 100 AND 300
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout over TWO dimensions
+    (l_shipdate, l_partkey): quantize each to 16 bits, interleave the bits
+    into a single z-value with JVM shift/mask expressions, then
+    repartitionByRange + sort on z before the parquet write. Unlike the
+    single-key range clustering (sink_range_clustered) — which makes
+    shipdate footers selective but leaves every file spanning ALL partkeys
+    — the space-filling curve gives every file partial locality in BOTH
+    dimensions, so a 2-dim predicate box skips row groups on either
+    column's min/max stats. This is the OPTIMIZE ZORDER technique of
+    Delta/Iceberg, expressed as plain columnar arithmetic; the per-file
+    span contraction on both dims is asserted from parquet footers in
+    tests/test_plans.py, and the read-back aggregate is oracle-checked
+    against the unclustered original."""
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    path = io_dir(sf_dir, "lineitem_zorder", fresh=False)
+    if not os.path.exists(path):
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_partkey", "l_quantity"
+        )
+        rng = li.agg(
+            F.min(F.unix_timestamp("l_shipdate")).alias("ts_lo"),
+            F.max(F.unix_timestamp("l_shipdate")).alias("ts_hi"),
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+        )
+        scale = (1 << 16) - 1
+        with_z = (
+            li.crossJoin(F.broadcast(rng))
+            .withColumn(
+                "q_ts",
+                F.floor(
+                    (F.unix_timestamp("l_shipdate") - F.col("ts_lo"))
+                    * scale
+                    / F.greatest(F.col("ts_hi") - F.col("ts_lo"), F.lit(1))
+                ).cast("bigint"),
+            )
+            .withColumn(
+                "q_pk",
+                F.floor(
+                    (F.col("l_partkey") - F.col("pk_lo"))
+                    * scale
+                    / F.greatest(F.col("pk_hi") - F.col("pk_lo"), F.lit(1))
+                ).cast("bigint"),
+            )
+            .withColumn("z", _zvalue(F.col("q_ts"), F.col("q_pk")))
+        )
+        (
+            with_z.repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .select("l_shipdate", "l_partkey", "l_quantity")
+            .write.parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+        & F.col("l_partkey").between(100, 300)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

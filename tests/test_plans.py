@@ -225,3 +225,32 @@ def test_range_clustered_files_are_disjoint(spark, sf_dir):
     assert len(spans) >= 4  # the layout actually fanned out
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "file shipdate spans overlap — clustering failed"
+
+
+def test_zorder_files_have_two_dim_locality(spark, sf_dir):
+    """Z-order files must contract the per-file min/max span on BOTH
+    dimensions (a single-key sort contracts one and leaves the other at
+    ~full span) — the property that makes 2-dim predicate boxes skip row
+    groups on either column's footer stats."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    all_queries()["sink_zorder_clustered"](spark, sf_dir).collect()
+    path = io_dir(sf_dir, "lineitem_zorder", fresh=False)
+    spans = {"l_shipdate": [], "l_partkey": []}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for ci, col in ((0, "l_shipdate"), (1, "l_partkey")):
+            st = [md.row_group(rg).column(ci).statistics for rg in range(md.num_row_groups)]
+            if st:
+                spans[col].append((min(s.min for s in st), max(s.max for s in st)))
+    assert len(spans["l_shipdate"]) >= 4
+    for col, col_spans in spans.items():
+        glo = max(hi for _, hi in col_spans) - min(lo for lo, _ in col_spans)
+        avg = sum((hi - lo for lo, hi in col_spans), glo - glo) / len(col_spans)
+        # both dims contract; a 1-dim sort would leave one at ~1.0× global
+        assert avg < 0.8 * glo, (col, avg, glo)
