@@ -184,11 +184,13 @@ def _ensure_sf1() -> str | None:
 
 
 def _ensure_sf10() -> str | None:
-    """The sf10 asymptote tier (100× sf0.1, ~2 GB) — OFF by default (adds
-    minutes of generation + bench time); SPARK_GRAFT_SF10=1 enables. Exists
-    to measure where the Spark/DuckDB ratio lands once proportional work
-    fully dominates the per-query fixed cost (PERF.md records the result)."""
-    if os.environ.get("SPARK_GRAFT_SF10", "0") != "1":
+    """The sf10 asymptote tier (100× sf0.1, 1.4 GB lineitem) — ON by
+    default (SPARK_GRAFT_SF10=0 disables; ~1 min one-time generation,
+    cached under .scratch/sf10, ~2 min of bench). This is the tier where
+    proportional work dominates the per-query fixed cost: measured
+    2026-08-13, Spark's headline total is 0.94× DuckDB's (PERF.md §sf10),
+    so it stays in the default run as the scale-gate evidence."""
+    if os.environ.get("SPARK_GRAFT_SF10", "1") == "0":
         return None
     return _ensure_replica(100, os.path.join(_REPO, ".scratch", "sf10"))
 

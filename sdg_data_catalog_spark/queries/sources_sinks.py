@@ -479,3 +479,31 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
     )
     return merged.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@register(
+    "scan_datasource_api",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS paper_id,
+           CAST(i // 100 AS INTEGER) AS page,
+           'paper-' || CAST(i AS VARCHAR) AS title,
+           CAST((i * 2654435761) % 50 AS INTEGER) AS n_refs
+    FROM range(1000) t(i)
+    """,
+)
+def scan_datasource_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Spark 4 Python DataSource API
+    (sources/datasource_api.py): the paginated-API ingest pattern with one
+    page per input partition — the planner fans pages across executors
+    instead of the reference's driver-side requests loop
+    (papers_download.py). Content is deterministic, so the full scan
+    oracle-checks cell-for-cell against a SQL range() generator."""
+    from sdg_data_catalog_spark.sources.datasource_api import register_papers_source
+
+    register_papers_source(spark)
+    return (
+        spark.read.format("sdg_papers")
+        .option("pages", "10")
+        .option("page_size", "100")
+        .load()
+    )
