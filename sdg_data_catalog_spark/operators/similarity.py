@@ -289,3 +289,66 @@ def ivf_topk(
         .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
                 F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# --- embedding compression (storage-side scale levers) --------------------
+
+RP_DIM = 16
+RP_SEED = 7
+
+
+def rp_matrix() -> list[list[int]]:
+    """Deterministic ±1 (Achlioptas-style) Johnson-Lindenstrauss projection
+    matrix, RP_DIM × DIM, pinned by seed: the Spark literal arrays AND the
+    DuckDB oracle SQL are both generated from this one constant, so the two
+    sides cannot drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(RP_SEED)
+    return (rng.integers(0, 2, size=(RP_DIM, DIM)) * 2 - 1).tolist()
+
+
+def project_rp(embeddings: DataFrame) -> DataFrame:
+    """Random-projection compression DIM→RP_DIM: out_j = <emb, R_j> with
+    literal ±1 rows — pure JVM expression tree (16 zip_with dots), no
+    Python, no shuffle. Adds orig_norm and proj_norm (scaled by
+    1/sqrt(RP_DIM) so E[proj_norm] ≈ orig_norm — the JL contract that makes
+    the compressed vectors usable for candidate generation in ANN)."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    projs = [
+        dot(e, F.array(*[F.lit(float(v)) for v in row])) for row in rp_matrix()
+    ]
+    proj_sq = sum((p * p for p in projs[1:]), projs[0] * projs[0])
+    return embeddings.select(
+        "vec_id",
+        "label",
+        norm(e).alias("orig_norm"),
+        (F.sqrt(proj_sq) / F.lit(float(RP_DIM) ** 0.5)).alias("proj_norm"),
+    )
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    code_i = floor(x_i/scale + 0.5) — 4× storage cut before ANN at 100 TB.
+    floor(x+0.5) (not round()) so the Spark and oracle halves share one
+    exactly-specified tie rule. Emits per-vector reconstruction error
+    (mse, max_abs_err) — scalar columns, never the array codes (driver
+    canonicalization is scalar-only)."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
+    err = F.transform(e, lambda x: x - F.floor(x / scale + F.lit(0.5)) * scale)
+    return embeddings.select(
+        "vec_id",
+        "label",
+        (dot(err, err) / F.lit(float(DIM))).alias("mse"),
+        F.aggregate(
+            F.transform(err, lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_abs_err"),
+    )

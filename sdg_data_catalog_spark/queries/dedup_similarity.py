@@ -466,3 +466,87 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text", "source")
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     return D.decontaminate(corpus, eval_docs).select("doc_id", "source")
+
+
+# --- embedding compression (generated oracles: one pinned constant) -------
+
+def _rp_oracle() -> str:
+    rows = S.rp_matrix()
+    pj = " + ".join(
+        f"list_dot_product(e, CAST({r} AS DOUBLE[]))"
+        f" * list_dot_product(e, CAST({r} AS DOUBLE[]))"
+        for r in rows
+    )
+    return f"""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (
+        SELECT label,
+               sqrt(list_dot_product(e, e)) AS orig_norm,
+               sqrt({pj}) / sqrt({S.RP_DIM}) AS proj_norm
+        FROM v
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(proj_norm / orig_norm), 4) AS avg_norm_ratio,
+           ROUND(MIN(proj_norm / orig_norm), 4) AS min_norm_ratio,
+           ROUND(MAX(proj_norm / orig_norm), 4) AS max_norm_ratio
+    FROM p GROUP BY label
+    """
+
+
+@register("emb_random_projection", oracle=_rp_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression of the embedding column (64→16
+    dims, ±1 matrix) — the storage/compute lever before ANN at 100 TB:
+    candidate generation runs on 4×-smaller vectors, exact rerank on the
+    originals. Pure JVM expression tree (operators/similarity.py::
+    project_rp), map-side until the audit agg. Surfaced as per-label
+    norm-preservation stats (the JL guarantee: ratio concentrates near 1 —
+    also property-tested in tests/test_dedup_similarity.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    p = S.project_rp(emb)
+    ratio = F.col("proj_norm") / F.col("orig_norm")
+    return p.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(ratio), 4).alias("avg_norm_ratio"),
+        F.round(F.min(ratio), 4).alias("min_norm_ratio"),
+        F.round(F.max(ratio), 4).alias("max_norm_ratio"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+        SELECT label, e,
+               greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127
+                   AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT label,
+               list_transform(e, x -> x - floor(x / scale + 0.5) * scale)
+                   AS err
+        FROM s
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1e6 * AVG(list_dot_product(err, err) / 64), 3) AS mse_e6,
+           ROUND(1e3 * AVG(list_max(list_transform(err, x -> abs(x)))), 3)
+               AS max_abs_err_e3
+    FROM q GROUP BY label
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    4× storage cut (float32→int8) with bounded reconstruction error
+    (≤ scale/2 per coordinate), the standard pre-ANN compression at scale.
+    Spark side is operators/similarity.py::quantize_int8 (pure
+    higher-order-function expressions, no Python); output is per-label
+    error statistics in scalar columns."""
+    emb = table(spark, sf_dir, "embeddings")
+    qz = S.quantize_int8(emb)
+    return qz.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mse") * 1e6, 3).alias("mse_e6"),
+        F.round(F.avg("max_abs_err") * 1e3, 3).alias("max_abs_err_e3"),
+    )

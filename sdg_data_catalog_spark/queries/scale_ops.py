@@ -287,3 +287,44 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "agg_bucketed",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS order_total
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_extendedprice) > 250000
+    """,
+)
+def agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation from a bucketed layout — the scale answer to
+    the unfiltered fact-table groupBy (the q18 shape, reference analog:
+    pandas groupby over the whole corpus). The bucketed lineitem table
+    (bucketBy(8, l_orderkey), shared with join_bucketed) reports
+    HashPartitioning(l_orderkey) from the scan, so the groupBy(l_orderkey)
+    needs NO Exchange — asserted in tests/test_plans.py. At 100 TB this
+    removes the full-fact-table shuffle that dominates q18's cost
+    (BENCH/PERF: 4.9 s of 13.6 s at sf10 is that one exchange); the layout
+    cost is paid once and amortized across every per-order aggregation and
+    orderkey join in the workload."""
+    join_bucketed(spark, sf_dir)  # ensure the bucketed tables exist
+    li = spark.table(f"li_bkt_{_sf_name(sf_dir)}")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("order_total"),
+        )
+        .filter(F.col("order_total") > 250000)
+    )
+
+
+def bucketed_agg_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw bucketed aggregation for the plan test (no-Exchange assert)."""
+    join_bucketed(spark, sf_dir)  # ensure tables exist
+    li = spark.table(f"li_bkt_{_sf_name(sf_dir)}")
+    return li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))

@@ -144,3 +144,164 @@ def udf_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver loops over k (a handful of fits), each fit itself distributed."""
     docs = table(spark, sf_dir, "documents")
     return SC.coherence_sweep(docs, ks=(2, 4, 8), seed=100)
+
+
+@register(
+    "udtf_token_positions",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+        SELECT doc_id, t, CAST(unnest(range(0, len(t))) AS INTEGER) AS pos
+        FROM toks
+    )
+    SELECT doc_id, pos, t[pos + 1] AS token,
+           CAST(CASE WHEN pos = 0 THEN 0
+                ELSE len(array_to_string(t[1:pos], ' ')) + 1 END AS INTEGER)
+               AS char_start
+    FROM idx
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Spark 4 Python UDTF (lateral table function): tokenize with
+    character offsets — the span-alignment primitive the reference's NER
+    pipeline needs to map (start, end) annotations onto tokens
+    (ner_pipeline.py's offset bookkeeping). Each input row fans out to one
+    row per token with its position and char_start; downstream a range
+    join against entity spans labels tokens. The UDTF runs per-row Python
+    (the API's cost model) — fine for the ingest-side fan-out it exists
+    for; the bulk tokenization hot path stays with the codegen'd
+    split/posexplode twin (same result, asserted by the shared oracle)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, token STRING, char_start INT")
+    class TokenPositions:
+        def eval(self, text: str):
+            if text is None:
+                return
+            off = 0
+            for i, w in enumerate(text.split(" ")):
+                yield i, w, off
+                off += len(w) + 1
+
+    spark.udtf.register("token_positions", TokenPositions)
+    docs = table(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT doc_id, pos, token, char_start "
+        "FROM udtf_docs_in, LATERAL token_positions(text)"
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep rows whose md5(key) falls in a
+    fixed hex prefix range (here 1/16). Unlike rand()-based `sample_frac`,
+    the selection is a pure function of the key — reproducible across
+    engines, runs, partitionings, and cluster sizes (the property an
+    auditable 100 TB pipeline needs: re-running the sample job yields the
+    same rows, and adding data never flips old rows in/out). Embarrassingly
+    parallel: a codegen'd filter, no shuffle, no state. Reference analog:
+    `df.sample(random_state=...)` pins a seed but not row identity."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "source", "n_chars")
+
+
+@register(
+    "split_hash",
+    oracle="""
+    SELECT CASE
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'valid'
+             ELSE 'test'
+           END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by hash bucket (12/2/2 of 16):
+    lowercase hex compares lexicographically == numerically, so the CASE is
+    a range on md5's first nibble. Every engine that can md5 assigns each
+    doc to the SAME split forever — no split-assignment table to maintain,
+    no leakage when the corpus grows (a new doc can't displace an old one's
+    assignment, unlike modulo-on-row-number splits). Stateless map-side
+    expression; the only shuffle is the 3-group count."""
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib < "c", "train").when(nib < "e", "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# Domain-mixture target keep-rates, expressed as 4-hex-digit md5-prefix
+# thresholds (rate = threshold/65536): upweight curated sources, downsample
+# the bulk crawl. Lowercase-hex string compare == numeric compare.
+_MIXTURE_HEX = {"src0": "ffff", "src1": "ffff", "src2": "8000", "src3": "8000"}
+_MIXTURE_DEFAULT_HEX = "4000"  # 0.25 for every other source
+
+
+@register(
+    "sample_mixture",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < CASE source
+              WHEN 'src0' THEN 'ffff' WHEN 'src1' THEN 'ffff'
+              WHEN 'src2' THEN '8000' WHEN 'src3' THEN '8000'
+              ELSE '{_MIXTURE_DEFAULT_HEX}' END
+    GROUP BY source
+    """,
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-domain deterministic downsampling
+    to target weights (the data-mixing step of every LLM pretraining
+    pipeline — e.g. keep 100% of curated sources, 50% of mid-quality, 25%
+    of bulk crawl). The keep decision is md5(source|doc_id) against a
+    per-source hex threshold — exact, reproducible, engine-independent,
+    and pure map-side (no shuffle until the audit aggregation). Changing
+    the mixture weights only flips rows at the threshold margin, so
+    successive mixture versions share maximal data (stable caching at
+    100 TB). The salt includes source so a doc appearing under two sources
+    draws independent coins."""
+    docs = table(spark, sf_dir, "documents")
+    thr = F.lit(_MIXTURE_DEFAULT_HEX)
+    for src, hexthr in _MIXTURE_HEX.items():
+        thr = F.when(F.col("source") == src, hexthr).otherwise(thr)
+    keep = (
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        )
+        < thr
+    )
+    return (
+        docs.filter(keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

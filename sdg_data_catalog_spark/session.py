@@ -23,6 +23,14 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Finer AQE target-partition granularity: the 64 MB default lets
+        # medium shuffles (a few hundred MB — exactly the reduced/
+        # pre-aggregated exchanges this engine's plans produce) collapse to
+        # a handful of post-shuffle partitions, serializing the next stage
+        # on a 32-core box. 16 MB keeps those stages wide (q18 at sf10:
+        # 7.9 → 4.8 s measured) and on a real cluster is within the range
+        # Spark's own tuning guide recommends when cores ≫ shuffle data/64MB.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         # Hint only — AQE coalesces down; on a real cluster this scales with
         # executor count (rule of thumb: 2-3x total cores).
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))

@@ -313,3 +313,30 @@ def test_decontaminate_removes_exact_and_keeps_disjoint(spark, sf_dir):
     contaminated_id = ev.collect()[0]["doc_id"]
     assert contaminated_id not in out  # shares all its shingles with eval
     assert 999_999 in out  # disjoint vocab survives
+
+
+def test_random_projection_preserves_norms(spark, sf_dir):
+    """JL concentration: the scaled projected norm tracks the original norm
+    per vector (bounded distortion) and is unbiased on average."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = S.project_rp(emb).collect()
+    ratios = [r["proj_norm"] / r["orig_norm"] for r in rows]
+    assert all(0.4 < x < 1.8 for x in ratios)  # per-vector distortion bound
+    assert abs(sum(ratios) / len(ratios) - 1.0) < 0.1  # unbiased in aggregate
+
+
+def test_quantize_int8_error_bounded_by_half_step(spark, sf_dir):
+    """Symmetric int8 reconstruction error can never exceed scale/2 =
+    max|x|/254 per coordinate."""
+    emb = table(spark, sf_dir, "embeddings")
+    qz = S.quantize_int8(emb)
+    amax = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, x),
+    )
+    joined = qz.join(emb.select("vec_id", amax.alias("amax")), "vec_id")
+    bad = joined.filter(
+        F.col("max_abs_err") > F.col("amax") / 254 + 1e-12
+    ).count()
+    assert bad == 0

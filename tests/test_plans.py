@@ -146,6 +146,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan  # bucket i reads against bucket i directly
 
 
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """groupBy on the bucket column must reuse the scan's HashPartitioning:
+    the full-fact-table shuffle (q18's dominant cost) disappears."""
+    from sdg_data_catalog_spark.queries.scale_ops import bucketed_agg_plan
+
+    plan = _formatted_plan(bucketed_agg_plan(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Exchange" not in plan
+
+
+def test_hash_sampling_is_pure_map_side(spark, sf_dir):
+    """sample_hash must be a codegen'd filter over the scan — no shuffle,
+    no Python eval: the property that makes it free at 100 TB."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["sample_hash"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_partitioned_scan_prunes_directories(spark, sf_dir):
     from sdg_data_catalog_spark.queries.scale_ops import partition_pruned_plan
 
