@@ -550,3 +550,62 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mse") * 1e6, 3).alias("mse_e6"),
         F.round(F.avg("max_abs_err") * 1e3, 3).alias("max_abs_err_e3"),
     )
+
+
+# --- line-level (CCNet-style) dedup ---------------------------------------
+
+@register(
+    "dedup_lines",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    lines AS (
+        SELECT doc_id, i AS line_no,
+               array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ') AS line
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    cnt AS (SELECT md5(line) AS h, COUNT(*) AS c FROM lines GROUP BY 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c <= 2 THEN len(line) ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM lines JOIN cnt ON md5(line) = h
+    GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (the CCNet / web-crawl preprocessing step:
+    boilerplate lines — nav bars, cookie banners — repeat across millions of
+    pages; drop any line occurring more than K times corpus-wide while
+    keeping the documents). The synthetic corpus has no newlines, so 'lines'
+    are fixed 8-token chunks — same chunking expression on both engine
+    sides. Dataflow is the scale-correct one: explode to (doc, line_no,
+    line), aggregate counts on the 32-byte line HASH (map-side combine; the
+    shuffle carries hash+count, never text), then one hash-equi-join back
+    and a per-doc re-aggregation. Line text itself shuffles only in the
+    doc_id re-agg, and a production variant would carry (doc_id, line_no)
+    plus length instead — noted here, kept simple because the oracle needs
+    the join anyway. Emits per-doc audit stats (lines kept / chars kept);
+    the reconstructed text is array_join of the kept chunks."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    chunk = F.expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),"
+        " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(chunk).alias("line_no", "line")
+    ).withColumn("h", F.md5("line"))
+    cnt = lines.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        lines.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("c") <= 2, F.length("line")).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )

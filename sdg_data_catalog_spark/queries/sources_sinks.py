@@ -507,3 +507,40 @@ def scan_datasource_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("page_size", "100")
         .load()
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 50
+    GROUP BY source
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan/sink round-trip — the second vectorized columnar format in
+    Spark core (warehouses standardized on ORC feed lakes exactly this way).
+    Write documents as ORC, read back with an explicit 3-column schema (text
+    is pruned at the stripe level, never decoded) and a pushed n_chars
+    predicate; the oracle checks the round-trip aggregate against the
+    original parquet. Plan-gated in tests/test_plans.py: the ORC scan must
+    show the pruned ReadSchema and the pushed filter, same contract as the
+    parquet path."""
+    from sdg_data_catalog_spark.sources.formats import roundtrip_orc
+
+    path = _io_dir(sf_dir, "docs_orc")
+    out = table(spark, sf_dir, "documents")
+    back = roundtrip_orc(
+        out, spark, path, "doc_id BIGINT, source STRING, n_chars BIGINT"
+    )
+    return (
+        back.filter(F.col("n_chars") > 50)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

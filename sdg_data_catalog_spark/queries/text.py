@@ -454,3 +454,118 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_3gram_frac",
         F.round(F.col("max_tf") / F.col("n_tokens"), 6).alias("top_token_frac"),
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Shared regex subset: identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — no lookaround, no backrefs, so both engines compile it the
+# same way. Order matters: emails first (phone pattern could otherwise eat
+# digits inside a local-part).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id || '@mail' || (doc_id % 7)
+                    || '.org or 555-01' || (doc_id % 10) || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' ip 10.0.' || (doc_id % 256) || '.1' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INTEGER) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline runs
+    before release (emails, phone numbers, IPv4 addresses → typed
+    placeholder tokens). The corpus text is synthetic word-soup, so each doc
+    is first salted with deterministic PII derived from doc_id (same
+    expression on both engine sides); the redaction itself is a pure
+    codegen'd regexp_replace chain — embarrassingly parallel, no shuffle,
+    no Python, which is what makes it free to run over 100 TB. Counts are
+    emitted per category so downstream audits can quantify exposure.
+    Reference analog: the scraped-paper ingest keeps raw author emails
+    (paper_processing.py author parsing) with no scrubbing stage at all."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org or 555-01"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+    )
+    seeded = docs.select("doc_id", t.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IPV4, "<IP>")
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count("t", F.lit(_PII_IPV4)).cast("int").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# --- unigram language-model scoring ----------------------------------------
+
+@register(
+    "lm_unigram_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    cnt AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY word),
+    tot AS (SELECT SUM(c) AS s FROM cnt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(c / s)), 4) AS avg_logp
+    FROM tok JOIN cnt USING (word), tot
+    GROUP BY doc_id
+    """,
+)
+def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM perplexity proxy: score each doc by its
+    mean token log-probability under the corpus's own unigram distribution —
+    the classic cheap fluency/quality signal (KenLM-style filtering's first
+    rung) for pretraining-data curation. Two passes: (1) explode → hash-agg
+    word counts (map-side partial combine shrinks the shuffle to the vocab);
+    (2) score tokens by joining the BROADCAST vocab — deliberately NOT a
+    shuffle join on `word`, whose Zipfian skew ('the', 'a') would hot-spot
+    one reducer at 100 TB. A real-scale deployment caps the broadcast at
+    top-K words + an OOV floor probability; at test scale the whole vocab
+    fits. The corpus-total scalar enters the same way (1-row broadcast
+    crossJoin) — nothing is collected driver-side."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("s"))
+    vocab = cnt.crossJoin(F.broadcast(tot)).select(
+        "word", F.log(F.col("c") / F.col("s")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
+        )
+    )

@@ -57,3 +57,12 @@ def roundtrip_csv(df: DataFrame, spark: SparkSession, path: str, schema: str) ->
 def roundtrip_parquet(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     df.write.parquet(path)
     return spark.read.parquet(path)
+
+
+def roundtrip_orc(df: DataFrame, spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Write as ORC, read back with an explicit (pruning) schema. ORC is the
+    second columnar format Spark ships a vectorized reader for — same
+    pushdown/pruning contract as parquet (PushedFilters + ReadSchema),
+    verified by the plan test."""
+    df.write.orc(path)
+    return spark.read.schema(schema).orc(path)

@@ -274,3 +274,30 @@ def test_zorder_files_have_two_dim_locality(spark, sf_dir):
         avg = sum((hi - lo for lo, hi in col_spans), glo - glo) / len(col_spans)
         # both dims contract; a 1-dim sort would leave one at ~1.0× global
         assert avg < 0.8 * glo, (col, avg, glo)
+
+
+def test_pii_redact_is_pure_map_side(spark, sf_dir):
+    """Redaction must be a codegen'd regexp chain over the scan — no shuffle,
+    no Python: what makes the compliance pass free at 100 TB."""
+    plan = _formatted_plan(all_queries()["text_pii_redact"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_orc_scan_prunes_and_pushes(spark, sf_dir):
+    """The ORC reader must honor the same contract as parquet: pruned
+    ReadSchema (text never decoded) and the n_chars predicate pushed."""
+    plan = _formatted_plan(all_queries()["scan_orc"](spark, sf_dir))
+    orc_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in orc_schema and "lang" not in orc_schema
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,50)]" in plan
+
+
+def test_lm_unigram_vocab_join_is_broadcast(spark, sf_dir):
+    """The token→vocab join must be broadcast, never a shuffle join on the
+    Zipf-skewed word key."""
+    from sdg_data_catalog_spark.plans import inspect as P
+
+    plan = _formatted_plan(all_queries()["lm_unigram_score"](spark, sf_dir))
+    assert P.has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
