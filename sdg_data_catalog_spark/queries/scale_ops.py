@@ -328,3 +328,59 @@ def bucketed_agg_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_bucketed(spark, sf_dir)  # ensure tables exist
     li = spark.table(f"li_bkt_{_sf_name(sf_dir)}")
     return li.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("s"))
+
+
+@register(
+    "sink_compact",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every long-lived
+    lake needs: streaming sinks and incremental upserts leave thousands of
+    KB-scale files, and scan cost becomes per-file overhead instead of
+    bytes (on object storage each file is a GET + footer parse). Simulate
+    the damage (write documents as 64 fragments), then compact by
+    repartitioning to a target file count derived from actual bytes /
+     128 MB — the same sizing rule a real OPTIMIZE job uses; at 100 TB the
+    repartition is a full shuffle, which is exactly the price of
+    compaction and why it runs as scheduled maintenance, not inline.
+    Asserts the read-back aggregate is unchanged (oracle) and the file
+    count collapsed (tests/test_plans.py checks 64 → small)."""
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    frag_dir = io_dir(sf_dir, "docs_fragmented")
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(64).write.parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    target_files = max(1, round(n_bytes / (128 << 20)))
+    compact_dir = io_dir(sf_dir, "docs_compacted")
+    frag.repartition(target_files).write.parquet(compact_dir)
+
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def compacted_file_count(sf_dir: str) -> tuple[int, int]:
+    """(fragment_count, compacted_count) from the scratch dirs — test hook."""
+    from sdg_data_catalog_spark.sources.formats import SCRATCH, sf_name
+
+    base = os.path.join(SCRATCH, sf_name(sf_dir))
+    count = lambda leaf: len(  # noqa: E731
+        [f for f in os.listdir(os.path.join(base, leaf)) if f.endswith(".parquet")]
+    )
+    return count("docs_fragmented"), count("docs_compacted")

@@ -544,3 +544,38 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_v1,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even
+    FROM documents
+    WHERE doc_id % 2 = 0
+    GROUP BY source
+    """,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over the versioned atomic store
+    (sources/atomic.py): publish v1 (half the corpus) then v2 (all of it),
+    and read v1 BACK while v2 is current — the audit/debug primitive
+    ('what did the table contain when the model was trained?') that
+    Delta/Iceberg expose as VERSION AS OF. The versioned-dir layout makes
+    historical reads free: each publish is an immutable directory, so
+    time travel is a path choice, no log replay. Retention is the
+    explicit trade: publish(keep=N) bounds storage and bounds how far
+    back travel reaches."""
+    from sdg_data_catalog_spark.sources.atomic import publish, read_version
+
+    root = _io_dir(sf_dir, "docs_versioned")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    publish(docs.filter(F.col("doc_id") % 2 == 0), root, 1)
+    publish(docs, root, 2)  # v2 current; v1 retained
+    v1 = read_version(spark, root, 1)
+    return v1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_v1"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).cast("bigint").alias("n_even"),
+    )

@@ -69,3 +69,10 @@ def read_latest(spark: SparkSession, root: str) -> DataFrame:
     if cur is None:
         raise FileNotFoundError(f"no published version under {root}")
     return spark.read.parquet(cur[0])
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Time travel: read a specific published snapshot (if retained). The
+    versioned layout is what makes this free — each publish is an immutable
+    dir, so historical reads need no log replay, just the dir path."""
+    return spark.read.parquet(os.path.join(root, "versions", f"v{version:09d}"))

@@ -280,3 +280,53 @@ def conversion_join(
             ),
         )
     )
+
+
+# --- RocksDB state store (the at-scale state backend) ----------------------
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def run_available_now_rocksdb(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str | None = None,
+):
+    """Drain the backlog with the RocksDB state store provider — the
+    production choice once streaming state (dedup sets, session windows,
+    join buffers) exceeds executor heap: state lives off-heap in a local
+    RocksDB instance and checkpoints incrementally (changelog files) to the
+    checkpoint location, instead of the default HDFS-backed provider's
+    full-snapshot-per-batch of an in-heap map. The provider conf is read at
+    query start, so it is set for the duration and restored after (no
+    session-wide side effect — same save/restore discipline as the Arrow
+    batch-size hoisting). Returns (result_df, last_progress) so callers can
+    assert RocksDB actually served the state (customMetrics carry rocksdb*
+    keys only under this provider)."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode or "complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.lastProgress
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(query_name), progress

@@ -208,3 +208,17 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     expect = stream_join(spark, sf_dir)
     assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
     assert got.count() > 0
+
+
+def test_rocksdb_state_store_parity_and_evidence(spark, sf_dir, events_dir, tmp_path_factory):
+    """The RocksDB provider (rocksdbjni ships in Spark's jars) must produce
+    the same windowed aggregate as the default in-heap provider AND actually
+    serve the state: the query progress's stateOperators customMetrics carry
+    rocksdb* keys only when the provider is live."""
+    ckpt = str(tmp_path_factory.mktemp("rocksdb_ckpt"))
+    stream = W.tumbling_counts(W.read_events_stream(spark, events_dir))
+    got, progress = W.run_available_now_rocksdb(stream, "t_rocksdb", ckpt)
+    expect = stream_tumbling(spark, sf_dir)
+    assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
+    metrics = progress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics)
