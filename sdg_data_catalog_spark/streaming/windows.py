@@ -282,6 +282,22 @@ def conversion_join(
     )
 
 
+def enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Streaming twin of queries.sketches_curation.stream_enrich: stream ⋈
+    static broadcast dimension, then aggregate. Stream-static joins keep no
+    state — Spark re-evaluates the static side per micro-batch (so a dim
+    refresh is picked up on the next batch), and the broadcast means event
+    rows never shuffle for the join."""
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # --- RocksDB state store (the at-scale state backend) ----------------------
 
 ROCKSDB_PROVIDER = (

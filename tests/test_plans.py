@@ -301,3 +301,39 @@ def test_lm_unigram_vocab_join_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(all_queries()["lm_unigram_score"](spark, sf_dir))
     assert P.has_broadcast_join(plan)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_quality_quantile_is_two_pass_broadcast(spark, sf_dir):
+    """The per-source threshold must come back as a broadcast join — the text
+    side never sorts and never shuffles for the join (only the final tiny
+    per-source agg exchanges)."""
+    from sdg_data_catalog_spark.plans import inspect as P
+
+    plan = _formatted_plan(all_queries()["filter_quality_quantile"](spark, sf_dir))
+    assert P.has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pairs_form_in_row_no_join(spark, sf_dir):
+    """Adjacent pairs are built with in-row array ops — the plan must contain
+    no join at all and exactly the one pair-count aggregate exchange."""
+    plan = _formatted_plan(all_queries()["bpe_pair_counts"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_catalog_stats_single_scan(spark, sf_dir):
+    """All columns' min/max/ndv/nulls fold in ONE scan of lineitem — the
+    UNION-ALL-of-three-scans shape (the oracle's form) must not appear."""
+    plan = _formatted_plan(all_queries()["catalog_stats"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_stream_enrich_dim_is_broadcast(spark, sf_dir):
+    """The user→segment dimension must broadcast; event rows shuffle only for
+    the final segment/type aggregate."""
+    from sdg_data_catalog_spark.plans import inspect as P
+
+    plan = _formatted_plan(all_queries()["stream_enrich"](spark, sf_dir))
+    assert P.has_broadcast_join(plan)
+    assert "SortMergeJoin" not in plan

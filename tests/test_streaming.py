@@ -222,3 +222,18 @@ def test_rocksdb_state_store_parity_and_evidence(spark, sf_dir, events_dir, tmp_
     assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
     metrics = progress["stateOperators"][0]["customMetrics"]
     assert any(k.startswith("rocksdb") for k in metrics)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
+    """Stream-static broadcast join parity: the streaming enrich over the
+    drained backlog must equal the registered batch twin."""
+    from sdg_data_catalog_spark.catalog import table
+    from sdg_data_catalog_spark.queries.sketches_curation import stream_enrich
+
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = W.enrich_counts(W.read_events_stream(spark, events_dir), dim)
+    got = W.run_available_now(stream, "t_enrich")
+    expect = stream_enrich(spark, sf_dir)
+    assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
