@@ -384,3 +384,93 @@ def compacted_file_count(sf_dir: str) -> tuple[int, int]:
         [f for f in os.listdir(os.path.join(base, leaf)) if f.endswith(".parquet")]
     )
     return count("docs_fragmented"), count("docs_compacted")
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join written to let Catalyst's RUNTIME BLOOM
+    FILTER protect the big side: when the filtered creation side is too big
+    to broadcast (always true at 100 TB), the optimizer injects
+    `might_contain(bloom_filter_agg(o_orderkey), xxhash64(l_orderkey))`
+    into the lineitem scan, discarding ~3/4 of the fact rows BEFORE the
+    join shuffle. At this test scale orders broadcasts (so the query runs
+    the equally-good broadcast plan); `bloom_join_plan` below re-plans it
+    under no-broadcast confs and tests/test_plans.py asserts the injected
+    bloom subquery — the exact plan a 1000-executor run would execute."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Formatted plan of join_bloom_runtime under the confs that model the
+    100 TB regime (no broadcast possible, fact scan large enough to be worth
+    protecting) — optimization is forced INSIDE the conf scope because the
+    injection rule reads the confs at optimize time."""
+    from sdg_data_catalog_spark.plans.inspect import formatted_plan
+    from sdg_data_catalog_spark.session import conf_overrides
+
+    df = join_bloom_runtime(spark, sf_dir)
+    with conf_overrides(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        },
+    ):
+        return formatted_plan(df)
+
+
+@register(
+    "diag_partition_skew",
+    oracle="""
+    WITH sizes AS (
+        SELECT user_id % 32 AS part_id, COUNT(*) AS n
+        FROM events GROUP BY user_id % 32
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(MIN(n) AS BIGINT) AS min_rows,
+           ROUND(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 4)
+               AS skew_ratio
+    FROM sizes
+    """,
+)
+def diag_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic: per-partition row counts under the modeled
+    partitioner (user_id mod 32 — deterministic and oracle-able, unlike
+    murmur3) folded to a skew ratio (max/avg). This is the measurement that
+    decides whether a key needs salting (join_salted) or AQE skew-split
+    before a 100 TB run: skew_ratio ≈ 1 is healthy, ≥ 2 means the largest
+    task runs 2× the average and the stage tail is that one straggler. Two
+    tiny aggs (key-space sized, then 1 row) — the events table itself is
+    touched once, map-side combined."""
+    ev = table(spark, sf_dir, "events")
+    sizes = ev.groupBy((F.col("user_id") % 32).alias("part_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.min("n").cast("bigint").alias("min_rows"),
+        F.round(
+            F.max("n").cast("double") / (F.sum("n").cast("double") / F.count(F.lit(1))), 4
+        ).alias("skew_ratio"),
+    )

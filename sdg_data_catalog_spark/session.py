@@ -60,3 +60,30 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def conf_overrides(spark: SparkSession, **confs: str):
+    """Set runtime SQL confs for a scope and restore the previous values on
+    exit (same save/restore discipline as the Arrow batch-size hoisting —
+    no query may leave session-wide side effects). Keys use __ for dots only
+    when called with literal kwargs; pass a dict via ** for dotted keys."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        key = k.replace("__", ".")
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
