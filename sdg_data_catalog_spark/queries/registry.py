@@ -44,6 +44,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.scalar_functions",
     "sdg_data_catalog_spark.queries.scale_ops",
     "sdg_data_catalog_spark.queries.sketches_curation",
+    "sdg_data_catalog_spark.queries.retrieval_curation",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
