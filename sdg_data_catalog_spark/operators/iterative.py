@@ -1,0 +1,146 @@
+"""Iterative driver-coordinated algorithms: Lloyd's k-means over an
+embedding column and PageRank over an edge table.
+
+Both follow the same scale pattern: the per-iteration state is O(k) /
+O(nodes') small (centroids, dangling mass), lives on the driver, and is
+re-broadcast into pure-JVM expressions each round; the data-proportional
+work (distance evaluation, contribution aggregation) stays declarative and
+distributed. This mirrors how MLlib's own KMeans and GraphX's PageRank
+schedule work, re-expressed on the DataFrame API so Catalyst/AQE plan each
+round (reference analog: the catalog's scoring surface clusters/scores
+driver-side in pandas, /root/reference/dataset_ner/ner_pipeline.py — the
+same math, distributed).
+
+Scale notes:
+  - k-means collects exactly k*dim doubles per iteration (the new
+    centroids) — independent of row count; assignment is a codegen'd
+    expression tree (k squared-distance aggregates), no Python, no shuffle;
+    the centroid update is one partial-aggregated groupBy(cluster, pos).
+  - PageRank shuffles once per iteration on dst (partial-aggregated sum)
+    plus one broadcast join of the O(nodes) rank vector onto edges. Rank
+    state never leaves the cluster; only the scalar dangling mass is
+    collected. For a web-scale graph you'd pre-partition edges by src and
+    checkpoint the rank lineage every few rounds (noted, not needed at
+    test scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(emb_col, centroid: list[float]):
+    """Squared L2 distance to a literal centroid, fixed left-to-right
+    summation order (deterministic; float elements cast to double first)."""
+    cent = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(
+            emb_col,
+            cent,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add cluster_id = argmin squared distance and __sq the winning
+    distance. One pass, k codegen'd distance expressions, zero shuffle.
+    Ties resolve to the first (lowest) cluster id via array_position,
+    matching the numpy argmin convention."""
+    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
+    return (
+        vecs.withColumn("__dists", dists)
+        .withColumn("__sq", F.expr("array_min(__dists)"))
+        .withColumn(
+            "cluster_id",
+            (F.expr("array_position(__dists, __sq)") - 1).cast("int"),
+        )
+        .drop("__dists")
+    )
+
+
+def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd's k-means: deterministic init (centroids = the k lowest
+    vec_ids), `iters` rounds of assign + per-dimension mean, returning the
+    final (vec_id, cluster_id, sq_dist) assignment.
+
+    Input: (vec_id bigint, embedding array<float|double>).
+    """
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids).drop("__sq")
+        new_rows = (
+            assigned.select(
+                "cluster_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.m
+        centroids = [
+            [by_cluster[c][p] for p in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return (
+        _assign(vecs, centroids)
+        .withColumn("sq_dist", F.round(F.col("__sq"), 6))
+        .select("vec_id", "cluster_id", "sq_dist")
+    )
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFrame:
+    """PageRank by power iteration over a directed edge table
+    (src string/long, dst string/long). Dangling-node mass is
+    redistributed uniformly each round.
+
+    Returns (node, rank double, un-rounded). Node set = src ∪ dst.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    ).cache()
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Edges with per-src outdegree are loop-invariant: compute once, cache.
+    e = edges.join(outdeg, "src").cache()
+    e.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # Dangling mass: rank not emitted because the node has no out-edges.
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .collect()[0].d
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks

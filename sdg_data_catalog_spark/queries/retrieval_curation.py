@@ -172,9 +172,14 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
         )
     )
+    # Guard: sequence(1, 0) in Spark yields a DESCENDING [1, 0] (step -1 is
+    # inferred), and slice(_, 0, _) then throws — short docs must map to an
+    # empty span list, matching DuckDB's empty range(1, 1).
     spans = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {_SPAN - 1}, 0)),"
+        f"CASE WHEN size(split(text, ' ')) >= {_SPAN} THEN"
+        f" transform(sequence(1, size(split(text, ' ')) - {_SPAN - 1}),"
         f" i -> md5(array_join(slice(split(text, ' '), i, {_SPAN}), ' ')))"
+        f" ELSE array() END"
     )
     sp = corpus.select("doc_id", F.explode(spans).alias("h"))
     dup = (
