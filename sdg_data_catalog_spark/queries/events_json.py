@@ -397,9 +397,12 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "click_id",
             "purchase_id",
-            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
-                "lag_us"
-            ),
+            # cast NTZ→TIMESTAMP before unix_micros (rejects TIMESTAMP_NTZ);
+            # session tz is UTC so the cast is value-preserving
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("lag_us"),
         )
     )
 

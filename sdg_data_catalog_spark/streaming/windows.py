@@ -26,9 +26,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events schema with ts as epoch-nanos long: the raw parquet carries
-# TIMESTAMP(NANOS), which Spark can only read as long (catalog._load_events).
-EVENTS_RAW_SCHEMA = StructType(
+# Legacy events schema with ts as epoch-nanos long, for parquet written with
+# TIMESTAMP(NANOS) (which Spark can only read as long). Kept for callers that
+# know their source is nanos; read_events_stream detects the actual type.
+EVENTS_NANOS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
         StructField("ts", LongType()),
@@ -40,23 +41,50 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Open the events parquet dir as a stream; one file = one microbatch
-    backlog unit. Converts nanos → timestamp exactly like the batch loader."""
+    backlog unit (or `max_files_per_trigger` files per micro-batch).
+
+    Streaming sources can't infer schemas, so the schema is taken from a
+    batch footer read of the same dir — which also tells us whether `ts` is
+    stored as TIMESTAMP (µs, the current testdata) or as nanos-as-long
+    (TIMESTAMP(NANOS) parquet, which Spark only reads as long). The nanos →
+    µs conversion is applied ONLY in the long case, mirroring the batch
+    loader's guard (catalog._load_events) — unconditionally dividing a
+    µs-typed read by 1000 lands every event in 1970 (round-2 regression)."""
     from sdg_data_catalog_spark.catalog import _ensure_conf
 
     _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    batch = spark.read.parquet(events_dir)  # footer-only: schema discovery
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    if dict(batch.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); session tz is UTC so the cast is value-preserving
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Streaming twin of queries.events_json.stream_tumbling."""
+    """Streaming twin of queries.events_json.stream_tumbling. Window bounds
+    are cast back to TIMESTAMP_NTZ so drained results are value-identical to
+    the NTZ batch twin independent of driver/system timezone."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
 
 
@@ -65,7 +93,12 @@ def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFram
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
 
 
@@ -76,8 +109,8 @@ def session_counts(events: DataFrame, gap: str = "5 minutes", watermark: str = "
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
     )
@@ -275,9 +308,12 @@ def conversion_join(
             "user_id",
             "click_id",
             "purchase_id",
-            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias(
-                "lag_us"
-            ),
+            # cast NTZ→TIMESTAMP (session tz is UTC, value-preserving):
+            # unix_micros rejects TIMESTAMP_NTZ inputs outright
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("lag_us"),
         )
     )
 

@@ -101,17 +101,12 @@ def test_stateful_state_carries_across_microbatches(spark, sf_dir, tmp_path_fact
     )
 
     d = tmp_path_factory.mktemp("events_two_batches")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")  # raw nanos-as-long
+    ev = load(spark, sf_dir, "events")  # ts normalized to timestamp
     mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
     ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(str(d / "a"))
     ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(str(d / "b"))
 
-    raw = (
-        spark.readStream.schema(W.EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(d / "*"))
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    events = W.read_events_stream(spark, str(d / "*"), max_files_per_trigger=1)
     q = (
         user_stats_stream(events)
         .writeStream.format("memory")
@@ -222,6 +217,36 @@ def test_rocksdb_state_store_parity_and_evidence(spark, sf_dir, events_dir, tmp_
     assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
     metrics = progress["stateOperators"][0]["customMetrics"]
     assert any(k.startswith("rocksdb") for k in metrics)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_read_events_stream_handles_both_ts_units(
+    spark, sf_dir, tmp_path_factory, unit
+):
+    """Regression (round 2): read_events_stream must produce identical
+    timestamps whether the source parquet stores ts as TIMESTAMP(MICROS)
+    (read natively) or TIMESTAMP(NANOS) (readable only as long, needing the
+    ÷1000 conversion). The r2 reader hard-assumed nanos and shifted every
+    µs-typed event to 1970."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = pa.timestamp(unit)
+    rewritten = src.set_column(
+        src.schema.get_field_index("ts"),
+        pa.field("ts", ts_type),
+        src.column("ts").cast(ts_type),
+    )
+    d = tmp_path_factory.mktemp(f"events_{unit}")
+    pq.write_table(rewritten, str(d / "part-000.parquet"))
+
+    got = W.run_available_now(
+        W.tumbling_counts(W.read_events_stream(spark, str(d))),
+        f"t_unit_{unit}",
+    )
+    expect = stream_tumbling(spark, sf_dir)
+    assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
 
 
 def test_stream_static_enrich_matches_batch(spark, sf_dir, events_dir):
