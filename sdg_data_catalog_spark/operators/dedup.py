@@ -141,7 +141,7 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_blocked(
-    corpus: DataFrame, threshold: float, n: int = SHINGLE_N, n_blocks: int = 8
+    corpus: DataFrame, threshold: float, n: int = SHINGLE_N, n_blocks: int = 16
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via BLOCKED set intersection — same
     results as `jaccard_pairs`, ~4× faster when shingle document
@@ -159,11 +159,13 @@ def jaccard_pairs_blocked(
     bit-identical to the SQL oracle.
 
     Scale: replication cost is O(N·B); B is chosen so a block's shingle
-    sets fit executor memory ((N/B)·shingles·bytes). For corpora where
-    even that is unaffordable, the MinHash-LSH ladder
-    (`minhash_band_pairs`) is the candidate-pruning path. Measured at
-    sf0.1: 2.9 s steady vs 11.7 s for the inverted-index join
-    (/root/repo/PERF.md)."""
+    sets fit executor memory ((N/B)·shingles·bytes) while B(B+1)/2 block
+    pairs keep every core busy (B=16 → 136 tasks; measured 1.82 s at B=8
+    vs 1.67 s at B=12-16 on 32 cores at sf0.1, degrading again at B≥24 as
+    replication dominates). For corpora where even that is unaffordable,
+    the MinHash-LSH ladder (`minhash_band_pairs`) is the candidate-pruning
+    path. Measured at sf0.1: 2.9 s steady vs 11.7 s for the inverted-index
+    join (/root/repo/PERF.md)."""
     docs = shingle_sets(corpus, n).filter(F.size("shs") > 0)
     blk = docs.select(
         "doc_id", "shs", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("blk")

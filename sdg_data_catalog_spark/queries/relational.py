@@ -60,7 +60,13 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with bit-identical results. The customer-side broadcast is correct
     while |filtered customers| fits a broadcast (true through sf100-ish);
     beyond that drop the hint and AQE shuffle-joins orders⋈customer — the
-    lineitem pre-agg, which carries the bulk of the win, is scale-invariant."""
+    lineitem pre-agg, which carries the bulk of the win, is scale-invariant.
+
+    Small-side fast path (same bound-checked move as q3): when a cheap
+    count proves the (o_orderkey, n_name) side fits a broadcast, lineitem
+    is joined to it directly and aggregated by n_name in one pass — the
+    pre-agg exchange disappears entirely (lineitem never shuffles). Above
+    the bound the pre-agg plan stands."""
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -77,18 +83,24 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordn = orders.join(
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "n_name")
-    li = (
-        lineitem
+    lif = lineitem.filter(
         # predicate first so it pushes into the parquet scan
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    if ordn.count() <= _Q3_BROADCAST_ROW_BOUND:
+        return (
+            lif.join(F.broadcast(ordn), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(rev), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("line_count"),
+            )
         )
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    li = lif.groupBy("l_orderkey").agg(
+        F.sum(rev).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     return (
         li.join(ordn, F.col("l_orderkey") == F.col("o_orderkey"))

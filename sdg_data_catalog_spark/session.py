@@ -53,7 +53,12 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         # Arrow for every pandas_udf / mapInPandas / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 32g heap on the 128 GiB test box: at the sf10 bench tier a 16g
+        # heap showed late-session GC inflation (trailing queries 3-10×
+        # their fresh-session times after q18's shuffles + broadcast builds
+        # accumulated); on a real cluster this is per-executor memory and
+        # scales with the executor spec.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
