@@ -108,6 +108,7 @@ _PRIORITY = (
     "scan_orc",
     "scan_time_travel",
     "scan_schema_evolution",
+    "scan_jdbc",
     # UDF/UDAF/UDTF surface
     "udtf_token_positions",
     "udaf_norm",

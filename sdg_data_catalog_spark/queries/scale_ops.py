@@ -437,6 +437,74 @@ def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q5_bucketed",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 on the bucketed layout — the amortized twin of
+    q5_revenue_by_nation (same oracle). The shipdate-filtered lineitem
+    pre-agg reads the bucketBy(32, l_orderkey) table, so the per-orderkey
+    partial aggregation needs NO Exchange; the (o_orderkey, n_name) side
+    — orders from the SAME bucket layout semi-join-reduced by the
+    broadcast customer/nation/region chain — is already partitioned on
+    o_orderkey too, so the final join is bucket-local shuffle-hash with
+    zero exchanges on either fact side. Only the tiny by-nation agg
+    shuffles. This is the plan a warehouse would run daily at 100 TB:
+    every per-order aggregation and orderkey join rides the ingest-time
+    layout."""
+    _ensure_bucketed_tables(spark, sf_dir)
+    sfn = _sf_name(sf_dir)
+    li = spark.table(f"li_bkt_{sfn}")
+    orders = spark.table(f"o_bkt_{sfn}")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    dim = (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "n_name")
+    ordn = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "n_name")
+    pre = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        pre.join(ordn.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("cnt").alias("line_count"),
+        )
+    )
+
+
+@register(
     "sink_compact",
     oracle="""
     SELECT source,

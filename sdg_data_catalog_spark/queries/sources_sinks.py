@@ -56,6 +56,50 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jdbc",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE external-database scan over JDBC (reference analog: the SQLite
+    catalog behind utils/db_connection.py:12-32, read driver-side row by
+    row). Customers are seeded ONCE into an embedded Apache Derby database
+    (the JDBC database that ships with Spark itself), then read back with
+    spark.read.jdbc partitioned on c_custkey — N executor-side connections
+    each pull one key-range slice in parallel, and the acctbal filter
+    pushes down into the remote SQL (JDBCRelation PushedFilters). At scale
+    the same reader code points at the warehouse's client-server JDBC URL;
+    ingest bandwidth scales with numPartitions. Oracle runs the same
+    aggregation on the original parquet — the JDBC round-trip must be
+    lossless."""
+    from sdg_data_catalog_spark.sources import jdbc as J
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    db_dir = _io_dir(sf_dir, "jdbc_derby", fresh=False)
+    J.seed_jdbc_table(spark, cust, db_dir, "customer")
+    lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).collect()[0]
+    remote = J.read_jdbc_partitioned(
+        spark, db_dir, "customer", "c_custkey", int(lo), int(hi), num_partitions=8
+    )
+    return (
+        remote.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
     "scan_csv",
     oracle="SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents",
 )
