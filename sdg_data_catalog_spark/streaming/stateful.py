@@ -67,6 +67,68 @@ def user_stats_batch(events: DataFrame) -> DataFrame:
     return events.select("user_id", "ts", "event_id", "value").groupBy("user_id").applyInPandas(stats, OUT_SCHEMA)
 
 
+def user_stats_stream_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 arbitrary-state twin: the SAME per-user fold under
+    ``transformWithStateInPandas`` (the successor API to
+    applyInPandasWithState) — a StatefulProcessor with a typed ValueState
+    variable instead of a positional state tuple. Feature-wise this is the
+    API that adds multiple named state variables, state TTL, timers, and
+    initial-state bootstrap; here it carries the identical (n, total,
+    max_gap, last_ts) state so the two APIs are parity-testable against
+    each other and against the batch fold.
+
+    Runtime requirements: the RocksDB state store provider AND the
+    `protobuf` Python package (the TWS state server speaks protobuf to the
+    Python worker). This container ships neither protobuf nor pip access,
+    so the parity test skips-with-reason here and runs green on a standard
+    cluster image (tests/test_streaming.py::
+    test_transform_with_state_matches_batch)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, max_gap, last_us = self._state.get()
+                if last_us == -1:
+                    last_us = None
+            else:
+                n, total, max_gap, last_us = 0, 0.0, 0, None
+            for pdf in rows:
+                if len(pdf):
+                    n, total, max_gap, last_us = _fold(pdf, n, total, max_gap, last_us)
+            self._state.update(
+                (n, total, max_gap, last_us if last_us is not None else -1)
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_gap_us": [max_gap],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserStats(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def user_stats_stream(events: DataFrame) -> DataFrame:
     """Streaming twin: applyInPandasWithState carries (n, total, max_gap,
     last_ts) across micro-batches; emits the updated row per user per batch."""
