@@ -364,6 +364,27 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_train_merges")  # iterative merge loop: rows-only, pytest twin
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (operators/bpe.py::bpe_train): 20 merge
+    rounds over the documents word histogram — the iterative closure of
+    bpe_pair_counts. Each round is one map-side-combined pair-count
+    aggregate over the DISTINCT-WORD table (not the corpus) + a single
+    argmax row to the driver + a vectorized merge apply; the symbol table
+    is localCheckpointed per round. Deterministic tie-break (count DESC,
+    pair ASC) ⇒ stable output; the differential pytest twin retrains in
+    pure Python and must produce the identical merge list
+    (tests/test_bpe.py)."""
+    from sdg_data_catalog_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left_sym STRING, right_sym STRING, merged STRING",
+    )
+
+
 @register(
     "catalog_stats",
     oracle="""
