@@ -364,6 +364,91 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_constraints",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                 ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0
+                 OR l_quantity IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite — what a catalog runs per ingest batch
+    before publishing a snapshot (reference analog: the ad-hoc sanity
+    queries around utils/db_connection.py; the engine makes them one
+    declarative job). Six checks in three jobs, each scale-shaped:
+
+      - PK uniqueness = COUNT(*) − COUNT(DISTINCT pk) per table, folded
+        into ONE aggregate per table (no self-join);
+      - FK integrity = left-anti join counts (lineitem→orders on a
+        broadcast-or-shuffle join AQE picks; orders→customer likewise) —
+        the anti join is the only scalable referential check, never a NOT
+        IN subquery (null-hostile AND unplannable at scale);
+      - domain checks (positive quantities, non-null dates) ride the same
+        single scans as the PK folds.
+
+    Output: (check_name, violations) — all zeros on the driver's synthetic
+    data; non-zero rows are what a publish gate would block on."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    o_stats = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("bigint").alias("pk_dup"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).cast("bigint").alias("null_date"),
+    )
+    c_stats = customer.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).cast("bigint").alias("pk_dup")
+    )
+    li_stats = li.agg(
+        F.count(
+            F.when(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1)
+        ).cast("bigint").alias("bad_qty")
+    )
+    li_orphans = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    o_orphans = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rows = [
+        ("orders_pk_unique", o_stats.select("pk_dup")),
+        ("customer_pk_unique", c_stats.select("pk_dup")),
+        ("lineitem_fk_orders", li_orphans),
+        ("orders_fk_customer", o_orphans),
+        ("lineitem_qty_positive", li_stats),
+        ("orders_date_not_null", o_stats.select("null_date")),
+    ]
+    out = None
+    for name, df in rows:
+        piece = df.select(
+            F.lit(name).alias("check_name"), F.col(df.columns[0]).alias("violations")
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("check_name")
+
+
 @register("bpe_train_merges")  # iterative merge loop: rows-only, pytest twin
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (operators/bpe.py::bpe_train): 20 merge

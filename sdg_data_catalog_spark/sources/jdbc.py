@@ -33,9 +33,21 @@ def derby_url(db_dir: str, create: bool = False) -> str:
 
 
 def _quiet_derby(spark: SparkSession, home: str) -> None:
-    """Point derby.log at the scratch dir instead of the caller's cwd."""
+    """Point derby.log at a STABLE scratch dir instead of the caller's cwd.
+
+    Set once per JVM and never changed: the embedded engine snapshots
+    derby.system.home at boot, and flipping it between databases leaves the
+    service-properties lookup half-initialized (manifests as an NPE in
+    RawStore.boot when a second database starts). Database paths in our
+    URLs are absolute, so the home only controls derby.log placement."""
     try:
-        spark._jvm.java.lang.System.setProperty("derby.system.home", home)
+        jsys = spark._jvm.java.lang.System
+        if jsys.getProperty("derby.system.home") is None:
+            import os as _os
+
+            stable = _os.path.join(_os.path.dirname(home.rstrip("/")), "derby_home")
+            _os.makedirs(stable, exist_ok=True)
+            jsys.setProperty("derby.system.home", stable)
     except Exception:  # noqa: BLE001 — cosmetic only
         pass
 
