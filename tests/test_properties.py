@@ -139,3 +139,62 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         spread = e["hi"] - e["lo"] or 1.0
         for q in ("p25", "p50", "p75"):
             assert abs(a[q] - e[q]) <= 0.05 * spread, (et, q, a[q], e[q])
+
+
+# --- PNG codec properties (operators/imagecodec.py) ------------------------
+
+_DIM = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _DIM, _DIM,
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, channels, seed):
+    """encode→decode is the identity for every 8-bit grey/RGB/RGBA shape."""
+    import numpy as np
+
+    from sdg_data_catalog_spark.operators.imagecodec import png_decode, png_encode
+
+    rng = np.random.RandomState(seed % (2**31))
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(png_decode(png_encode(arr)), arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_DIM, _DIM, _DIM, _DIM, st.integers(min_value=0, max_value=2**31 - 1))
+def test_resize_nearest_properties(h, w, oh, ow, seed):
+    """Resize output has the requested shape, only contains source pixel
+    values, and identity-resize is a no-op."""
+    import numpy as np
+
+    from sdg_data_catalog_spark.operators.imagecodec import resize_nearest
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    out = resize_nearest(arr, ow, oh)
+    assert out.shape == (oh, ow)
+    assert set(np.unique(out)) <= set(np.unique(arr))
+    assert np.array_equal(resize_nearest(arr, w, h), arr)
+
+
+# --- BPE properties (operators/bpe.py) -------------------------------------
+
+_BPE_WORD = st.text(alphabet="abz", min_size=1, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_BPE_WORD, min_size=1, max_size=12))
+def test_bpe_encode_roundtrip_property(words):
+    """Encoding with ANY merge list must concatenate back to the word, and
+    symbol counts never increase."""
+    from sdg_data_catalog_spark.operators.bpe import EOW, encode_words
+
+    merges = [("a", "b"), ("ab", "z"), ("z", "a" + EOW)]
+    encoded = encode_words(words, merges)
+    for word, syms in zip(words, encoded):
+        assert "".join(syms).replace(EOW, "") == word
+        assert len(syms) <= len(word)
