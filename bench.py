@@ -51,6 +51,9 @@ EXTENDED = (
     "udaf_norm",
     "join_gazetteer",
     "join_bucketed",
+    "mm_resize",
+    "dq_constraints",
+    "scan_jdbc",
 )
 
 # Headline set: the heaviest representative per operator family.
