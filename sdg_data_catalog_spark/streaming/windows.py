@@ -318,6 +318,42 @@ def conversion_join(
     )
 
 
+def conversion_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 HOUR",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like conversion_join, but clicks with
+    NO purchase inside the horizon emit a null-purchase row — once the
+    purchase-side watermark passes click_ts + horizon and Spark can PROVE
+    no match can still arrive. Consequence (tested): at the end of a
+    drained finite stream, unmatched clicks NEWER than the final watermark
+    have not been emitted yet — they are still provisional state, exactly
+    what resuming the stream with more data would need. The batch twin has
+    no such tail (its input is complete by definition); the parity test
+    accounts for the difference explicitly rather than papering over it."""
+    c = (
+        clicks.select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("user_id", "click_id", "click_ts", "purchase_id")
+
+
 def enrich_counts(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Streaming twin of queries.sketches_curation.stream_enrich: stream ⋈
     static broadcast dimension, then aggregate. Stream-static joins keep no

@@ -260,6 +260,73 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     assert got.count() > 0
 
 
+def test_stream_stream_left_outer_join_semantics(spark, sf_dir, events_dir):
+    """LEFT OUTER stream-stream join: every inner pair must match the batch
+    join; null-purchase rows must be (a) truly unmatched clicks and (b)
+    emitted ONLY for clicks old enough that the final watermark proves no
+    match can arrive — newer unmatched clicks stay in state, exactly the
+    rows a resumed stream could still match."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    ev = W.read_events_stream(spark, events_dir)
+    out = W.conversion_join_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    got = W.run_available_now(out, "t_ssjoin_outer", output_mode="append")
+    matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in got.collect()
+        if r.purchase_id is not None
+    }
+    nulls = {r.click_id for r in got.collect() if r.purchase_id is None}
+
+    # batch reference: full outer pairs + per-click match flag
+    from sdg_data_catalog_spark.catalog import table as load
+
+    bev = load(spark, sf_dir, "events")
+    c = bev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    inner = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    expect_matched = {
+        (r.user_id, r.click_id, r.purchase_id) for r in inner.collect()
+    }
+    assert matched == expect_matched  # inner pairs identical to batch
+
+    matched_clicks = {cid for _, cid, _ in expect_matched}
+    all_clicks = {r.click_id for r in c.collect()}
+    unmatched_clicks = all_clicks - matched_clicks
+    # (a) every null row is a genuinely unmatched click
+    assert nulls <= unmatched_clicks
+    # (b) exact emission frontier: the GLOBAL watermark is the MIN across
+    # both inputs' watermarks (each = its max event time − 10 min delay),
+    # and an unmatched click emits its null row iff the global watermark
+    # proves no purchase inside the horizon can still arrive
+    # (click_ts + 1 h < global watermark). Everything newer stays in state
+    # — the rows a resumed stream could still match.
+    import datetime as dt
+
+    max_c = c.agg(F.max("click_ts")).collect()[0][0]
+    max_p = p.agg(F.max("purchase_ts")).collect()[0][0]
+    global_wm = min(max_c, max_p) - dt.timedelta(minutes=10)
+    frontier = global_wm - dt.timedelta(hours=1)
+    click_ts = {r.click_id: r.click_ts for r in c.collect()}
+    expect_nulls = {cid for cid in unmatched_clicks if click_ts[cid] < frontier}
+    assert nulls == expect_nulls
+    assert nulls  # non-vacuous: the drained backlog does emit null rows
+
+
 def test_rocksdb_state_store_parity_and_evidence(spark, sf_dir, events_dir, tmp_path_factory):
     """The RocksDB provider (rocksdbjni ships in Spark's jars) must produce
     the same windowed aggregate as the default in-heap provider AND actually
