@@ -408,6 +408,45 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_outer",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT OUTER stream-stream interval join
+    (streaming/windows.py::conversion_join_outer): clicks keep a row even
+    with no in-horizon purchase. In streaming form the null rows emit only
+    once the global watermark (min across both inputs) proves no match can
+    still arrive — the exact eviction frontier is pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_join_semantics;
+    the batch form is the complete-input answer the stream converges to."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
+@register(
     "stream_rocksdb",
     oracle="""
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
