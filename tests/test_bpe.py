@@ -76,6 +76,26 @@ def test_bpe_merges_compress(spark, sf_dir):
         assert "".join(e).replace(EOW, "") == w
 
 
+def test_bpe_encode_corpus_matches_reference_and_invariants(spark, sf_dir):
+    from sdg_data_catalog_spark.operators.bpe import bpe_train, encode_corpus
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    merges = bpe_train(docs, n_merges=10)
+    got = {r.doc_id: r for r in encode_corpus(docs, merges).collect()}
+    for d in docs.collect()[:25]:
+        words = [w for w in d.text.split(" ") if w]
+        expect = sum(len(e) for e in encode_words(words, merges))
+        r = got[d.doc_id]
+        assert r.n_words == len(words)
+        assert r.n_tokens == expect
+        assert r.n_tokens >= r.n_words
+        assert r.n_tokens <= sum(len(w) for w in words)
+    # monotonicity: more merges never increase token counts
+    fewer = {r.doc_id: r.n_tokens for r in encode_corpus(docs, merges[:3]).collect()}
+    for did, r in got.items():
+        assert r.n_tokens <= fewer[did]
+
+
 def test_bpe_registered_query_shape(spark, sf_dir):
     from sdg_data_catalog_spark.queries.registry import all_queries
 
