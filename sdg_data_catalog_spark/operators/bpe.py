@@ -139,6 +139,44 @@ def bpe_train(
     return merges
 
 
+def encode_corpus(
+    corpus: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Tokenize every document with a TRAINED merge list — the consumer
+    side of bpe_train. The merge list (O(n_merges), tiny) rides to
+    executors inside the UDF closure (broadcast-by-serialization); each
+    Arrow batch encodes word-by-word with a per-batch memo dict, so a
+    word's merge chain runs once per distinct word per batch, not once
+    per occurrence. Returns (doc_id, n_words, n_tokens) — the
+    pre-training token-budget measurement, now under the LEARNED
+    tokenizer instead of the whitespace proxy (text_token_budget)."""
+
+    def encode(batches):
+        for pdf in batches:
+            memo: dict[str, int] = {}
+            n_words, n_tokens = [], []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").split(" ") if w]
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(encode_words([w], merges)[0])
+                    total += memo[w]
+                n_words.append(len(words))
+                n_tokens.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int64"),
+                }
+            )
+
+    return corpus.select("doc_id", text_col).mapInPandas(
+        encode, "doc_id BIGINT, n_words BIGINT, n_tokens BIGINT"
+    )
+
+
 def encode_words(symtab_words: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
     """Driver-side reference encoder (used by tests): apply the merge list
     in order to each word."""

@@ -470,6 +470,21 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_encode_tokens")  # learned-tokenizer budget: rows-only, pytest twin
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget under the LEARNED BPE tokenizer: train 20 merges on
+    the corpus word histogram (operators/bpe.py::bpe_train), then encode
+    every document distributed (encode_corpus, Arrow batches with a
+    per-batch word memo). Invariants (tested): n_tokens ≤ total chars,
+    n_tokens ≥ n_words (a word is ≥1 token), and more merges never
+    increase a document's token count."""
+    from sdg_data_catalog_spark.operators.bpe import bpe_train, encode_corpus
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=20)
+    return encode_corpus(docs, merges).orderBy("doc_id")
+
+
 @register(
     "catalog_stats",
     oracle="""
