@@ -305,3 +305,48 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+@register("cluster_kmeans")  # iterative, rows-only: numpy-twin tested
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means assignment over the embeddings table
+    (operators/iterative.py::kmeans_assign): deterministic init (k lowest
+    vec_ids), 3 rounds, k=4 — the semantic-dedup / corpus-mapping
+    clustering step. Per-iteration driver state is exactly k·dim doubles;
+    assignment is a codegen'd expression tree (no Python, no shuffle) and
+    the update one partial-aggregated groupBy. Differential-tested against
+    a dense-numpy twin (tests/test_iterative.py)."""
+    from sdg_data_catalog_spark.operators.iterative import kmeans_assign
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(emb, k=4, iters=3).orderBy("vec_id")
+
+
+@register("graph_pagerank")  # iterative, rows-only: numpy-twin tested
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer shipment graph (distinct
+    (l_suppkey, o_custkey) pairs from lineitem⋈orders) — the
+    entity-importance primitive the reference's 0-line knowledge_graph/
+    stage gestures at. Power iteration with uniform dangling
+    redistribution (operators/iterative.py::pagerank): one shuffle per
+    round on dst plus a broadcast of the rank vector; ranks
+    localCheckpointed per round. Rounded to 10 decimals for a stable
+    cross-engine surface; differential-tested against a dense-numpy twin."""
+    from sdg_data_catalog_spark.operators.iterative import pagerank
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),  # disjoint id spaces
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, damping=0.85, iters=4)
+        .select("node", F.round("rank", 10).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )
