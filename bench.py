@@ -1,7 +1,11 @@
 """Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact (≤1 KB) JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+   "duckdb_total": ..., "sf1_total": ..., "sf1_duckdb": ..., "sf10_total": ...,
+   "sf10_duckdb": ..., "detail": "BENCH_DETAIL.json"}
+Full per-tier tables (cold/build/extended/per-query baselines) are written to
+BENCH_DETAIL.json — the stdout line stays within the driver's tail capture.
 
 Methodology: each query's DataFrame is built ONCE, executed once to warm
 (JVM codegen, file-system cache, broadcast build paths), then the MINIMUM of
@@ -251,7 +255,29 @@ def main() -> None:
             "baseline_total": round(sum(sf10_base.values()), 4),
         }
 
-    print(json.dumps(result))
+    # Full detail goes to a file; stdout gets ONE compact line (the driver's
+    # tail capture is ~2 KB — r2/r3 records were truncated to `parsed: null`
+    # when the detail tables lived on the stdout line).
+    detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {n: round(v, 3) for n, v in result["queries"].items()},
+        "sf": result["sf"],
+        "duckdb_total": round(sum(result["baseline_duckdb"].values()), 3),
+        "detail": "BENCH_DETAIL.json",
+    }
+    for tier in ("sf1", "sf10"):
+        if tier in result:
+            compact[f"{tier}_total"] = round(result[tier]["value"], 3)
+            compact[f"{tier}_duckdb"] = round(result[tier]["baseline_total"], 3)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB budget"
+    print(line)
     spark.stop()
 
 
