@@ -52,76 +52,24 @@ _MODULES = (
 _loaded = False
 
 # Driver-window priority: the external correctness gate samples the FIRST 50
-# names of queries() in iteration order each round. Rounds 1+2 verified 95
+# names of queries() in iteration order each round. Rounds 1-3 verified 145
 # distinct names (protected since by tests/test_contract.py, which runs EVERY
-# oracle locally); this list front-loads the 112 oracle-backed names with no
-# driver row yet, in round-3 priority order — the driver's window covers the
-# first 50 this round, and the list simply rotates forward next round.
+# oracle locally); round 4 rotates the window onto the 53 oracle-backed names
+# that have never had a driver row: the four round-3 registrations that missed
+# the r3 window, then the §2 tail in round-3 priority order. Positions 51+
+# hold the spill-over (front of the round-5 window) followed by the
+# round-3-checked block; everything unlisted follows in registration order.
 # Alias IDs whose targets are already driver-green (scan_sqlite, filter_range,
 # dedup, ... — same callable AND oracle) are deliberately absent: a green row
-# on the target is a green row on the ID. Names listed here come first (in
-# this order); everything else follows in registration order.
+# on the target is a green row on the ID.
 _PRIORITY = (
-    # TPC-H tail — never driver-checked (tpch_rest.py)
-    "q2_min_acctbal_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q16_supplier_relation",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    # streaming surface fixed this round (ts-unit/NTZ bugs)
-    "stream_join",
-    "stream_rocksdb",
-    # round-2 LLM-pipeline additions
-    "pack_sequences",
-    "dedup_decontaminate",
-    "dedup_lines",
-    "dedup_incremental",
-    "text_pii_redact",
-    "lm_unigram_score",
-    "emb_random_projection",
-    "emb_quantize_int8",
-    "sample_hash",
-    "split_hash",
-    "sample_mixture",
-    "shuffle_shards",
-    # mergeable sketches
-    "sketch_hll_distinct",
-    "sketch_hll_union",
-    "sketch_cms_freq",
-    "sketch_topk_vocab",
-    "filter_quality_quantile",
-    # layout / scale ops
-    "join_bucketed",
-    "scan_partition_pruned",
-    "join_salted",
-    "sink_range_clustered",
-    "sink_zorder_clustered",
-    "agg_bucketed",
-    "sink_compact",
-    "join_bloom_runtime",
-    "diag_partition_skew",
-    # source formats
-    "scan_datasource_api",
-    "scan_orc",
-    "scan_time_travel",
-    "scan_schema_evolution",
-    "scan_jdbc",
-    # UDF/UDAF/UDTF surface
-    "udtf_token_positions",
-    "udaf_norm",
-    "udf_bert_classify",
-    "udaf_grouped_agg",
-    # curation / ETL
-    "etl_scd2",
-    "bpe_pair_counts",
-    "catalog_stats",
-    "stream_enrich",
-    "dedup_semantic",
+    # round-3 registrations that missed the r3 window (all oracle-backed)
+    "q18_bucketed",
+    "q5_bucketed",
+    "dq_constraints",
+    "stream_join_outer",
+    # §2 / curation tail — never driver-checked
     "dedup_substring",
-    # --- driver window boundary (~50); below rotates forward in round 4 ---
     "text_bm25",
     "etl_chunk_sliding",
     "text_collocations",
@@ -167,9 +115,61 @@ _PRIORITY = (
     "str_urlencode",
     "str_charset",
     "date_today",
+    # --- driver window boundary (50); below rotates forward in round 5 ---
     "arr_truncate",
     "arr_map_lookup",
     "arr_onehot",
+    # round-3-checked block (driver-green in CORRECTNESS_r03.json)
+    "q2_min_acctbal_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q16_supplier_relation",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "stream_join",
+    "stream_rocksdb",
+    "pack_sequences",
+    "dedup_decontaminate",
+    "dedup_lines",
+    "dedup_incremental",
+    "text_pii_redact",
+    "lm_unigram_score",
+    "emb_random_projection",
+    "emb_quantize_int8",
+    "sample_hash",
+    "split_hash",
+    "sample_mixture",
+    "shuffle_shards",
+    "sketch_hll_distinct",
+    "sketch_hll_union",
+    "sketch_cms_freq",
+    "sketch_topk_vocab",
+    "filter_quality_quantile",
+    "join_bucketed",
+    "scan_partition_pruned",
+    "join_salted",
+    "sink_range_clustered",
+    "sink_zorder_clustered",
+    "agg_bucketed",
+    "sink_compact",
+    "join_bloom_runtime",
+    "diag_partition_skew",
+    "scan_datasource_api",
+    "scan_orc",
+    "scan_time_travel",
+    "scan_schema_evolution",
+    "scan_jdbc",
+    "udtf_token_positions",
+    "udaf_norm",
+    "udf_bert_classify",
+    "udaf_grouped_agg",
+    "etl_scd2",
+    "bpe_pair_counts",
+    "catalog_stats",
+    "stream_enrich",
+    "dedup_semantic",
 )
 
 
