@@ -118,7 +118,6 @@ def bpe_train(
     symtab = _initial_symbols(word_histogram(corpus, text_col))
     symtab = symtab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    prev = symtab
     for i in range(n_merges):
         top = (
             _pair_counts(symtab)
@@ -132,10 +131,12 @@ def bpe_train(
         merges.append((left, right))
         symtab = _apply_merge(symtab, left, right)
         # cut lineage every round: each merge stacks a pandas UDF on the
-        # last — k rounds would otherwise re-run all k UDFs per job
+        # last — k rounds would otherwise re-run all k UDFs per job.
+        # Rebinding drops the only reference to the prior round's
+        # checkpoint; its blocks are released by Spark's ContextCleaner on
+        # GC (Dataset.unpersist would be a no-op here — checkpoint blocks
+        # aren't tracked by the CacheManager).
         symtab = symtab.localCheckpoint(eager=True)
-        prev.unpersist()
-        prev = symtab
     return merges
 
 

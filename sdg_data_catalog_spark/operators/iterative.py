@@ -123,6 +123,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
     if n == 0:
         from pyspark.sql.types import DoubleType, StructField, StructType
 
+        nodes.unpersist()
         return spark.createDataFrame(
             [],
             StructType(
@@ -139,7 +140,6 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
     e = edges.join(outdeg, "src").cache()
     e.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    prev = None
     for _ in range(iters):
         contrib = (
             e.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -166,8 +166,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
         # Materialize each round and cut lineage: without this the rank
         # lineage deepens every iteration and the broadcast + dangling
         # collect re-evaluate the whole prior chain — O(iters²) recompute.
+        # Rebinding drops the prior round's checkpoint reference; its
+        # blocks are released by the ContextCleaner on GC (unpersist on a
+        # localCheckpointed Dataset is a CacheManager no-op).
         ranks = ranks.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+    # The final ranks are checkpointed — they no longer read the loop
+    # invariants, so release those caches before handing the result back.
+    for df in (e, outdeg, nodes):
+        df.unpersist()
     return ranks

@@ -134,33 +134,39 @@ def decode_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     """Decode → nearest-resize → re-encode one image payload.
 
-    Codec ladder: Pillow when importable (the production path — cluster
-    images ship it; covers JPEG/PNG/WebP/...), else the self-contained
-    stdlib-zlib PNG codec (operators/imagecodec.py) for PNG payloads, else
-    NotImplementedError naming the missing codec. The error is raised
-    lazily per batch — plan construction never fails."""
+    Codec ladder: PNG payloads ALWAYS go through the self-contained
+    stdlib-zlib codec (operators/imagecodec.py) so the output bytes — and
+    therefore any sha-based differential check — are identical on every
+    environment, with or without Pillow (Pillow's PNG encoder emits
+    different-but-valid bytes, which made `mm_resize` results
+    environment-dependent). Non-PNG payloads (JPEG/WebP/...) fall back to
+    Pillow when importable; otherwise NotImplementedError naming the
+    missing codec. Errors are raised lazily per batch — plan construction
+    never fails."""
+    data = bytes(payload)
+    from sdg_data_catalog_spark.operators import imagecodec
+
+    if data[:8] == imagecodec._PNG_SIG:
+        arr = imagecodec.png_decode(data)
+        return imagecodec.png_encode(
+            imagecodec.resize_nearest(arr, width, height)
+        )
     try:
         import io
 
         from PIL import Image  # noqa: PLC0415 — probed at task runtime
-
-        img = Image.open(io.BytesIO(bytes(payload)))
+    except ImportError:
+        raise NotImplementedError(
+            "no codec for this payload (not PNG, Pillow unavailable); "
+            "plug PIL/ffmpeg here"
+        ) from None
+    try:
+        img = Image.open(io.BytesIO(data))
         buf = io.BytesIO()
         img.resize((width, height), Image.NEAREST).save(buf, format="PNG")
         return buf.getvalue()
-    except ImportError:
-        pass
-    from sdg_data_catalog_spark.operators import imagecodec
-
-    if bytes(payload[:8]) == imagecodec._PNG_SIG:
-        arr = imagecodec.png_decode(bytes(payload))
-        return imagecodec.png_encode(
-            imagecodec.resize_nearest(arr, width, height)
-        )
-    raise NotImplementedError(
-        "no codec for this payload (not PNG, Pillow unavailable); "
-        "plug PIL/ffmpeg here"
-    )
+    except Exception as exc:
+        raise NotImplementedError(f"no codec for this payload: {exc}") from exc
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:

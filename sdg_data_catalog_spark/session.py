@@ -13,6 +13,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """32g on the 128 GiB test box, but never more than half of physical
+    RAM — on smaller hosts a hardcoded 32g either fails JVM startup or
+    overcommits. SPARK_GRAFT_DRIVER_MEM always wins."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    half_gb = int(line.split()[1]) // (2 * 1024 * 1024)
+                    return f"{max(1, min(32, half_gb))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = None) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -53,12 +68,16 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         # Arrow for every pandas_udf / mapInPandas / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # 32g heap on the 128 GiB test box: at the sf10 bench tier a 16g
-        # heap showed late-session GC inflation (trailing queries 3-10×
-        # their fresh-session times after q18's shuffles + broadcast builds
-        # accumulated); on a real cluster this is per-executor memory and
-        # scales with the executor spec.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Heap: min(32g, half of MemTotal). 32g on the 128 GiB test box —
+        # at the sf10 bench tier a 16g heap showed late-session GC
+        # inflation (trailing queries 3-10× their fresh-session times after
+        # q18's shuffles + broadcast builds accumulated) — without breaking
+        # JVM startup on smaller hosts; on a real cluster this is
+        # per-executor memory and scales with the executor spec.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
