@@ -45,6 +45,10 @@ from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 # steady-state times reported under "extended" (not part of "value", which
 # stays comparable round-over-round on the relational headline).
 EXTENDED = (
+    # ad-hoc (fresh-directory) q5/q18 plans: the headline names route to the
+    # bucketed layout when it exists, so the ad-hoc delta is tracked here
+    "q5_adhoc",
+    "q18_adhoc",
     "pipeline_curation",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
@@ -61,9 +65,11 @@ EXTENDED = (
 )
 
 # Headline set: the heaviest representative per operator family.
-# q18_bucketed is q18 on the bucketed lineitem layout (same oracle) — kept
-# beside q18_large_orders so the bench shows both the ad-hoc plan and the
-# amortized-layout plan at every tier.
+# q5_revenue_by_nation / q18_large_orders are layout-aware: with the
+# bucketed tables on disk (true after the first bench run per tier) they
+# run the amortized-layout plans; the ad-hoc forms are tracked in EXTENDED
+# as q5_adhoc / q18_adhoc. q18_bucketed predates the routing and is kept
+# for round-over-round comparability of the headline total.
 HEADLINE = (
     "q5_revenue_by_nation",
     "q1_pricing_summary",

@@ -47,6 +47,23 @@ _BUCKET_SPECS = {
 }
 
 
+def bucketed_layout_on_disk(sf_dir: str) -> bool:
+    """True when the current-version 32-bucket orderkey layouts for this
+    scale factor already exist on disk (ingest-time cost already paid).
+    Pure filesystem probe — never builds anything, so fresh directories
+    stay on the ad-hoc plans; a session that sees True can register the
+    external tables with DDL only (cheap)."""
+    sfn = _sf_name(sf_dir)
+    return all(
+        os.path.isfile(
+            os.path.join(
+                _SCRATCH, sfn, f"{prefix}_data", f"_LAYOUT_{_BUCKET_LAYOUT_VERSION}"
+            )
+        )
+        for prefix in _BUCKET_SPECS
+    )
+
+
 def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> None:
     """Make the 32-bucket orderkey layouts available in THIS session.
 

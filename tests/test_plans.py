@@ -25,7 +25,7 @@ _formatted_plan = P.formatted_plan
 def plans(spark, sf_dir):
     qs = all_queries()
     return {name: _formatted_plan(qs[name](spark, sf_dir)) for name in (
-        "q5_revenue_by_nation",
+        "q5_adhoc",
         "q1_pricing_summary",
         "join_fk",
         "scan_pushdown_projection",
@@ -35,13 +35,13 @@ def plans(spark, sf_dir):
 
 
 def test_q5_pushes_shipdate_filter_into_scan(plans):
-    plan = plans["q5_revenue_by_nation"]
+    plan = plans["q5_adhoc"]
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
 
 
 def test_q5_prunes_lineitem_columns(plans):
     # 4 needed columns out of 16 — the scan schema must not carry the rest
-    plan = plans["q5_revenue_by_nation"]
+    plan = plans["q5_adhoc"]
     li_schema = next(
         l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l
     )
@@ -49,7 +49,7 @@ def test_q5_prunes_lineitem_columns(plans):
 
 
 def test_q5_joins_are_broadcast_not_cartesian(plans):
-    plan = plans["q5_revenue_by_nation"]
+    plan = plans["q5_adhoc"]
     assert P.has_broadcast_join(plan)
     assert not P.has_pathological_join(plan)
 
@@ -77,14 +77,14 @@ def test_broadcast_dim_join_broadcasts_small_side(plans):
 
 def test_relational_plans_stay_jvm_side(plans):
     # no Python evaluation nodes in pure-relational paths
-    for name in ("q5_revenue_by_nation", "q1_pricing_summary", "join_fk", "topk_global"):
+    for name in ("q5_adhoc", "q1_pricing_summary", "join_fk", "topk_global"):
         assert P.python_eval_nodes(plans[name]) == [], name
 
 
 def test_codegen_present(spark, sf_dir):
     # '*(n)' prefixes in the executed plan mark whole-stage-codegen spans
     qs = all_queries()
-    for name in ("q5_revenue_by_nation", "q1_pricing_summary"):
+    for name in ("q5_adhoc", "q1_pricing_summary"):
         df = qs[name](spark, sf_dir)
         df.collect()  # finalize THIS df's adaptive plan (a write plans separately)
         assert P.codegen_spans(P.executed_plan(df)) >= 1, name
@@ -193,6 +193,27 @@ def test_q5_bucketed_preagg_no_exchange(spark, sf_dir):
 
     shuffles = re.findall(r"^\(\d+\) Exchange$", plan, re.M)
     assert len(shuffles) == 1, shuffles
+
+
+def test_headline_q5_q18_delegate_to_bucketed_layout(spark, sf_dir):
+    """Layout-aware headline routing: once the 32-bucket orderkey layout
+    exists on disk, q5_revenue_by_nation / q18_large_orders must read the
+    bucketed tables (the deployment plan), while the *_adhoc twins keep
+    reading the raw parquet — both registered under the same oracle."""
+    from sdg_data_catalog_spark.queries.scale_ops import (
+        bucketed_layout_on_disk,
+        join_bucketed,
+    )
+
+    join_bucketed(spark, sf_dir)  # pay the ingest-time layout once
+    assert bucketed_layout_on_disk(sf_dir)
+    qs = all_queries()
+    for name in ("q5_revenue_by_nation", "q18_large_orders"):
+        plan = _formatted_plan(qs[name](spark, sf_dir))
+        assert "li_bkt_" in plan, name
+    for name in ("q5_adhoc", "q18_adhoc"):
+        plan = _formatted_plan(qs[name](spark, sf_dir))
+        assert "li_bkt_" not in plan, name
 
 
 def test_jdbc_scan_pushdown_and_partitioning(spark, sf_dir):
