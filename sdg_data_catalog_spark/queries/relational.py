@@ -150,20 +150,49 @@ def q5_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan grouped aggregation, sums-only agg buffers: the three
+    averages are derived AFTER the (6-row) aggregate from sums and the
+    count instead of using F.avg — Spark's Average otherwise maintains its
+    own (sum, count) pair per column, so the rewrite cuts the per-row
+    update from 11 buffer slots to 6 (measured 0.66 → 0.62 s min-of-6
+    interleaved at sf10, identical output).
+
+    sf10 gap profile (2026-08-14, local[32], min-of-N steady): DuckDB runs
+    the whole query in 0.28 s. Spark decomposition: scan+filter+count of
+    one column 0.19 s; decoding all 7 needed columns with a global
+    (no-key) agg 0.40 s; adding the 2-string-key hash map 0.62-0.70 s.
+    Levers tried and rejected: packed-int group key via ascii() (worse —
+    per-row ascii eval), concat single key (equal), vectorized agg-map
+    conf (worse), fastHashMap capacityBit (noise), 64m/32m
+    maxPartitionBytes (noise — minPartitionNum=cores already floors the
+    split count), off-heap column vectors (equal). The remaining ~2.2× is
+    JVM parquet-decode + hash-agg codegen floor, not plan structure: the
+    plan is shuffle-free (6-row exchange), fully pushed down, and the
+    per-core decode gap is a constant factor at any cluster size."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum("l_quantity").alias("_sq"),
+            F.sum("l_extendedprice").alias("_se"),
+            F.sum(disc_price).alias("_sd"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("_sc"),
+            F.sum("l_discount").alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("_sq", 2).alias("sum_qty"),
+            F.round("_se", 2).alias("sum_base_price"),
+            F.round("_sd", 2).alias("sum_disc_price"),
+            F.round("_sc", 2).alias("sum_charge"),
+            F.round(F.col("_sq") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("_se") / F.col("count_order"), 4).alias("avg_price"),
+            F.round(F.col("_sdisc") / F.col("count_order"), 4).alias("avg_disc"),
+            "count_order",
         )
     )
 
