@@ -350,8 +350,38 @@ def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", S.lsh_bucket(F.col("embedding")).alias("bucket"))
 
 
-@register("sim_ann_lsh_topk")  # rank semantics oracle'd via bucket + knn; rows-only here
+@register(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH wb AS (
+        SELECT vec_id, embedding,
+               ({" + ".join(f"CASE WHEN {_plane_dot_sql(j)} > 0 THEN {1 << j} ELSE 0 END" for j in range(S.N_PLANES))})::BIGINT AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+               a.embedding AS q_emb, b.embedding AS c_emb
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT q_id, neighbor_id, {_COS_SQL} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY {_COS_SQL} DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos_sim, 6) AS cos_sim
+    FROM r WHERE rank <= 1
+    """,
+)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-1 neighbor — now hash-checked, not
+    rows-only: the plane weights are deterministic integer arithmetic
+    (operators/similarity.py::_plane_component), the bucket id is a sum of
+    sign bits, and the per-pair cosine is a sequential left-to-right fold
+    in both engines (Spark F.aggregate ≡ DuckDB list_sum), so bucketing +
+    ranking reproduce bit-identically in ANSI SQL. The approximation is in
+    WHICH candidates are scored (same-bucket only) — identical on both
+    sides by construction — never in the scoring."""
     emb = table(spark, sf_dir, "embeddings")
     return S.ann_lsh_topk(emb, k=1)
 

@@ -119,6 +119,9 @@ _PRIORITY = (
     "arr_truncate",
     "arr_map_lookup",
     "arr_onehot",
+    "sim_ann_lsh_topk",  # promoted rows-only → oracle-backed in round 4
+    "q5_adhoc",
+    "q18_adhoc",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
