@@ -467,13 +467,20 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding the old snapshot keeps its files while new readers resolve the
     flipped pointer (tested in tests/test_contract.py). At scale the same
     shape is one `MERGE INTO` on Delta/Iceberg; the anti-join formulation
-    shuffles only on doc_id and broadcasts when updates are small."""
+    shuffles only on doc_id and broadcasts when updates are small.
+
+    Every publish here is DQ-GATED (operators/dq.py::document_gate): the
+    constraint report runs on the staged snapshot between write and
+    pointer flip, so a batch with duplicate/null doc_ids or negative
+    n_chars can never become LATEST
+    (tests/test_contract.py::test_publish_gate_blocks_bad_batch)."""
+    from sdg_data_catalog_spark.operators.dq import document_gate
     from sdg_data_catalog_spark.sources.atomic import publish, read_latest
 
     root = _io_dir(sf_dir, "docs_upserted")
     docs = table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "source", "n_chars")
-    publish(base.withColumn("is_update", F.lit(False)), root, 0)
+    publish(base.withColumn("is_update", F.lit(False)), root, 0, gate=document_gate)
     updates = docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id",
         F.concat(F.lit("upd-"), F.col("source")).alias("source"),
@@ -488,7 +495,7 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("is_update", F.lit(False))
         )
     )
-    publish(merged, root, 1)
+    publish(merged, root, 1, gate=document_gate)
     return read_latest(spark, root)
 
 

@@ -26,8 +26,15 @@ from __future__ import annotations
 
 import os
 import shutil
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class QualityGateError(RuntimeError):
+    """A publish gate reported violations: the version was quarantined
+    (staged dir removed) and LATEST was NOT flipped — readers keep the
+    previous snapshot."""
 
 
 def latest_version(root: str) -> tuple[str, int] | None:
@@ -40,12 +47,28 @@ def latest_version(root: str) -> tuple[str, int] | None:
     return os.path.join(root, "versions", name), int(name[1:])
 
 
-def publish(df: DataFrame, root: str, version: int, keep: int = 2) -> str:
+def publish(
+    df: DataFrame,
+    root: str,
+    version: int,
+    keep: int = 2,
+    gate: Callable[[DataFrame], DataFrame] | None = None,
+) -> str:
     """Write ``df`` as snapshot ``version`` and atomically flip LATEST to it.
 
     Idempotent per version: re-publishing an already-current-or-older
     version (a replayed micro-batch, a retried job) is a no-op. Returns the
-    directory readers of this version should use."""
+    directory readers of this version should use.
+
+    ``gate``: optional data-quality verdict run BETWEEN the snapshot write
+    and the pointer flip — the order that makes the gate trustworthy: it
+    validates the bytes that were actually persisted (re-read from the
+    staged, still-invisible version dir), not the logical plan. The gate
+    receives that DataFrame and returns a (check_name, violations) report;
+    any violations > 0 quarantines the batch (staged dir removed, pointer
+    untouched, QualityGateError raised) so readers keep the previous
+    snapshot. This is the publish discipline a 100 TB pipeline needs:
+    a bad batch must never become LATEST."""
     cur = latest_version(root)
     vname = f"v{version:09d}"
     vdir = os.path.join(root, "versions", vname)
@@ -53,6 +76,19 @@ def publish(df: DataFrame, root: str, version: int, keep: int = 2) -> str:
         return vdir  # replay of a committed version: already published
     os.makedirs(root, exist_ok=True)
     df.write.mode("overwrite").parquet(vdir)
+    if gate is not None:
+        report = gate(df.sparkSession.read.parquet(vdir))
+        bad = {
+            r["check_name"]: r["violations"]
+            for r in report.collect()
+            if r["violations"]
+        }
+        if bad:
+            # quarantine: a failed dir must not linger in versions/ (the
+            # retention pruner sorts by name and could otherwise evict the
+            # live snapshot while keeping the dead one)
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise QualityGateError(f"v{version} blocked by publish gate: {bad}")
     tmp_ptr = os.path.join(root, f".LATEST.{version}.tmp")
     with open(tmp_ptr, "w") as fh:
         fh.write(vname)

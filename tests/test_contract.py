@@ -61,6 +61,43 @@ def test_atomic_publish_survives_concurrent_reader(spark, tmp_path):
     assert read_latest(spark, root).count() == 30
 
 
+def test_publish_gate_blocks_bad_batch(spark, tmp_path):
+    """The DQ publish gate: a batch with constraint violations is
+    quarantined BEFORE the pointer flip — latest_version stays on the old
+    snapshot, readers never see the bad rows, no dead version dir lingers
+    for the retention pruner to trip over, and a corrected batch under the
+    same version number then publishes cleanly."""
+    import os
+
+    import pytest
+
+    from sdg_data_catalog_spark.operators.dq import document_gate
+    from sdg_data_catalog_spark.sources.atomic import (
+        QualityGateError,
+        latest_version,
+        publish,
+        read_latest,
+    )
+
+    schema = "doc_id long, source string, n_chars long"
+    root = str(tmp_path / "gated")
+    good = spark.createDataFrame([(1, "a", 5), (2, "b", 7)], schema)
+    publish(good, root, 0, gate=document_gate)
+    assert latest_version(root)[1] == 0
+
+    bad = spark.createDataFrame([(3, "c", 5), (3, "c", -1)], schema)
+    with pytest.raises(QualityGateError, match="doc_id_unique"):
+        publish(bad, root, 1, gate=document_gate)
+    assert latest_version(root)[1] == 0  # pointer untouched
+    assert sorted(r.doc_id for r in read_latest(spark, root).collect()) == [1, 2]
+    assert not os.path.isdir(os.path.join(root, "versions", "v000000001"))
+
+    fixed = spark.createDataFrame([(3, "c", 5), (4, "d", 1)], schema)
+    publish(fixed, root, 1, gate=document_gate)
+    assert latest_version(root)[1] == 1
+    assert sorted(r.doc_id for r in read_latest(spark, root).collect()) == [3, 4]
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     """agg_approx_distinct rows-only twin: HLL estimate within ±5% of exact."""
     import pyspark.sql.functions as F
