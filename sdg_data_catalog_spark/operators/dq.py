@@ -39,6 +39,22 @@ def constraint_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     )
 
 
+def user_counts_gate(df: DataFrame) -> DataFrame:
+    """Publish gate for the streaming per-user count state (streaming/
+    windows.py::merge_counts_batch): a merge bug that duplicated a user or
+    produced a non-positive count must fail the micro-batch loudly instead
+    of becoming LATEST."""
+    return constraint_report(
+        df,
+        {
+            "user_id_unique": F.count(F.lit(1)) - F.count_distinct("user_id"),
+            "n_events_positive": violations(
+                F.col("n_events").isNull() | (F.col("n_events") <= 0)
+            ),
+        },
+    )
+
+
 def document_gate(df: DataFrame) -> DataFrame:
     """Publish gate for documents-shaped snapshots (doc_id PK + domains)."""
     return constraint_report(

@@ -88,11 +88,66 @@ def match_spans(corpus: DataFrame, names: list[str], text_col: str = "text") -> 
     return corpus.select("doc_id", scan(F.col(text_col)).alias("matches"))
 
 
-def match_names_join(corpus: DataFrame, names_df: DataFrame, text_col: str = "text") -> DataFrame:
+# Above this many names the broadcast contains-join (work ∝ docs × names)
+# loses to the substring equi-join (work ∝ corpus chars × distinct name
+# lengths, independent of gazetteer cardinality).
+GAZETTEER_BROADCAST_BOUND = 10_000
+
+
+def match_names_join(
+    corpus: DataFrame,
+    names_df: DataFrame,
+    text_col: str = "text",
+    strategy: str = "auto",
+) -> DataFrame:
     """SQL-expressible subset: (doc_id, name) for every gazetteer name
-    contained in the doc. Broadcast nested-loop theta join — correct only
-    while the gazetteer side is broadcastable (it is: dims of thousands)."""
+    contained in the doc — distinct pairs, any number of occurrences.
+
+    Two physical strategies, identical results:
+
+    - ``broadcast``: nested-loop contains join. Work is O(docs × names) —
+      unbeatable while the gazetteer is dim-sized (thousands), a
+      scale-killer beyond ~10⁴ names (round-3 review finding).
+    - ``equijoin``: the 100 TB path for big gazetteers. For each DISTINCT
+      name length L (gazetteers cluster on a handful of lengths), explode
+      every doc into its length-L substrings and hash-join on the name
+      string itself. Work is O(corpus chars × distinct lengths) and fully
+      shuffle-parallel — gazetteer cardinality only sizes the join's build
+      side, which AQE broadcasts or shuffles as its stats dictate.
+    - ``auto``: one count of the (small) names side picks the bound.
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if names_df.count() <= GAZETTEER_BROADCAST_BOUND
+            else "equijoin"
+        )
+    if strategy == "broadcast":
+        return (
+            corpus.join(F.broadcast(names_df), F.col(text_col).contains(F.col("name")))
+            .select("doc_id", "name")
+        )
+    lengths = sorted(
+        r[0]
+        for r in names_df.select(F.length("name").alias("l")).distinct().collect()
+        if r[0]
+    )
+    subs = None
+    for L in lengths:
+        piece = corpus.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length({text_col}) >= {L} THEN "
+                    f"transform(sequence(1, length({text_col}) - {L} + 1), "
+                    f"p -> substring({text_col}, p, {L})) "
+                    f"ELSE array() END"
+                )
+            ).alias("name"),
+        )
+        subs = piece if subs is None else subs.unionByName(piece)
     return (
-        corpus.join(F.broadcast(names_df), F.col(text_col).contains(F.col("name")))
+        subs.join(names_df.hint("shuffle_hash"), "name")
         .select("doc_id", "name")
+        .distinct()
     )

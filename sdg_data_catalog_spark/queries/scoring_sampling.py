@@ -40,10 +40,16 @@ _GAZ_VALUES = ", ".join(f"('{n}')" for n in GAZETTEER)
 )
 def join_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment join: which gazetteer names appear in which docs
-    (fastmatch.py name-hit subset, offset-free so it oracles exactly)."""
+    (fastmatch.py name-hit subset, offset-free so it oracles exactly).
+    Strategy picked from the local list length (no probe job): broadcast
+    contains-join at dim size, substring equi-join beyond the bound
+    (operators/gazetteer.py::match_names_join)."""
     docs = table(spark, sf_dir, "documents")
     names = spark.createDataFrame([(n,) for n in GAZETTEER], "name string")
-    return G.match_names_join(docs, names)
+    strategy = (
+        "broadcast" if len(GAZETTEER) <= G.GAZETTEER_BROADCAST_BOUND else "equijoin"
+    )
+    return G.match_names_join(docs, names, strategy=strategy)
 
 
 @register("gazetteer_spans")  # char offsets: UDF-only (§2.3: no oracle for spans)

@@ -194,6 +194,7 @@ def merge_counts_batch(
     On Delta/Iceberg this whole body is one `MERGE INTO` with
     txnAppId/txnVersion = batch_id; the pointer dance is what plain
     parquet needs to get the same guarantee."""
+    from sdg_data_catalog_spark.operators.dq import user_counts_gate
     from sdg_data_catalog_spark.sources.atomic import latest_version, publish
 
     cur = latest_version(state_dir)
@@ -212,7 +213,9 @@ def merge_counts_batch(
         )
     else:
         merged = batch_agg
-    publish(merged, state_dir, batch_id)
+    # DQ-gated: a merge bug (duplicate user_id, non-positive count) fails
+    # this micro-batch loudly; the state table keeps its previous version.
+    publish(merged, state_dir, batch_id, gate=user_counts_gate)
 
 
 def run_foreach_batch_counts(

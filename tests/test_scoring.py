@@ -101,3 +101,24 @@ def test_trie_longest_match_and_boundaries():
     assert trie.scan("a data set here") == [("data set", 2, 10)]
     assert trie.scan("dataset") == []
     assert trie.scan("set data") == [("set", 0, 3), ("data", 4, 8)]
+
+
+def test_match_names_equijoin_strategy_matches_broadcast(spark, sf_dir):
+    """The big-gazetteer substring equi-join must return exactly the
+    broadcast contains-join's (doc_id, name) pairs — including nested
+    names (a name inside a longer name), which the trie scan by design
+    does NOT emit."""
+    docs = table(spark, sf_dir, "documents").limit(60)
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(GAZETTEER) + ["data", "data set"]], "name string"
+    )
+    bcast = {
+        (r.doc_id, r.name)
+        for r in G.match_names_join(docs, names, strategy="broadcast").collect()
+    }
+    equi = {
+        (r.doc_id, r.name)
+        for r in G.match_names_join(docs, names, strategy="equijoin").collect()
+    }
+    assert bcast == equi
+    assert bcast  # non-trivial corpus
