@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from sdg_data_catalog_spark.operators.gazetteer import Trie
@@ -44,13 +44,13 @@ def naive_scan(names: list[str], text: str) -> list[tuple[str, int, int]]:
     return out
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_WORD, min_size=1, max_size=8), _TEXT)
 def test_trie_matches_naive_scan(names, text):
     assert Trie(names).scan(text) == naive_scan(names, text)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_WORD, min_size=1, max_size=8), _TEXT)
 def test_trie_spans_are_wellformed(names, text):
     spans = Trie(names).scan(text)
@@ -74,7 +74,7 @@ def _seq_cos(ea, eb):
     return d / (math.sqrt(na) * math.sqrt(nb))
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.floats(min_value=-10, max_value=10, allow_nan=False).filter(lambda x: abs(x) > 1e-3),
@@ -86,7 +86,7 @@ def test_sequential_cosine_self_similarity(vec):
     assert abs(_seq_cos(vec, vec) - 1.0) < 1e-9
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.text(alphabet="abc ", max_size=60), st.integers(min_value=1, max_value=16))
 def test_pad_truncate_invariant(text, target):
     """arr_pad/arr_truncate semantics (utils/utils.py:20-25): output length
@@ -146,7 +146,7 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
 _DIM = st.integers(min_value=1, max_value=12)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     _DIM, _DIM,
     st.sampled_from([1, 3, 4]),
@@ -164,7 +164,7 @@ def test_png_roundtrip_property(h, w, channels, seed):
     assert np.array_equal(png_decode(png_encode(arr)), arr)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_DIM, _DIM, _DIM, _DIM, st.integers(min_value=0, max_value=2**31 - 1))
 def test_resize_nearest_properties(h, w, oh, ow, seed):
     """Resize output has the requested shape, only contains source pixel
@@ -186,7 +186,7 @@ def test_resize_nearest_properties(h, w, oh, ow, seed):
 _BPE_WORD = st.text(alphabet="abz", min_size=1, max_size=6)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_BPE_WORD, min_size=1, max_size=12))
 def test_bpe_encode_roundtrip_property(words):
     """Encoding with ANY merge list must concatenate back to the word, and
