@@ -122,6 +122,7 @@ _PRIORITY = (
     "sim_ann_lsh_topk",  # promoted rows-only → oracle-backed in round 4
     "q5_adhoc",
     "q18_adhoc",
+    "etl_rollup_maintained",  # new in round 4 (continuous-aggregate maintenance)
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
