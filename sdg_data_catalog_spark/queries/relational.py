@@ -880,7 +880,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     eager-aggregation form (pre-aggregate lineitem per orderkey, then
     join) measured 2.5× WORSE at sf10 — it aggregates the 95% of lineitem
     the join is about to throw away. The final orderBy+limit is
-    TakeOrderedAndProject (per-partition top-k, k-row driver merge)."""
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge).
+
+    sf10 floor profile (2026-08-14, min-of-4 interleaved): this plan
+    0.87 s vs DuckDB 0.19 s. A bucketed-layout variant (filtered o_bkt ⋈
+    broadcast customer, then bucket-local shuffle-hash against filtered
+    li_bkt — skipping the 1.35 M-row broadcast build) measured WORSE,
+    1.08 s: one shared broadcast probe beats 32 per-bucket hash builds at
+    this selectivity, so a q3 layout twin is deliberately not registered.
+    The remaining gap is broadcast build + 30 M-row probe + 3 M-group
+    aggregate vs an in-process hash chain — a single-exchange plan with
+    no structural scale-killer."""
     customer = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
