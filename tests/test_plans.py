@@ -422,3 +422,44 @@ def test_stream_enrich_dim_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(all_queries()["stream_enrich"](spark, sf_dir))
     assert P.has_broadcast_join(plan)
     assert "SortMergeJoin" not in plan
+
+
+def test_fits_broadcast_footer_fast_path_and_memoized_count(spark, sf_dir):
+    """The q3/q5 broadcast-gate statistics ladder: (a) when the whole base
+    table's footer row count is under the bound, NO Spark job runs; (b)
+    above the bound one exact count job runs and is memoized — a second
+    probe with the same key must not launch another job."""
+    from sdg_data_catalog_spark.catalog import table
+    from sdg_data_catalog_spark.queries import relational as R
+
+    def n_jobs():
+        ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        return len(ids or [])
+
+    orders = table(spark, sf_dir, "orders")
+    # (a) footer fast path: orders at test sf is far under the 4M bound
+    before = n_jobs()
+    assert R._fits_broadcast(sf_dir, "test_footer", "orders", orders) is True
+    assert n_jobs() == before  # no job — settled from the parquet footer
+
+    # (b) force the count path with a tiny bound: first probe runs ONE job,
+    # the second is served from the memo
+    key = "test_memo_bound"
+    before = n_jobs()
+    assert R._fits_broadcast(sf_dir, key, "orders", orders, bound=1) is False
+    after_first = n_jobs()
+    assert after_first > before  # the count job ran
+    assert R._fits_broadcast(sf_dir, key, "orders", orders, bound=1) is False
+    assert n_jobs() == after_first  # memoized: no second job
+    import os
+
+    assert (os.path.abspath(sf_dir), key) in R._GATE_COUNTS
+
+
+def test_bucketed_layout_probe_negative(tmp_path):
+    """A directory with no bucketed layout must route q5/q18 to the ad-hoc
+    plans: the probe is pure filesystem, never builds, and returns False
+    for unknown scale dirs."""
+    from sdg_data_catalog_spark.queries.scale_ops import bucketed_layout_on_disk
+
+    assert bucketed_layout_on_disk(str(tmp_path / "sf_nonexistent")) is False
