@@ -45,6 +45,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.scale_ops",
     "sdg_data_catalog_spark.queries.sketches_curation",
     "sdg_data_catalog_spark.queries.retrieval_curation",
+    "sdg_data_catalog_spark.queries.curation_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -123,6 +124,14 @@ _PRIORITY = (
     "q5_adhoc",
     "q18_adhoc",
     "etl_rollup_maintained",  # new in round 4 (continuous-aggregate maintenance)
+    # round-4 late additions (curation_extra.py) — staged for the round-5 window
+    "etl_sessionize",
+    "sample_weighted",
+    "sample_domain_quota",
+    "etl_interleave",
+    "feat_hashing_tf",
+    "agg_mode_per_group",
+    "text_char_entropy",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
