@@ -1,0 +1,228 @@
+"""Event analytics + graph batch: funnel conversion, retention cohorts,
+histograms, and degree-oriented triangle counting.
+
+Engine-added operators (SURVEY.md §2.11 — no reference analog; the
+reference has no event/clickstream surface at all). Everything is
+equi-join + hash-aggregate shaped: funnels and cohorts shuffle on
+user_id only, the histogram is one map-side-combinable aggregate, and
+the triangle count uses the degree-orientation trick (Suri &
+Vassilvitskii, "Counting triangles and the curse of the last reducer",
+WWW'11) so hub nodes don't explode the wedge join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed; of those, who clicked strictly
+    AFTER their first view; of those, who purchased strictly after that
+    first qualifying click. True sequence semantics (first-occurrence
+    chaining), not the min-timestamp approximation — a user who purchases
+    before ever viewing does not convert. Each stage is one groupBy +
+    one equi-join, all hash-partitioned on user_id, so the three stages
+    co-partition into a single shuffle family; per-stage counts are
+    1-row frames cross-joined at the end (driver receives 3 longs)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@register(
+    "agg_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE))
+                AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY first_seen.cohort_day, day_offset
+    """,
+)
+def agg_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day-offset they return — the standard product-analytics
+    triangle table. Plan: first-seen is one groupBy on user_id; the
+    events join back on the same key (co-partitioned, no second shuffle
+    of the fact under AQE); the final distinct-count aggregates the
+    (cohort_day, day_offset) grid, whose cardinality is days², not
+    events. Day arithmetic is exact integer date math on both engines."""
+    ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            # dates surface as formatted strings (date_today precedent:
+            # DuckDB's pandas bridge widens DATE to datetime64, so raw
+            # date columns hash-mismatch on isoformat)
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY bin
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram (bin width 25 over events.value):
+    one codegen'd floor expression + one map-side-combinable groupBy —
+    the cheapest possible distribution profile at 100 TB (shuffle volume
+    = number of bins, not rows). The per-bin sum doubles as a mass check
+    against `catalog_stats`. Bin edges use double division + FLOOR, which
+    is IEEE-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pe AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 4 = 0
+    ),
+    edges0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d
+      FROM (SELECT u AS node FROM edges0
+            UNION ALL SELECT v AS node FROM edges0)
+      GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges0) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.s AND e2.t <> e1.t
+    JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing an
+    order are adjacent; l_partkey % 4 bounds the demo subgraph). The
+    scale-critical move is DEGREE ORIENTATION: each undirected edge
+    points from its (degree, id)-smaller endpoint to the larger, so
+    every wedge is enumerated at its lowest-degree vertex — total wedge
+    work drops from sum(deg²) over hubs to O(E^1.5), the fix for the
+    "curse of the last reducer". Each triangle then has exactly one
+    orientation pattern e1=(x,y), e2=(x,z), e3=(y,z), so one equi-join
+    closes and counts it once. All three joins are hash equi-joins;
+    nothing is broadcast-sized by assumption, so the plan survives a
+    graph 1000× this size."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 4 == 0)
+    pe = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pe.alias("a"), pe.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e2.s") == F.col("e1.s")) & (F.col("e2.t") != F.col("e1.t")),
+        )
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.t")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)

@@ -46,6 +46,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.sketches_curation",
     "sdg_data_catalog_spark.queries.retrieval_curation",
     "sdg_data_catalog_spark.queries.curation_extra",
+    "sdg_data_catalog_spark.queries.event_analytics",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -132,6 +133,10 @@ _PRIORITY = (
     "feat_hashing_tf",
     "agg_mode_per_group",
     "text_char_entropy",
+    "funnel_conversion",
+    "agg_retention_cohorts",
+    "agg_histogram",
+    "graph_triangle_count",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
