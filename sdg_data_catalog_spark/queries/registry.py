@@ -47,6 +47,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.retrieval_curation",
     "sdg_data_catalog_spark.queries.curation_extra",
     "sdg_data_catalog_spark.queries.event_analytics",
+    "sdg_data_catalog_spark.queries.sources_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -137,6 +138,8 @@ _PRIORITY = (
     "agg_retention_cohorts",
     "agg_histogram",
     "graph_triangle_count",
+    "scan_binaryfile",
+    "catalog_diff_versions",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",

@@ -1,0 +1,150 @@
+"""Round-4 source/catalog additions: raw binary-file ingestion (the E1
+paper-ingestion entry shape) and snapshot diffing between published
+table versions.
+
+`scan_binaryfile` is the missing first hop of SURVEY.md §3 E1's Spark
+shape — `read.format('binaryFile') → parse → ...` (the reference's
+`glob.glob` + `Pool.map` over .cermxml files,
+`dataset_ner/paper_processing.py:224-228`): files are written
+executor-side via foreachPartition (E3's sink pattern) and re-ingested
+through Spark's binaryFile source, so content really round-trips disk.
+
+`catalog_diff_versions` rides the atomic versioned publish
+(`sources/atomic.py`) that `sink_upsert`/`scan_time_travel` use: the
+added/removed/changed audit between two snapshots is THE question a
+versioned 100 TB catalog answers daily, and it reduces to one full
+outer join on the primary key — no content shuffle beyond the key+hash
+columns projected into the join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+from sdg_data_catalog_spark.sources.atomic import publish, read_version
+from sdg_data_catalog_spark.sources.formats import io_dir
+
+
+@register(
+    "scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-file ingestion: stage one .bin file per sampled document
+    (written executor-side inside foreachPartition — the distributed file
+    sink of SURVEY §3 E3; on a cluster the target would be a shared
+    filesystem), then ingest the directory through Spark's `binaryFile`
+    source and fingerprint each payload with sha2 over the actual bytes
+    read back from disk. The oracle recomputes name/size/sha from the
+    source table, so a green row proves the bytes survived the
+    write→scan round-trip — the trust property a lake's raw-ingest tier
+    is built on. binaryFile scans parallelize per-file (one partition
+    per file up to maxPartitionBytes) and prune the `content` column
+    when only metadata is selected."""
+    path = io_dir(sf_dir, "binfiles")
+    os.makedirs(path, exist_ok=True)
+    sample = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+
+    def write_part(rows) -> None:
+        for r in rows:
+            # atomic per-file publish: temp + rename, E3's sink discipline
+            final = os.path.join(path, f"doc_{r.doc_id}.bin")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(r.text.encode("utf-8"))
+            os.replace(tmp, final)
+
+    sample.foreachPartition(write_part)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha"),
+        )
+    )
+
+
+@register(
+    "catalog_diff_versions",
+    oracle="""
+    WITH v0 AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    ),
+    v1 AS (
+      SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT CASE
+               WHEN v0.doc_id IS NULL THEN 'added'
+               WHEN v1.doc_id IS NULL THEN 'removed'
+               WHEN v0.n_chars <> v1.n_chars THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+    )
+    GROUP BY status
+    """,
+)
+def catalog_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two published table versions: counts of
+    added / removed / changed / unchanged rows keyed on the primary key.
+    Two deterministic snapshots are staged through the SAME atomic
+    versioned publish `sink_upsert`/`scan_time_travel` use (pointer-file
+    flip, so a concurrent reader never sees a half-diffed table), then
+    both versions are read back and full-outer-joined on the key. Only
+    (key, compared columns) flow into the join — at 100 TB you project a
+    row hash per side instead of the payload, and the join shuffles
+    key+hash, not content. The oracle recomputes the expected diff
+    straight from the source table, so a green row proves version
+    isolation AND the diff logic."""
+    root = io_dir(sf_dir, "diff_versions")
+    docs = table(spark, sf_dir, "documents")
+    v0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    v1 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)
+        ).alias("n_chars"),
+    )
+    publish(v0, root, 0)
+    publish(v1, root, 1)
+    old = read_version(spark, root, 0).select(
+        F.col("doc_id").alias("k0"), F.col("n_chars").alias("c0")
+    )
+    new = read_version(spark, root, 1).select(
+        F.col("doc_id").alias("k1"), F.col("n_chars").alias("c1")
+    )
+    status = (
+        F.when(F.col("k0").isNull(), "added")
+        .when(F.col("k1").isNull(), "removed")
+        .when(F.col("c0") != F.col("c1"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("k0") == F.col("k1"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -1,0 +1,54 @@
+"""Semantic tests for sources_extra.py (binary-file ingestion + snapshot
+diff). Oracle parity is covered by tests/test_contract.py."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+import pandas as pd
+
+from sdg_data_catalog_spark.queries.registry import all_queries
+from sdg_data_catalog_spark.sources.formats import io_dir
+
+
+def test_binaryfile_roundtrip_and_pruning(spark, sf_dir):
+    out = all_queries()["scan_binaryfile"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sampled = docs[docs["doc_id"] % 50 == 0]
+    assert len(out) == len(sampled)
+    # byte-exact round-trip: sha of the on-disk file == sha of the source text
+    by_name = dict(zip(out["fname"], out["sha"]))
+    staged = sorted(glob.glob(io_dir(sf_dir, "binfiles", fresh=False) + "/*.bin"))
+    assert len(staged) == len(sampled)
+    for path in staged[:5]:
+        payload = open(path, "rb").read()
+        name = path.rsplit("/", 1)[-1]
+        assert by_name[name] == hashlib.sha256(payload).hexdigest()
+    # metadata-only projection prunes the content column out of the scan
+    meta_only = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(io_dir(sf_dir, "binfiles", fresh=False))
+        .select("path", "length")
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan.split("ReadSchema")[-1]
+
+
+def test_diff_versions_matches_pandas_twin(spark, sf_dir):
+    out = all_queries()["catalog_diff_versions"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    v0 = docs[docs["doc_id"] % 2 == 0][["doc_id", "n_chars"]]
+    v1 = docs[docs["doc_id"] % 3 != 0][["doc_id", "n_chars"]].copy()
+    v1.loc[v1["doc_id"] % 10 == 0, "n_chars"] += 1
+    k0, k1 = set(v0["doc_id"]), set(v1["doc_id"])
+    expect = {
+        "added": len(k1 - k0),
+        "removed": len(k0 - k1),
+    }
+    both = v0.merge(v1, on="doc_id", suffixes=("_0", "_1"))
+    expect["changed"] = int((both["n_chars_0"] != both["n_chars_1"]).sum())
+    expect["unchanged"] = len(both) - expect["changed"]
+    got = dict(zip(out["status"], out["n_rows"]))
+    assert got == {k: v for k, v in expect.items() if v > 0}
