@@ -1,0 +1,153 @@
+"""Bigram language-model scoring and blocked fuzzy (edit-distance) joins.
+
+`lm_bigram_score` extends `lm_unigram_score` (queries/text.py) with
+conditional context — the CCNet-style LM-perplexity quality signal, here
+an add-k-smoothed bigram model trained on the corpus itself and applied
+back to every document. `join_fuzzy` is the record-linkage primitive the
+reference approximates with exact string equality (gazetteer matching,
+utils/fastmatch.py): edit-distance matching with a correctness-PRESERVING
+length block (levenshtein ≤ 1 implies |len(a)-len(b)| ≤ 1, so blocking
+drops no matches — the oracle proves it by running unblocked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+@register(
+    "lm_bigram_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM tok
+    ),
+    c2 AS (SELECT bg, CAST(COUNT(*) AS DOUBLE) AS c2 FROM big GROUP BY bg),
+    uni AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c1 AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM c1)
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 4) AS avg_logp
+    FROM big
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w = string_split(bg, ' ')[1]
+    , v
+    GROUP BY big.doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram LM score per document:
+    avg log [ (c(w1,w2) + 0.5) / (c(w1) + 0.5·V) ] over the document's
+    adjacent token pairs, with counts trained on the whole corpus — the
+    conditional-context upgrade of `lm_unigram_score` and the shape of
+    CCNet's perplexity-bucket filter (train once, score everything,
+    threshold). Plan: bigram extraction is a codegen'd zip_with over
+    slices (no sequence(); an empty slice handles 1-token docs exactly
+    like DuckDB's empty range), the count tables are map-side-combined
+    groupBys, and scoring joins on token keys — at 100 TB the model
+    tables are a fraction of corpus size and either broadcast or
+    co-partition with the probe explode. Nothing is collected
+    driver-side; V rides along as a 1-row cross join."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    left = F.slice("t", 1, F.size("t") - 1)
+    right = F.slice(F.col("t"), F.lit(2), F.size("t") - 1)
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
+        ).alias("bg"),
+    )
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    uni = docs.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    return (
+        big.join(c2, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(c1, F.col("w1") == F.col("w"))
+        .crossJoin(v)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logp"),
+        )
+    )
+
+
+@register(
+    "join_fuzzy",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    probes AS (
+      SELECT DISTINCT substr(p_name, 1, pos) || substr(p_name, pos + 2) AS probe
+      FROM (
+        SELECT p_name,
+               CAST(('0x' || substr(md5(p_name), 1, 8)) AS BIGINT)
+                 % strlen(p_name) AS pos
+        FROM names
+      )
+    )
+    SELECT probe, p_name AS matched,
+           CAST(levenshtein(probe, p_name) AS BIGINT) AS dist
+    FROM probes JOIN names ON abs(strlen(probe) - strlen(p_name)) <= 1
+    WHERE levenshtein(probe, p_name) <= 1
+    """,
+)
+def join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy join at edit distance ≤ 1: a probe set of corrupted part
+    names (one deterministically-chosen character deleted per name — the
+    md5 arithmetic both engines share) matched back against the clean
+    name dimension. The block is EQUI: probes explode to their three
+    admissible lengths {L-1, L, L+1} and hash-join names on exact
+    length, because levenshtein ≤ 1 bounds the length gap by 1 — the
+    block provably drops nothing, which the oracle demonstrates by
+    running UNblocked (identical result set). At 100 TB the same shape
+    adds a prefix/q-gram block key beside length; the expensive
+    levenshtein only ever runs inside blocks, never across the cross
+    product. Reference analog: utils/fastmatch.py matches gazetteer
+    names exactly; this is the typo-tolerant upgrade."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    pos = (
+        F.conv(F.substring(F.md5("p_name"), 1, 8), 16, 10).cast("long")
+        % F.length("p_name")
+    ).cast("int")
+    probes = names.select(
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos),
+            F.col("p_name").substr(pos + 2, F.length("p_name")),
+        ).alias("probe")
+    ).distinct()
+    blocked = probes.select(
+        "probe",
+        F.explode(
+            F.array(
+                F.length("probe") - 1,
+                F.length("probe"),
+                F.length("probe") + 1,
+            )
+        ).alias("blk"),
+    )
+    return (
+        blocked.join(names, F.col("blk") == F.length("p_name"))
+        .filter(F.levenshtein("probe", "p_name") <= 1)
+        .select(
+            "probe",
+            F.col("p_name").alias("matched"),
+            F.levenshtein("probe", "p_name").cast("long").alias("dist"),
+        )
+    )

@@ -48,6 +48,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.curation_extra",
     "sdg_data_catalog_spark.queries.event_analytics",
     "sdg_data_catalog_spark.queries.sources_extra",
+    "sdg_data_catalog_spark.queries.lm_fuzzy",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -140,6 +141,8 @@ _PRIORITY = (
     "graph_triangle_count",
     "scan_binaryfile",
     "catalog_diff_versions",
+    "lm_bigram_score",
+    "join_fuzzy",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
