@@ -1,0 +1,41 @@
+"""Crash-recovery semantics of the atomic versioned publish: a writer
+dying at any point before the pointer flip must leave readers on the old
+snapshot, and a retry of the same version must complete cleanly."""
+
+from __future__ import annotations
+
+import os
+
+from sdg_data_catalog_spark.sources.atomic import (
+    latest_version,
+    publish,
+    read_latest,
+)
+
+
+def test_publish_crash_before_flip_is_invisible_then_retryable(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish(spark.range(5).withColumnRenamed("id", "k"), root, 0)
+    assert latest_version(root)[1] == 0
+
+    # Simulate a writer that crashed AFTER materializing the snapshot but
+    # BEFORE the pointer flip: the staged dir exists, LATEST does not move.
+    stale = os.path.join(root, "versions", "v000000001")
+    spark.range(3).withColumnRenamed("id", "k").write.parquet(stale)
+    assert latest_version(root)[1] == 0
+    assert read_latest(spark, root).count() == 5
+
+    # Simulate a crash mid-pointer-write: a stray tmp pointer file must
+    # never be interpreted as the pointer.
+    with open(os.path.join(root, ".LATEST.9.tmp"), "w") as fh:
+        fh.write("v000000009")
+    assert latest_version(root)[1] == 0
+
+    # The retry of v1 overwrites the orphaned staging and completes.
+    publish(spark.range(7).withColumnRenamed("id", "k"), root, 1)
+    assert latest_version(root)[1] == 1
+    assert read_latest(spark, root).count() == 7
+
+    # Replaying the now-committed version is a no-op (idempotent retry).
+    publish(spark.range(99).withColumnRenamed("id", "k"), root, 1)
+    assert read_latest(spark, root).count() == 7
