@@ -143,6 +143,7 @@ _PRIORITY = (
     "catalog_diff_versions",
     "lm_bigram_score",
     "join_fuzzy",
+    "stream_datasource_api",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",

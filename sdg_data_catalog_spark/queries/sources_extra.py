@@ -83,6 +83,52 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_datasource_api",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS paper_id,
+           CAST(i // 100 AS INTEGER) AS page,
+           'paper-' || CAST(i AS VARCHAR) AS title,
+           CAST((i * 2654435761) % 50 AS INTEGER) AS n_refs
+    FROM range(500) t(i)
+    """,
+)
+def stream_datasource_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated-API source consumed as a REAL stream through the
+    Spark 4 Python `SimpleDataSourceStreamReader`
+    (sources/datasource_api.py::PapersStreamReader): one page per
+    micro-batch, page-number offsets checkpointed by the engine, and
+    deterministic `readBetweenOffsets` replay for failed batches — the
+    incremental-ingest twin of `scan_datasource_api` (a crawler that
+    keeps discovering new pages instead of rescanning). The 5-page
+    backlog is drained with `processAllAvailable` into a memory sink;
+    because page content is deterministic, the drained stream
+    oracle-checks cell-for-cell against the same generator SQL as the
+    batch scan — streaming ingest must be value-identical to batch."""
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        register_papers_stream_source,
+    )
+    from sdg_data_catalog_spark.sources.formats import table_safe_sf_name
+
+    register_papers_stream_source(spark)
+    name = f"t_stream_papers_{table_safe_sf_name(sf_dir)}"
+    q = (
+        spark.readStream.format("sdg_papers_stream")
+        .option("pages", "5")
+        .option("page_size", "100")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
     "catalog_diff_versions",
     oracle="""
     WITH v0 AS (

@@ -57,6 +57,83 @@ class PapersReader(DataSourceReader):
             yield (pid, page, f"paper-{pid}", (pid * _MIX) % 50)
 
 
+def make_papers_stream_source():
+    """The same paginated API as a STREAMING source (Spark 4
+    `SimpleDataSourceStreamReader`): the offset is the next page number,
+    each micro-batch ingests exactly one page, and `readBetweenOffsets`
+    replays any committed page range deterministically — the
+    exactly-once replay contract a failed micro-batch needs. When the
+    cursor reaches the configured backlog (`pages`), `read` stops
+    advancing the offset, which is how `processAllAvailable()`
+    recognizes a drained backlog.
+
+    Both classes are defined AT CALL TIME, on purpose: the engine runs
+    the stream reader in a dedicated Python runner process
+    (python_streaming_source_runner) that — unlike the batch planner and
+    the executor workers — does NOT see addPyFile'd packages, so a
+    module-level class pickled by reference dies there with
+    ModuleNotFoundError in any session started outside the repo.
+    Locally-defined classes are cloudpickled BY VALUE (they close over
+    nothing but builtins), which makes the source deployable exactly
+    like a lambda. Returns (source_cls, reader_cls)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class PapersStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options) -> None:
+            self.pages = int(options.get("pages", "10"))
+            self.page_size = int(options.get("page_size", "100"))
+
+        def initialOffset(self) -> dict:
+            return {"page": 0}
+
+        def _rows(self, page: int) -> list:
+            return [
+                (
+                    page * self.page_size + j,
+                    page,
+                    f"paper-{page * self.page_size + j}",
+                    ((page * self.page_size + j) * 2654435761) % 50,
+                )
+                for j in range(self.page_size)
+            ]
+
+        def read(self, start: dict):
+            page = int(start["page"])
+            if page >= self.pages:
+                return iter([]), start
+            # a list_iterator, not a generator: the engine's prefetch
+            # cache both next()s and copy.copy()s the returned iterator
+            # for replay, and generators aren't copyable
+            return iter(self._rows(page)), {"page": page + 1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            for page in range(int(start["page"]), int(end["page"])):
+                yield from self._rows(page)
+
+    class PapersStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sdg_papers_stream"
+
+        def schema(self) -> str:
+            return "paper_id BIGINT, page INT, title STRING, n_refs INT"
+
+        def simpleStreamReader(self, schema) -> "PapersStreamReader":
+            return PapersStreamReader(self.options)
+
+    return PapersStreamSource, PapersStreamReader
+
+
+def register_papers_stream_source(spark) -> None:
+    """Idempotent per-session registration of the by-value streaming
+    source (no pyfiles shipping needed — see make_papers_stream_source)."""
+    source_cls, _ = make_papers_stream_source()
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception:
+        pass  # already registered in this session
+
+
 def register_papers_source(spark) -> None:
     """Idempotent per-session registration. Ships the package zip first:
     the reader class is pickled by reference, so a foreign session's
