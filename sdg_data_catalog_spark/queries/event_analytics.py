@@ -147,6 +147,96 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    mx AS (SELECT MAX(d) AS m FROM du),
+    ex AS (
+      SELECT d + CAST(o AS INTEGER) AS report_day, user_id
+      FROM du, range(7) t(o)
+    )
+    SELECT strftime(report_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM ex, mx
+    WHERE report_day <= mx.m
+    GROUP BY report_day
+    """,
+)
+def agg_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU): the sliding distinct
+    count that a naive rolling window can't do (COUNT(DISTINCT) doesn't
+    decompose over window frames). The scalable formulation: one
+    (day, user) distinct, then each pair VOLUNTEERS itself into the 7
+    report days it supports via a 7-row explode, and one distinct-count
+    per report day — shuffle volume is 7×|day,user| pairs, never
+    events², and no per-day self-join. The max-day bound rides along as
+    a 1-row cross join, keeping the plan fully lazy."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    mx = du.agg(F.max("d").alias("m"))
+    ex = du.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select(F.date_add("d", F.col("o")).alias("report_day"), "user_id")
+    return (
+        ex.crossJoin(mx)
+        .filter(F.col("report_day") <= F.col("m"))
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day"), "wau"
+        )
+    )
+
+
+@register(
+    "dq_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY d
+    ),
+    stats AS (
+      SELECT AVG(CAST(n AS DOUBLE)) AS mu, stddev_samp(CAST(n AS DOUBLE)) AS sd
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n - mu) / sd, 4) AS z,
+           (abs((n - mu) / sd) > 2.0) AS is_anomaly
+    FROM daily, stats
+    """,
+)
+def dq_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly screen over daily event counts: z-score each day
+    against the corpus mean/stddev and flag |z| > 2 — the cheapest
+    ingest-health monitor (a dropped partition or a duplicated feed
+    shows up as a volume spike long before content checks run; pairs
+    with `dq_constraints`, which validates content). Two tiny
+    aggregates: daily counts (map-side combined) and one global
+    mean/std row cross-joined back — the screen costs one scan no
+    matter the corpus size."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return daily.crossJoin(stats).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+@register(
     "graph_triangle_count",
     oracle="""
     WITH pe AS (

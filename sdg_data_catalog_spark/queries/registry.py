@@ -49,6 +49,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.event_analytics",
     "sdg_data_catalog_spark.queries.sources_extra",
     "sdg_data_catalog_spark.queries.lm_fuzzy",
+    "sdg_data_catalog_spark.queries.ann_pq",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -144,6 +145,8 @@ _PRIORITY = (
     "lm_bigram_score",
     "join_fuzzy",
     "stream_datasource_api",
+    "agg_rolling_active_users",
+    "dq_anomaly_days",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",

@@ -1,0 +1,62 @@
+"""PQ ANN correctness: deterministic training, valid encodings,
+self-retrieval, and recall against the oracle-checked brute force."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from sdg_data_catalog_spark.operators import pq
+from sdg_data_catalog_spark.queries.registry import all_queries
+
+
+def test_codebook_training_is_deterministic():
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 32))
+    b1 = pq.train_codebooks(x, m=8, k=16, seed=42)
+    b2 = pq.train_codebooks(x, m=8, k=16, seed=42)
+    assert b1.shape == (8, 16, 4)
+    assert np.array_equal(b1, b2)
+    # a different seed moves the centroids (init actually matters)
+    b3 = pq.train_codebooks(x, m=8, k=16, seed=43)
+    assert not np.array_equal(b1, b3)
+
+
+def test_encoding_quantizes_to_nearest_centroid(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(64, 16))
+    books = pq.train_codebooks(x, m=4, k=8, seed=1)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.codes for r in pq.encode(df, "embedding", books).collect()}
+    for i, row in enumerate(x):
+        for s in range(4):
+            sub = row[s * 4 : (s + 1) * 4]
+            d2 = ((books[s] - sub[None, :]) ** 2).sum(axis=1)
+            assert out[i][s] == int(d2.argmin())
+            assert 0 <= out[i][s] < 8
+
+
+def test_pq_self_retrieval_and_recall(spark, sf_dir):
+    """Every query retrieves ITSELF at rank 1 (ADC self-distance is the
+    quantization error, far below cross-vector distances), and the PQ
+    top-10 recovers a substantial share of the exact cosine top-5 —
+    random vectors are the hardest case for PQ; measured ~0.42 mean
+    recall at sf0.001, gated at 0.3."""
+    pqr = all_queries()["sim_ann_pq_topk"](spark, sf_dir).collect()
+    bf = all_queries()["sim_knn_bruteforce"](spark, sf_dir).collect()
+    pqtop, bftop = defaultdict(set), defaultdict(set)
+    self_rank1 = 0
+    for r in pqr:
+        if r.vec_id == r.query_id:
+            self_rank1 += r.rnk == 1
+        else:
+            pqtop[r.query_id].add(r.vec_id)
+    for r in bf:
+        bftop[r.q_id].add(r.neighbor_id)
+    assert self_rank1 == 10
+    recalls = [len(bftop[q] & pqtop[q]) / len(bftop[q]) for q in bftop]
+    assert sum(recalls) / len(recalls) >= 0.3

@@ -66,6 +66,43 @@ def test_histogram_conserves_mass(spark, sf_dir):
         assert len(sel) == r["n"]
 
 
+def test_rolling_active_users_matches_pandas_twin(spark, sf_dir):
+    out = all_queries()["agg_rolling_active_users"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.assign(d=ev["ts"].dt.normalize())
+    max_day = ev["d"].max()
+    # expected report days: every day reachable from an active day within
+    # +6, capped at the max active day
+    expect_days = sorted(
+        {
+            d + pd.Timedelta(days=o)
+            for d in ev["d"].unique()
+            for o in range(7)
+            if d + pd.Timedelta(days=o) <= max_day
+        }
+    )
+    got = dict(zip(out["day"], out["wau"]))
+    assert sorted(got) == [d.strftime("%Y-%m-%d") for d in expect_days]
+    for r in expect_days:
+        lo = r - pd.Timedelta(days=6)
+        expect = ev[(ev["d"] >= lo) & (ev["d"] <= r)]["user_id"].nunique()
+        assert got[r.strftime("%Y-%m-%d")] == expect, r
+
+
+def test_anomaly_zscores_match_numpy(spark, sf_dir):
+    out = all_queries()["dq_anomaly_days"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.date).size()
+    mu, sd = daily.mean(), daily.std(ddof=1)
+    assert len(out) == len(daily)
+    for r in out.itertuples():
+        d = pd.to_datetime(r.day).date()
+        z = (daily[d] - mu) / sd
+        assert r.n == daily[d]
+        assert abs(r.z - round(z, 4)) <= 1e-9
+        assert r.is_anomaly == (abs(z) > 2.0)
+
+
 def test_triangle_count_matches_bruteforce(spark, sf_dir):
     row = all_queries()["graph_triangle_count"](spark, sf_dir).collect()[0]
     li = pd.read_parquet(
