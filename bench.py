@@ -62,6 +62,12 @@ EXTENDED = (
     "mm_resize",
     "dq_constraints",
     "scan_jdbc",
+    # round-4 late additions (all ≤2 s at sf0.1, measured before inclusion)
+    "lm_bigram_score",
+    "etl_sessionize",
+    "graph_triangle_count",
+    "funnel_conversion",
+    "sim_ann_pq_topk",
 )
 
 # Headline set: the heaviest representative per operator family.

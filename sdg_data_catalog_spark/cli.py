@@ -249,6 +249,52 @@ def cmd_query(args: argparse.Namespace) -> dict[str, Any]:
     return summary
 
 
+# Plan-audit default set: the bench headline queries (the plans whose
+# quality the 100 TB argument rests on).
+AUDIT_DEFAULT = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "join_fk",
+    "win_rownum_topk",
+    "agg_rollup",
+    "topk_global",
+)
+
+
+def cmd_audit(args: argparse.Namespace) -> dict[str, Any]:
+    """Plan lint over registered operators (default: the bench headline
+    set): builds each plan WITHOUT executing it and flags the
+    antipatterns that don't survive scale — unbounded cartesians and
+    row-at-a-time Python UDFs (plans/inspect.py::lint)."""
+    from sdg_data_catalog_spark.plans.inspect import lint_df
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    names = args.names or list(AUDIT_DEFAULT)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    spark = _get_spark("sdg-audit")
+    flagged: dict[str, list[str]] = {}
+    for name in names:
+        findings = lint_df(qs[name](spark, args.sf_dir))
+        if findings:
+            flagged[name] = findings
+        print(
+            f"{name}\t{'FLAGGED: ' + '; '.join(findings) if findings else 'clean'}",
+            file=sys.stderr,
+        )
+    return {
+        "command": "audit",
+        "audited": len(names),
+        "clean": len(names) - len(flagged),
+        "flagged": flagged,
+    }
+
+
 def cmd_list(_args: argparse.Namespace) -> dict[str, Any]:
     from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries
 
@@ -297,6 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     ls = sub.add_parser("list", help="list registered operators")
     ls.set_defaults(fn=cmd_list)
+
+    au = sub.add_parser("audit", help="plan-lint operators (no execution)")
+    au.add_argument("names", nargs="*", help="query names (default: headline set)")
+    au.add_argument("--sf-dir", default=default_sf)
+    au.set_defaults(fn=cmd_audit)
     return p
 
 

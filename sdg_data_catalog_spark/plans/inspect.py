@@ -59,6 +59,36 @@ def python_eval_nodes(plan: str) -> list[str]:
     return [n for n in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas") if n in plan]
 
 
+def lint(plan: str) -> list[str]:
+    """Plan lint: the antipatterns a query must not ship with at 100 TB.
+    Returns human-readable findings (empty == clean). Rules are
+    deliberately few and high-precision:
+
+    - CartesianProduct: an unbounded n·m join — the join condition never
+      reached the planner as an equi-key. (BroadcastNestedLoopJoin is NOT
+      flagged: it appears legitimately for 1-row scalar cross joins and
+      bound-checked tiny sides; CartesianProduct has no such excuse.)
+    - BatchEvalPython: a row-at-a-time Python UDF — every row pays a
+      pickle round-trip; Arrow nodes (ArrowEvalPython/MapInPandas) are
+      the intended Python path.
+    """
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            "CartesianProduct: unbounded cartesian join — no equi-key reached the planner"
+        )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            "BatchEvalPython: row-at-a-time Python UDF — use pandas_udf/mapInPandas or built-ins"
+        )
+    return findings
+
+
+def lint_df(df: DataFrame) -> list[str]:
+    """Lint a DataFrame's optimized physical plan (see `lint`)."""
+    return lint(formatted_plan(df))
+
+
 def codegen_spans(executed: str) -> int:
     """Whole-stage-codegen span count: '*(n)' prefixes in the executed plan."""
     import re
