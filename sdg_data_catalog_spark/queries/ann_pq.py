@@ -31,6 +31,124 @@ def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", unit.alias("embedding"))
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+@register("sim_ann_ivfpq_topk")
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition this module's docstrings
+    promise: the IVF coarse quantizer (operators/similarity.py) prunes
+    the candidate set to the query's `n_probe` nearest cells, and PQ
+    codes of the RESIDUAL (x − centroid) are scored with per-(query,
+    cell) ADC lookup tables — residual encoding is what makes IVF-PQ
+    beat flat PQ (residuals concentrate near zero, so the same 16×16
+    codebook spends its resolution where the data is; Jégou et al.
+    TPAMI 2011, §IV). Shape at 100 TB: candidates move through ONE
+    equi-join on cell_id (never a cross join), codes are 32× smaller
+    than vectors, and the only broadcast state is 16 centroids + the
+    query LUTs."""
+    import pandas as pd
+
+    from sdg_data_catalog_spark.operators import similarity as sim
+
+    unit = _normalized(spark, sf_dir)
+    cents_df = sim.ivf_centroids(unit, N_CELLS)
+    cents = {
+        int(r.cell_id): np.asarray(r.centroid, dtype=np.float64)
+        for r in cents_df.collect()  # N_CELLS rows — bounded by design
+    }
+    assigned = sim.ivf_assign(unit, N_CELLS, centroids=cents_df)
+    sample_rows = assigned.limit(2000).collect()
+    residuals = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
+            for r in sample_rows
+        ]
+    )
+    books = pq.train_codebooks(residuals, m=16, k=16, iters=10, seed=42)
+    m, k, dsub = books.shape
+    sc = spark.sparkContext
+    bc_cents, bc_books = sc.broadcast(cents), sc.broadcast(books)
+
+    def _enc(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["embedding"].to_numpy())
+            cell = pdf["cell_id"].to_numpy()
+            res = vecs - np.stack([bc_cents.value[int(c)] for c in cell])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                x = res[:, s * dsub : (s + 1) * dsub]
+                d2 = ((x[:, None, :] - bc_books.value[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cell,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = assigned.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
+
+    q_assigned = sim.ivf_assign(
+        unit.filter(F.col("vec_id") < N_QUERIES),
+        N_CELLS,
+        n_probe=N_PROBE,
+        centroids=cents_df,
+    ).collect()  # N_QUERIES × N_PROBE rows — bounded
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    probes = []
+    for r in q_assigned:
+        qid, cell = int(r.vec_id), int(r.cell_id)
+        res = np.asarray(r.embedding, dtype=np.float64) - cents[cell]
+        lut = np.empty((m, k), dtype=np.float64)
+        for s in range(m):
+            lut[s] = ((books[s] - res[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(
+                axis=1
+            )
+        luts[(qid, cell)] = lut
+        probes.append((qid, cell))
+    bc_luts = sc.broadcast(luts)
+    probe_df = spark.createDataFrame(probes, "query_id long, cell_id long")
+
+    def _score(batches):
+        rows = np.arange(m)
+        for pdf in batches:
+            out = []
+            for (qid, cell), grp in pdf.groupby(["query_id", "cell_id"]):
+                lut = bc_luts.value[(int(qid), int(cell))]
+                codes = np.stack(grp["codes"].to_numpy())
+                adc = lut[rows[None, :], codes].sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            "vec_id": grp["vec_id"].to_numpy(),
+                            "adc_dist": adc,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    from pyspark.sql.window import Window
+
+    scored = (
+        encoded.join(F.broadcast(probe_df), "cell_id")
+        .select("query_id", "cell_id", "vec_id", "codes")
+        .mapInPandas(_score, "query_id long, vec_id long, adc_dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rnk")
+    )
+
+
 @register("sim_ann_pq_topk")
 def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for the first 10 vectors via product quantization

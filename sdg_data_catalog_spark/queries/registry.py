@@ -147,6 +147,8 @@ _PRIORITY = (
     "stream_datasource_api",
     "agg_rolling_active_users",
     "dq_anomaly_days",
+    "sim_ann_pq_topk",
+    "sim_ann_ivfpq_topk",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",

@@ -40,6 +40,30 @@ def test_encoding_quantizes_to_nearest_centroid(spark):
             assert 0 <= out[i][s] < 8
 
 
+def test_ivfpq_self_retrieval_and_recall(spark, sf_dir):
+    """IVF-PQ prunes to 4 of 16 cells yet keeps self-retrieval perfect
+    (the query's own cell is always probed first) and recall comparable
+    to flat PQ — measured 0.52 at sf0.001 / 0.44 at sf0.01, gated at
+    0.3; that's the IVF trade: ~25% of the corpus scanned."""
+    r = all_queries()["sim_ann_ivfpq_topk"](spark, sf_dir).collect()
+    bf = all_queries()["sim_knn_bruteforce"](spark, sf_dir).collect()
+    pqtop, bftop = defaultdict(set), defaultdict(set)
+    self_rank1 = 0
+    per_query = defaultdict(int)
+    for x in r:
+        per_query[x.query_id] += 1
+        if x.vec_id == x.query_id:
+            self_rank1 += x.rnk == 1
+        else:
+            pqtop[x.query_id].add(x.vec_id)
+    for x in bf:
+        bftop[x.q_id].add(x.neighbor_id)
+    assert self_rank1 == 10
+    assert all(c == 10 for c in per_query.values())
+    recalls = [len(bftop[q] & pqtop[q]) / len(bftop[q]) for q in bftop]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+
 def test_pq_self_retrieval_and_recall(spark, sf_dir):
     """Every query retrieves ITSELF at rank 1 (ADC self-distance is the
     quantization error, far below cross-vector distances), and the PQ
