@@ -1,0 +1,154 @@
+"""Ingest-quality operators: corrupt-record dead-letter routing and
+deterministic contrastive negative sampling.
+
+`etl_dlq_routing` is the missing failure path of every JSONL ingest the
+reference does optimistically (papers_download.py writes `.fail` marker
+files; prodigy_processing.py assumes clean JSONL): malformed records
+must neither kill the job nor vanish — they route to a dead-letter
+count/sink while clean rows flow on. `sample_negative_pairs` builds the
+(anchor, negative) training pairs a contrastive embedding run needs,
+with hash-deterministic negatives so the pairing is reproducible across
+engines and corpus growth (same md5 arithmetic as `sample_hash`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+from sdg_data_catalog_spark.sources.formats import io_dir
+
+
+@register(
+    "etl_dlq_routing",
+    oracle="""
+    SELECT CASE WHEN doc_id % 13 = 0 THEN 'dlq' ELSE 'ok' END AS route,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY route
+    """,
+)
+def etl_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing on a JSONL ingest: the staged feed carries a
+    deterministic fraction of malformed lines (doc_id % 13 — a truncated
+    JSON object), the scan runs PERMISSIVE with an explicit
+    `_corrupt_record` column, and rows split into 'ok' (parsed payload
+    flows on, chars accounted) vs 'dlq' (counted, payload preserved for
+    replay — never dropped, never job-fatal). The oracle recomputes both
+    routes from the source table, so a green row proves the corrupt rows
+    were EXACTLY the planted ones — no false routing either way. The
+    parsed frame is cached before routing: Spark (correctly) refuses
+    plans that filter raw JSON solely on the internal corrupt column."""
+    path = io_dir(sf_dir, "dlq_jsonl")
+    docs = table(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "source", "n_chars")))
+    docs.select(line.alias("value")).write.text(path)
+    parsed = (
+        spark.read.schema(
+            "doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    route = F.when(F.col("_corrupt_record").isNotNull(), "dlq").otherwise("ok")
+    return (
+        parsed.select(route.alias("route"), "n_chars")
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("route") == "ok", F.col("n_chars"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("total_chars"),
+        )
+    )
+
+
+N_NEGATIVES = 4
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 10 = 0),
+    cand AS (
+      SELECT anchor_id, o,
+             CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#'
+                                       || CAST(o AS VARCHAR)), 1, 8))
+                  AS BIGINT) % n.n_docs AS neg_id
+      FROM anchors, range({N_NEGATIVES}) t(o), n
+    )
+    SELECT anchor_id, CAST(o AS BIGINT) AS slot, d.doc_id AS negative_id,
+           d.source AS negative_source
+    FROM cand JOIN documents d ON d.doc_id = cand.neg_id
+    WHERE d.doc_id <> cand.anchor_id
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling: every 10th document anchors 4
+    negatives drawn by hashing (anchor, slot) into the id space — a pure
+    function of row identity, so the SAME pairs come out on every
+    engine, every run, every cluster size (rand()-based negative
+    sampling destroys that reproducibility, and with it run-to-run loss
+    comparability). Accidental self-pairs are dropped, matching standard
+    practice. Plan: the id-space size rides along from a 1-row count
+    (lazy), candidates explode 4× the anchor set (never the corpus), and
+    the negative join is an equi-join on doc_id. doc_ids here are dense
+    [0, n); a sparse-id corpus would hash into a row_number index
+    instead."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    cand = (
+        anchors.crossJoin(n)
+        .select(
+            "anchor_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_NEGATIVES - 1))).alias("o"),
+            "n_docs",
+        )
+        .select(
+            "anchor_id",
+            "o",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("anchor_id").cast("string"),
+                                F.lit("#"),
+                                F.col("o").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        cand.join(docs, cand["neg_id"] == docs["doc_id"])
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("o").cast("long").alias("slot"),
+            F.col("doc_id").alias("negative_id"),
+            F.col("source").alias("negative_source"),
+        )
+    )

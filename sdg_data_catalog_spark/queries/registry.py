@@ -50,6 +50,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.sources_extra",
     "sdg_data_catalog_spark.queries.lm_fuzzy",
     "sdg_data_catalog_spark.queries.ann_pq",
+    "sdg_data_catalog_spark.queries.ingest_quality",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -149,6 +150,8 @@ _PRIORITY = (
     "dq_anomaly_days",
     "sim_ann_pq_topk",
     "sim_ann_ivfpq_topk",
+    "etl_dlq_routing",
+    "sample_negative_pairs",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
