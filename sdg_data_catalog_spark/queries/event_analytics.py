@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
@@ -234,6 +235,48 @@ def dq_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM du
+    )
+    SELECT user_id,
+           strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM g
+    GROUP BY user_id, grp
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    days (engagement streaks — the retention signal behind "7-day
+    streak" features). The classic island key: day minus the day's rank
+    within the user is constant exactly while days are consecutive, so
+    one hash-partitioned window plus one groupBy finds every streak —
+    no self-join, no iteration, and the whole plan shuffles on user_id
+    once. Pairs with `etl_sessionize` (intra-day gaps) and
+    `agg_retention_cohorts` (cross-user decay)."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = du.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    return g.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("grp")
 
 
 @register(

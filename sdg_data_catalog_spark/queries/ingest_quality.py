@@ -74,6 +74,42 @@ def etl_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "etl_backfill_partitioned",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (strftime(CAST(ts AS DATE), '%Y-%m-%d') > '2024-01-15')
+             AS backfilled
+    FROM events
+    GROUP BY day
+    """,
+)
+def etl_backfill_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level incremental backfill: the events table lives
+    day-partitioned on disk; an initial load lands the first half of the
+    month, then the backfill pass discovers which day-partitions are
+    MISSING (left-anti join against the partition values already on
+    disk — directory listing, no data scan) and appends exactly those.
+    The idempotence unit is the partition, so a re-run of the backfill
+    moves nothing — the pattern that makes daily history loads safely
+    retryable at 100 TB (contrast `sink_upsert`, whose unit is the
+    whole-table version). The oracle checks the final table equals one
+    clean full load, day for day."""
+    path = io_dir(sf_dir, "backfill_days")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    ev.filter(F.col("day") <= "2024-01-15").write.partitionBy("day").parquet(path)
+    existing = spark.read.parquet(path).select("day").distinct()
+    missing = ev.join(existing, "day", "left_anti")
+    missing.write.mode("append").partitionBy("day").parquet(path)
+    final = spark.read.parquet(path)
+    return final.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).withColumn("backfilled", F.col("day") > "2024-01-15")
+
+
 N_NEGATIVES = 4
 
 

@@ -152,6 +152,8 @@ _PRIORITY = (
     "sim_ann_ivfpq_topk",
     "etl_dlq_routing",
     "sample_negative_pairs",
+    "win_gap_islands",
+    "etl_backfill_partitioned",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
