@@ -1,0 +1,123 @@
+"""Lexical-diversity scoring and distributed PCA projection.
+
+`text_ttr` rounds out the text-quality family (SURVEY §2.11) with the
+type-token and hapax ratios — the lexical-diversity signals that catch
+keyword-stuffed or template-generated documents `text_repetition_score`
+misses. `emb_pca_project` is the learned counterpart of
+`emb_random_projection` (JL): variance-optimal dimensionality reduction
+with the covariance accumulated DISTRIBUTED (per-batch outer-product
+partials) and only the 64×64 Gram matrix eigendecomposed driver-side —
+the split every large-scale PCA uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+@register(
+    "text_ttr",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM wc
+    GROUP BY doc_id
+    """,
+)
+def text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax ratio per document: distinct-words /
+    total-words and once-only-words / distinct-words — low TTR flags
+    keyword stuffing and template spam; a hapax ratio near 1 on a long
+    document flags gibberish. One explode + two doc_id-partitioned
+    aggregations (the per-(doc, word) count collapses map-side); the
+    doc_id % 20 subsample bounds the driver comparison, the operator
+    itself is corpus-wide."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+N_COMPONENTS = 8
+
+
+@register("emb_pca_project")
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection 64 → 8 dims (rows-only by declared design:
+    eigendecomposition is iterative float linear algebra; correctness is
+    carried by the numpy differential twin in tests/test_emb_text.py —
+    subspace agreement up to per-component sign, descending explained
+    variance). The distributed split: each Arrow batch emits ONE partial
+    (count, per-dim sum, flattened X'X outer-product sum); the driver
+    folds the handful of partials (one per partition, never per row),
+    eigendecomposes the 64×64 covariance, and broadcasts the top-8
+    components for a map-side projection pass. At 100 TB the collected
+    state stays (partitions × 4 KB) while both data passes remain fully
+    parallel — the standard big-data PCA decomposition."""
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+
+    def _partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0)],
+                    "xx": [(x.T @ x).ravel()],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        _partials, "n long, s array<double>, xx array<double>"
+    ).collect()
+    n = sum(p.n for p in parts)
+    s = np.sum([np.asarray(p.s) for p in parts], axis=0)
+    xx = np.sum([np.asarray(p.xx) for p in parts], axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = xx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:N_COMPONENTS]
+    comps = vecs[:, order].T  # (k, dim)
+    bc = spark.sparkContext.broadcast((mean, comps))
+
+    def _project(batches):
+        m, w = bc.value
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            proj = (x - m) @ w.T
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "proj": list(np.round(proj, 6)),
+                }
+            )
+
+    return emb.mapInPandas(_project, "vec_id long, proj array<double>")

@@ -51,6 +51,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.lm_fuzzy",
     "sdg_data_catalog_spark.queries.ann_pq",
     "sdg_data_catalog_spark.queries.ingest_quality",
+    "sdg_data_catalog_spark.queries.emb_text_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -154,6 +155,8 @@ _PRIORITY = (
     "sample_negative_pairs",
     "win_gap_islands",
     "etl_backfill_partitioned",
+    "text_ttr",
+    "emb_pca_project",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
