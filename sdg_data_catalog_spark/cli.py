@@ -129,6 +129,11 @@ def cmd_ner(args: argparse.Namespace) -> dict[str, Any]:
     qs = all_queries()
     n_docs = table(spark, args.sf_dir, "documents").count()
     batch = max(1, math.ceil(args.batch_fraction * n_docs))
+    # the rank_al_* operators rank the top K=25 most informative docs
+    # (queries/ranking.py); a batch fraction asking for more is capped
+    # there and surfaced in the summary as `batch_capped`
+    from sdg_data_catalog_spark.queries.ranking import K as _RANK_K
+
     ranked = qs[AL_STRATEGIES[strategy]](spark, args.sf_dir).limit(batch)
     # Prodigy-ish JSONL export (wrapper_ner.py:67-74): one object per
     # suggested annotation. The batch is bounded by -bf, so a driver-side
@@ -153,6 +158,7 @@ def cmd_ner(args: argparse.Namespace) -> dict[str, Any]:
         "command": "ner",
         "strategy": strategy,
         "exported": len(rows),
+        "batch_capped": batch > _RANK_K,
         "annotations": args.new_annotations,
         "report": args.report_name,
     }
