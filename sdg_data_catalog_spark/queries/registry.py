@@ -52,6 +52,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.ann_pq",
     "sdg_data_catalog_spark.queries.ingest_quality",
     "sdg_data_catalog_spark.queries.emb_text_extra",
+    "sdg_data_catalog_spark.queries.curation_rules",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -157,6 +158,10 @@ _PRIORITY = (
     "etl_backfill_partitioned",
     "text_ttr",
     "emb_pca_project",
+    "filter_gopher_rules",
+    "etl_cdc_apply",
+    "agg_markov_transitions",
+    "text_compression_ratio",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",
