@@ -11,6 +11,37 @@ from sdg_data_catalog_spark.operators import pq
 from sdg_data_catalog_spark.queries.registry import all_queries
 
 
+def test_adc_self_code_is_optimal_hypothesis():
+    """Theorem: a vector's own PQ code minimizes its ADC distance over
+    ALL possible codes — ADC(q, code(q)) = Σ_s min_c ||q_s − c||², each
+    subspace independently at its minimum. Property-tested over random
+    codebooks and vectors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        m, k, dsub = 4, 8, 3
+        books = rng.normal(size=(m, k, dsub))
+        q = rng.normal(size=m * dsub)
+        # ADC LUT for q
+        lut = np.stack(
+            [
+                ((books[s] - q[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1)
+                for s in range(m)
+            ]
+        )
+        self_code = lut.argmin(axis=1)
+        self_adc = lut[np.arange(m), self_code].sum()
+        for _ in range(20):
+            other = rng.integers(0, k, size=m)
+            assert self_adc <= lut[np.arange(m), other].sum() + 1e-12
+
+    run()
+
+
 def test_codebook_training_is_deterministic():
     rng = np.random.default_rng(7)
     x = rng.normal(size=(300, 32))
