@@ -53,6 +53,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.ingest_quality",
     "sdg_data_catalog_spark.queries.emb_text_extra",
     "sdg_data_catalog_spark.queries.curation_rules",
+    "sdg_data_catalog_spark.queries.catalog_rollback",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -162,6 +163,8 @@ _PRIORITY = (
     "etl_cdc_apply",
     "agg_markov_transitions",
     "text_compression_ratio",
+    "catalog_rollback",
+    "sketch_rolling_wau",
     # round-3-checked block (driver-green in CORRECTNESS_r03.json)
     "q2_min_acctbal_supplier",
     "q8_market_share",

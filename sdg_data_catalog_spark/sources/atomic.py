@@ -107,6 +107,30 @@ def read_latest(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(cur[0])
 
 
+def rollback(root: str) -> tuple[str, int]:
+    """Atomically repoint LATEST to the previous retained snapshot —
+    the bad-deploy undo a versioned catalog owes its operators. The flip
+    is the same tmp-file + os.replace the forward publish uses, so a
+    crash mid-rollback leaves the pointer on ONE of the two versions,
+    never between them; data dirs are untouched (the rolled-back version
+    stays on disk for inspection or re-promotion). Returns the now-live
+    (dir, version). Raises if there is no earlier retained version."""
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    vroot = os.path.join(root, "versions")
+    names = sorted(n for n in os.listdir(vroot) if n.startswith("v"))
+    idx = names.index(f"v{cur[1]:09d}")
+    if idx == 0:
+        raise ValueError(f"no version before v{cur[1]} retained under {root}")
+    prev = names[idx - 1]
+    tmp_ptr = os.path.join(root, f".LATEST.rollback.{prev}.tmp")
+    with open(tmp_ptr, "w") as fh:
+        fh.write(prev)
+    os.replace(tmp_ptr, os.path.join(root, "LATEST"))
+    return os.path.join(vroot, prev), int(prev[1:])
+
+
 def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     """Time travel: read a specific published snapshot (if retained). The
     versioned layout is what makes this free — each publish is an immutable

@@ -6,11 +6,37 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from sdg_data_catalog_spark.sources.atomic import (
     latest_version,
     publish,
     read_latest,
+    rollback,
 )
+
+
+def test_rollback_lifecycle(spark, tmp_path):
+    """Rollback repoints LATEST to the previous retained snapshot, keeps
+    the rolled-back data dir for inspection, refuses to fall off the
+    retention floor, and re-promotion forward works afterwards."""
+    root = str(tmp_path / "rb")
+    publish(spark.range(5).withColumnRenamed("id", "k"), root, 0)
+    publish(spark.range(9).withColumnRenamed("id", "k"), root, 1)
+    vdir, live = rollback(root)
+    assert live == 0
+    assert read_latest(spark, root).count() == 5
+    # the rolled-back version's data survives (inspection / re-promotion)
+    import os
+
+    assert os.path.isdir(os.path.join(root, "versions", "v000000001"))
+    # nothing earlier than v0 is retained: a second rollback must refuse
+    with pytest.raises(ValueError):
+        rollback(root)
+    # forward publishing after a rollback resumes normally
+    publish(spark.range(3).withColumnRenamed("id", "k"), root, 2)
+    assert latest_version(root)[1] == 2
+    assert read_latest(spark, root).count() == 3
 
 
 def test_publish_crash_before_flip_is_invisible_then_retryable(spark, tmp_path):
