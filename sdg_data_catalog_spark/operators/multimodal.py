@@ -139,7 +139,10 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     therefore any sha-based differential check — are identical on every
     environment, with or without Pillow (Pillow's PNG encoder emits
     different-but-valid bytes, which made `mm_resize` results
-    environment-dependent). Non-PNG payloads (JPEG/WebP/...) fall back to
+    environment-dependent). Baseline JPEG payloads likewise decode through
+    the self-contained codec (operators/jpegcodec.py) and re-encode as PNG
+    (lossless output side — resizing shouldn't add a second generation
+    loss). Remaining formats (WebP, progressive JPEG, ...) fall back to
     Pillow when importable; otherwise NotImplementedError naming the
     missing codec. Errors are raised lazily per batch — plan construction
     never fails."""
@@ -151,6 +154,17 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         return imagecodec.png_encode(
             imagecodec.resize_nearest(arr, width, height)
         )
+    if data[:2] == b"\xff\xd8":
+        from sdg_data_catalog_spark.operators import jpegcodec
+
+        try:
+            arr = jpegcodec.jpeg_decode(data)
+        except ValueError:
+            arr = None  # e.g. progressive — try Pillow below
+        if arr is not None:
+            return imagecodec.png_encode(
+                imagecodec.resize_nearest(arr, width, height)
+            )
     try:
         import io
 
@@ -235,6 +249,48 @@ def as_png_media(documents: DataFrame, side: int = 24) -> DataFrame:
     meta = F.struct(
         F.lit("image").alias("media_type"),
         F.lit("png").alias("format"),
+        F.lit(side).cast("int").alias("width"),
+        F.lit(side).cast("int").alias("height"),
+        F.lit(0).cast("int").alias("duration_ms"),
+        F.lit(1).cast("int").alias("n_frames"),
+    )
+    return (
+        documents.select("doc_id")
+        .mapInPandas(render, out_schema)
+        .withColumn("meta", meta)
+    )
+
+
+def as_jpeg_media(
+    documents: DataFrame, side: int = 24, quality: int = 90
+) -> DataFrame:
+    """documents → media table whose payloads are REAL baseline JPEGs,
+    built deterministically from doc_id with the self-contained codec
+    (operators/jpegcodec.py). Subsampling alternates 4:4:4 / 4:2:0 by
+    doc_id parity so both decoder MCU shapes are exercised in the
+    registered query, not just in unit tests. Payload bytes are
+    deterministic, so differential tests recompute them exactly."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_data_catalog_spark.operators.jpegcodec import jpeg_encode
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                sub = "420" if int(did) % 2 else "444"
+                payloads.append(
+                    jpeg_encode(synthetic_image(int(did), side), quality, sub)
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit("jpeg").alias("format"),
         F.lit(side).cast("int").alias("width"),
         F.lit(side).cast("int").alias("height"),
         F.lit(0).cast("int").alias("duration_ms"),

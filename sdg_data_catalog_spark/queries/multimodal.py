@@ -86,6 +86,28 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(media)
 
 
+@register("mm_resize_jpeg")  # rows-only, differential pytest twin
+def mm_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END **JPEG** decode path: deterministic baseline JPEGs
+    (4:4:4 and 4:2:0 alternating by doc parity; self-contained codec,
+    operators/jpegcodec.py — Huffman + DCT + chroma upsampling, no
+    Pillow) are decoded, nearest-neighbor resized to 16×16, and
+    re-encoded as PNG inside Arrow batches. Output payload sha256 is
+    environment-independent (both codecs are self-contained), so the
+    pytest twin recomputes the exact bytes locally
+    (tests/test_jpegcodec.py). Closes the round-3 codec-breadth gap."""
+    docs = table(spark, sf_dir, "documents").limit(100)
+    media = MM.as_jpeg_media(docs)
+    resized = MM.resize_media(media, 16, 16)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha"),
+    )
+
+
 @register("mm_resize")  # real pixel path: rows-only, differential pytest twin
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END image resize: deterministic synthetic PNGs (self-contained
