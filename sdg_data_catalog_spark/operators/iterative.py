@@ -175,3 +175,46 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
     for df in (e, outdeg, nodes):
         df.unpersist()
     return ranks
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete nodes
+    of (undirected) degree < k until a fixpoint — the dense-subgraph
+    extraction used for community cores and spam/botnet detection over
+    interaction graphs.
+
+    Scale pattern (matches pagerank above): each round is one degree
+    aggregation plus one two-sided left-anti join of the live edge set
+    against the deleted-node sliver; the edge frame is localCheckpointed
+    per round so lineage stays flat. Work per round is proportional to
+    the SURVIVING edges — peeling shrinks the frame monotonically, the
+    opposite of a blowup. The fixpoint test (`bad.isEmpty`) is the only
+    driver-side value; node sets never leave the cluster.
+
+    Returns (node, degree) for the k-core members (degree = within-core
+    undirected degree, ≥ k by construction).
+    """
+    # undirected simple graph: symmetrize + dedup; self-loops dropped
+    simple = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    und = (
+        simple.unionByName(
+            simple.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        bad = deg.filter(F.col("degree") < k).select("src").localCheckpoint(eager=True)
+        if bad.isEmpty():
+            return deg.select(F.col("src").alias("node"), "degree")
+        und = (
+            und.join(bad, "src", "left_anti")
+            .join(bad.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    # max_rounds exceeded (can't happen: each round deletes ≥1 node or
+    # returns) — surface whatever survived rather than looping forever
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.select(F.col("src").alias("node"), "degree")

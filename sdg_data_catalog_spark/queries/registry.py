@@ -54,6 +54,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.emb_text_extra",
     "sdg_data_catalog_spark.queries.curation_rules",
     "sdg_data_catalog_spark.queries.catalog_rollback",
+    "sdg_data_catalog_spark.queries.web_curation",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -216,6 +217,14 @@ _PRIORITY = (
     "catalog_stats",
     "stream_enrich",
     "dedup_semantic",
+    # round-4 continuation registrations (oracle-verified at sf0.001 and
+    # sf0.01; queue behind the staged r5/r6 rotation)
+    "scan_warc",
+    "dedup_url_canonical",
+    "sample_temperature",
+    "sketch_quantiles",
+    "text_keywords_tfidf",
+    "agg_corr_matrix",
 )
 
 
