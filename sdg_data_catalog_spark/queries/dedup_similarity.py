@@ -419,11 +419,46 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf_topk")  # approximate by design: rows-only + recall test
+_IVF_ORACLE = """
+WITH cents AS (
+  SELECT vec_id AS cell_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+assigned AS (
+  SELECT vec_id, emb, cell_id FROM (
+    SELECT e.vec_id, e.emb, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.emb, c.centroid) ASC, c.cell_id ASC) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, cell_id FROM assigned WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.q_emb, a.emb) AS cos_sim
+  FROM q JOIN assigned a USING (cell_id)
+  WHERE q.q_id <> a.vec_id
+)
+SELECT q_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 6) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("sim_ann_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (the north star's 'IVF or LSH-bucketed variant' —
     both are registered). Coarse-quantize into cells, search within the
-    query's cell; recall vs sim_knn_bruteforce asserted in pytest."""
+    query's cell; recall vs sim_knn_bruteforce asserted in pytest.
+    Promoted from rows-only this round: the deterministic coarse codebook
+    (first 16 vectors), argmin cell assignment, bucket equi-join, and
+    cosine window ranking all reproduce in DuckDB SQL (list_distance /
+    list_cosine_similarity; the sqrt-vs-squared L2 difference is
+    monotone, so argmin cells agree bit-for-bit)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, k=5)
 

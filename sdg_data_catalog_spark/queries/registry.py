@@ -225,6 +225,7 @@ _PRIORITY = (
     "sketch_quantiles",
     "text_keywords_tfidf",
     "agg_corr_matrix",
+    "agg_dataset_card",
 )
 
 

@@ -313,7 +313,50 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cluster_kmeans")  # iterative, rows-only: numpy-twin tested
+def _kmeans_oracle_round(i: int) -> str:
+    """One unrolled Lloyd round in DuckDB SQL: assignment under the prior
+    centroids (first-min tie-break, matching numpy argmin), per-dimension
+    mean update, empty-cluster patch."""
+    prev = f"c{i-1}f" if i > 1 else "c0"
+    return f"""
+a{i} AS (SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       c.cent)^2 AS d
+  FROM embeddings e CROSS JOIN {prev} c),
+asg{i} AS (SELECT vec_id, embedding, cid AS cluster_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid)
+               AS rn FROM a{i}) WHERE rn = 1),
+c{i} AS (SELECT cluster_id AS cid, list(m ORDER BY pos) AS cent
+  FROM (SELECT cluster_id, pos, AVG(CAST(val AS DOUBLE)) AS m
+        FROM (SELECT cluster_id, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS pos FROM asg{i})
+        GROUP BY cluster_id, pos) GROUP BY cluster_id),
+c{i}f AS (SELECT p.cid, COALESCE(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN c{i} n ON p.cid = n.cid)"""
+
+
+_KMEANS_ORACLE = (
+    """WITH c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+),"""
+    + ",".join(_kmeans_oracle_round(i) for i in (1, 2, 3))
+    + """,
+final AS (SELECT e.vec_id, c.cid,
+         list_distance(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       c.cent)^2 AS d
+  FROM embeddings e CROSS JOIN c3f c)
+SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+       ROUND(d, 6) AS sq_dist
+FROM (SELECT *, cid AS cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM final)
+WHERE rn = 1 ORDER BY vec_id"""
+)
+
+
+@register("cluster_kmeans", oracle=_KMEANS_ORACLE)
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means assignment over the embeddings table
     (operators/iterative.py::kmeans_assign): deterministic init (k lowest
@@ -321,14 +364,49 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering step. Per-iteration driver state is exactly k·dim doubles;
     assignment is a codegen'd expression tree (no Python, no shuffle) and
     the update one partial-aggregated groupBy. Differential-tested against
-    a dense-numpy twin (tests/test_iterative.py)."""
+    a dense-numpy twin (tests/test_iterative.py) AND — promoted from
+    rows-only this round — hash-checked against a fully UNROLLED DuckDB
+    oracle: three Lloyd rounds expressed as chained CTEs over DuckDB's
+    list functions (list_distance for the argmin, unnest+subscripts for
+    the per-dimension means, first-min window tie-break). The iterative
+    algorithm is value-identical across engines, not just 'runs with a
+    stable schema'."""
     from sdg_data_catalog_spark.operators.iterative import kmeans_assign
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_assign(emb, k=4, iters=3).orderBy("vec_id")
 
 
-@register("graph_pagerank")  # iterative, rows-only: numpy-twin tested
+def _pagerank_oracle_round(i: int, damping: float = 0.85) -> str:
+    p = f"r{i-1}"
+    return f"""
+contrib{i} AS (SELECT e.dst AS node, SUM(r.rank / o.odeg) AS inflow
+  FROM e JOIN {p} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+dang{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS d
+  FROM {p} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL),
+r{i} AS (SELECT nodes.node,
+  (1 - {damping}) / (SELECT n FROM nn)
+  + {damping} * (SELECT d FROM dang{i}) / (SELECT n FROM nn)
+  + {damping} * COALESCE(c.inflow, 0) AS rank
+  FROM nodes LEFT JOIN contrib{i} c ON nodes.node = c.node)"""
+
+
+_PAGERANK_ORACLE = (
+    """WITH e AS (SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+    + ",".join(_pagerank_oracle_round(i) for i in (1, 2, 3, 4))
+    + """
+SELECT node, rank FROM (SELECT node, ROUND(rank, 10) AS rank FROM r4)
+ORDER BY rank DESC, node LIMIT 50"""
+)
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier→customer shipment graph (distinct
     (l_suppkey, o_custkey) pairs from lineitem⋈orders) — the
@@ -337,7 +415,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistribution (operators/iterative.py::pagerank): one shuffle per
     round on dst plus a broadcast of the rank vector; ranks
     localCheckpointed per round. Rounded to 10 decimals for a stable
-    cross-engine surface; differential-tested against a dense-numpy twin."""
+    cross-engine surface; differential-tested against a dense-numpy twin
+    AND — promoted from rows-only this round — hash-checked against a
+    fully UNROLLED DuckDB oracle (four power-iteration rounds as chained
+    CTEs, dangling mass and all; the ORDER BY runs on the ROUNDED rank so
+    tie classes resolve identically in both engines before the LIMIT)."""
     from sdg_data_catalog_spark.operators.iterative import pagerank
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")

@@ -491,3 +491,61 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp(qty), 6).alias("sd_qty"),
         F.round(F.stddev_samp(price), 4).alias("sd_price"),
     )
+
+
+# --- dataset card ------------------------------------------------------
+
+
+@register(
+    "agg_dataset_card",
+    oracle="""
+    WITH per_lang AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT source) AS n_sources,
+             SUM(n_chars) AS total_chars,
+             SUM(len(string_split(text, ' '))) AS total_tokens,
+             quantile_cont(n_chars, 0.5) AS p50_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_sources AS BIGINT) AS n_sources,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(p50_chars, 4) AS p50_chars
+    FROM per_lang
+    """,
+)
+def agg_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-language composition table a data
+    release publishes (doc counts, source diversity, size shares, token
+    totals, length medians). One shuffle on lang computes everything —
+    token counting is a codegen'd size(split()) expression, the share
+    normalization is a window over the |langs|-row aggregate only. The
+    100 TB version of 'describe this corpus' that drives mixture and
+    filtering decisions; pairs with `sample_temperature` (which consumes
+    exactly these shares)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        F.percentile(F.col("n_chars").cast("double"), 0.5).alias("p50_raw"),
+    )
+    w = Window.partitionBy()  # |langs| rows — tiny
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "doc_share"
+        ),
+        "total_chars",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round("p50_raw", 4).alias("p50_chars"),
+    )

@@ -175,3 +175,14 @@ def test_corr_matrix_single_shuffle(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.corr_qty_price <= 1.0
         assert -1.0 <= r.corr_qty_disc <= 1.0
+
+
+def test_dataset_card_shares_sum_to_one(spark, sf_dir):
+    rows = all_queries()["agg_dataset_card"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-4
+    docs = table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.total_tokens >= r.n_docs  # every doc has ≥1 token
+        assert r.p50_chars > 0
