@@ -234,6 +234,9 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
 
+    from sdg_data_catalog_spark.queries.scale_ops import _ensure_bucketed_tables
+
+    _ensure_bucketed_tables(spark, sf_dir)  # ingest-time layout (see below)
     cold, build, timings = _bench_spark(qs, names, spark, sf_dir, reps=3)
 
     extended: dict[str, float] = {}
@@ -254,8 +257,15 @@ def main() -> None:
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
     }
 
+    # The q5/q18 headline forms route to the bucketed layout only when it
+    # already exists on disk at plan-build time; a freshly (re)generated
+    # replica tier has no layouts yet, so the FIRST bench on it silently
+    # measured the ad-hoc plans (caught 2026-08-14: q18 3.66 s ad-hoc vs
+    # 1.70 s bucketed in the same run). Build the ingest-time layout before
+    # timing each tier — that is the deployment story the headline measures.
     sf1_dir = _ensure_sf1()
     if sf1_dir:
+        _ensure_bucketed_tables(spark, sf1_dir)
         _, _, sf1_timings = _bench_spark(qs, names, spark, sf1_dir, reps=3)
         sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
         result["sf1"] = {
@@ -270,6 +280,7 @@ def main() -> None:
         # 5 reps at the asymptote tier: min-of-3 let one multi-second host
         # transient (page-cache/GC collision) survive into the record —
         # measured join_fk 7.7 s in one run vs 0.85 s in the next.
+        _ensure_bucketed_tables(spark, sf10_dir)
         _, _, sf10_timings = _bench_spark(qs, names, spark, sf10_dir, reps=5)
         sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
         result["sf10"] = {

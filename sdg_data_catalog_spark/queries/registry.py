@@ -55,6 +55,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.curation_rules",
     "sdg_data_catalog_spark.queries.catalog_rollback",
     "sdg_data_catalog_spark.queries.web_curation",
+    "sdg_data_catalog_spark.queries.lake_ops",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -226,6 +227,9 @@ _PRIORITY = (
     "text_keywords_tfidf",
     "agg_corr_matrix",
     "agg_dataset_card",
+    "sink_dynamic_overwrite",
+    "scan_nested_pruning",
+    "join_federated",
 )
 
 
