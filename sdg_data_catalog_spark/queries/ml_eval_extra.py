@@ -1,0 +1,385 @@
+"""ML-evaluation, experimentation, and governance operators (engine-added,
+SURVEY.md §2.11 north star).
+
+The training-data loop needs more than curation: once a model exists you
+need fold assignment that is reproducible across engines and corpus
+growth (`split_kfold`), evaluation that is a dataflow rather than a
+driver-side sklearn call (`agg_confusion_matrix` — the reference's
+missing `evaluation` module, SURVEY §0 known defects, recast as a
+groupBy), behavioural experiment readouts (`agg_ab_test`), distribution
+monitoring between ingest periods (`dq_profile_drift`), and
+privacy-governance passes before publication (`etl_k_anonymize`).
+All are pure column arithmetic — every operator here is hash-checked
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+def _hash_long(col):
+    """First 8 md5 hex digits as a long — the engine-portable hash unit
+    shared with sample_hash / feat_hashing_tf (curation_extra.py)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+@register(
+    "split_kfold",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 5 AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) by md5 arithmetic on the key.
+
+    Cross-validation folds from `rand()` are irreproducible across runs and
+    engines and reshuffle every row when the corpus grows; hashing the key
+    gives folds that are stable per document forever — a new document lands
+    in one fold without moving any existing one (the property
+    train_test_split(random_state=42) at ner_pipeline.py:71-77 only
+    approximates within a single process). Pure map-side: no shuffle, no
+    state, embarrassingly parallel at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", (_hash_long(F.col("doc_id")) % 5).cast("int").alias("fold")
+    )
+
+
+@register(
+    "agg_confusion_matrix",
+    oracle="""
+    SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label,
+           CASE WHEN list_contains(string_split(text, ' '), 'the')
+                THEN 'en' ELSE 'other' END AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def agg_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix as a dataflow: label × prediction → count.
+
+    The reference imports a missing `evaluation` module for exactly this
+    readout (ner_pipeline.py:294-334, SURVEY §0 defects); here the whole
+    matrix is one groupBy over indicator columns — partial-aggregated
+    map-side, four result rows regardless of corpus size. The stand-in
+    classifier is the deterministic token heuristic ('the' ∈ tokens ⇒
+    English) so both engines reproduce it bit-for-bit; a real model slots
+    in as a mapInPandas scorer upstream (udf_bert_classify) without
+    touching this aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("label"),
+            F.when(
+                F.array_contains(F.split(F.col("text"), " "), "the"), "en"
+            )
+            .otherwise("other")
+            .alias("pred"),
+        )
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_entropy_by_group",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS entropy
+    FROM cnt GROUP BY user_id
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioural-diversity signal (bot traffic ≈ zero entropy, organic ≈
+    high). Uses the algebraic form H = ln(n) − Σc·ln(c)/n so both
+    aggregation levels are plain sums: the per-(user,type) count shuffles
+    once, then the per-user fold runs over the already-tiny counts table
+    (≤ |users|×|types| rows) — no window, no second scan of raw events."""
+    ev = table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+    )
+
+
+@register(
+    "agg_ab_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        FROM u GROUP BY variant
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+               MAX(CASE WHEN variant = 0 THEN conv END) AS c_a,
+               MAX(CASE WHEN variant = 1 THEN conv END) AS c_b
+        FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(c_a * 1.0 / n_a, 4) AS rate_a,
+           ROUND(c_b * 1.0 / n_b, 4) AS rate_b,
+           ROUND((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                 / NULLIF(sqrt((c_a + c_b) * 1.0 / (n_a + n_b)
+                               * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                               * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z
+    FROM w
+    """,
+)
+def agg_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout: hash-split users into variants (the
+    deterministic assignment every experimentation platform uses — a user
+    re-bucketing between reads would corrupt the experiment), conversion =
+    ≥1 'purchase', pooled two-proportion z statistic in closed form.
+
+    Plan: one shuffle on user_id for the per-user fold, then the variant
+    rollup is 2 rows — the z arithmetic is driver-free column math on a
+    single-row frame. At 100 TB the per-user agg is the only real work and
+    it is partial-aggregated map-side."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    u = u.select(
+        (_hash_long(F.col("user_id")) % 2).alias("variant"), "converted"
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round((p_a - p_b) / F.nullif(se, F.lit(0)), 4).alias("z"),
+    )
+
+
+@register(
+    "dq_profile_drift",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END
+                 AS period,
+               COUNT(*) AS n, AVG(o_totalprice) AS m,
+               VAR_SAMP(o_totalprice) AS v
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN period = 'a' THEN n END) AS n_a,
+               MAX(CASE WHEN period = 'b' THEN n END) AS n_b,
+               MAX(CASE WHEN period = 'a' THEN m END) AS m_a,
+               MAX(CASE WHEN period = 'b' THEN m END) AS m_b,
+               MAX(CASE WHEN period = 'a' THEN v END) AS v_a,
+               MAX(CASE WHEN period = 'b' THEN v END) AS v_b
+        FROM s
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(m_a, 4) AS mean_a, ROUND(m_b, 4) AS mean_b,
+           ROUND((m_b - m_a) / sqrt(v_a / n_a + v_b / n_b), 4) AS drift_z
+    FROM w
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between ingest periods (Welch z on the mean of
+    o_totalprice, old period vs new) — the monitoring companion to
+    dq_constraints' hard checks and dq_anomaly_days' volume screen:
+    constraint-clean data can still drift into a different distribution
+    and silently skew every model trained on it. One scan, two grouped
+    (count, mean, variance) folds — all partial-aggregated; the z
+    arithmetic runs on a 2-row frame. At 100 TB this is the per-batch
+    profile a publish gate would persist beside catalog_stats."""
+    od = table(spark, sf_dir, "orders")
+    s = od.groupBy(
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.var_samp("o_totalprice").alias("v"),
+    )
+    w = s.agg(
+        *[
+            F.max(F.when(F.col("period") == p, F.col(c))).alias(f"{c}_{p}")
+            for p in ("a", "b")
+            for c in ("n", "m", "v")
+        ]
+    )
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("m_b") - F.col("m_a"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            4,
+        ).alias("drift_z"),
+    )
+
+
+@register(
+    "etl_k_anonymize",
+    oracle="""
+    WITH g AS (
+        SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+    )
+    SELECT d.doc_id,
+           CASE WHEN g.c < 3 THEN '*' ELSE d.lang END AS lang_anon,
+           CASE WHEN g.c < 3 THEN '*' ELSE d.source END AS source_anon
+    FROM documents d JOIN g USING (lang, source)
+    """,
+)
+def etl_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression pass (k=3) over the quasi-identifier pair
+    (lang, source): any combination shared by fewer than k documents is
+    generalized to '*' so no published row is re-identifiable by its QI
+    tuple. The group-size table is a tiny aggregate (|langs|×|sources|)
+    broadcast back against the corpus — no window over the full data, no
+    second shuffle. The 100 TB shape: QI cardinality stays metadata-sized
+    even when the corpus doesn't, so suppression is one broadcast join."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    return docs.join(F.broadcast(g), ["lang", "source"]).select(
+        "doc_id",
+        F.when(F.col("c") < 3, "*").otherwise(F.col("lang")).alias("lang_anon"),
+        F.when(F.col("c") < 3, "*").otherwise(F.col("source")).alias("source_anon"),
+    )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+           CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syllables,
+           FLOOR((CAST(206.835 AS DOUBLE)
+                  - CAST(1.015 AS DOUBLE) * len(string_split(text, ' '))
+                  - CAST(84.6 AS DOUBLE)
+                    * (len(regexp_extract_all(text, '[aeiouy]+')) * CAST(1.0 AS DOUBLE)
+                       / len(string_split(text, ' ')))) * 1000) / 1000 AS flesch
+    FROM documents
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability filter in
+    curation stacks (complements text_quality_score's length/punct ratios
+    and filter_gopher_rules' thresholds). Syllables are approximated by
+    vowel-group runs ([aeiouy]+), the standard dictionary-free heuristic;
+    each document is one sentence in this corpus (no terminal punctuation
+    in the synthetic text), so the sentence term reduces to the word
+    count. Pure codegen'd regex/length arithmetic — zero shuffles, zero
+    Python. The score is truncated (floor at 3 decimals), not rounded:
+    both engines compute the identical IEEE double, so floor is
+    bit-stable while half-up rounding diverges on representation-edge
+    ties (seen at .xxx5 in validation)."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " "))
+    syl = F.regexp_count(F.col("text"), F.lit("[aeiouy]+"))
+    flesch = F.lit(206.835) - 1.015 * words - 84.6 * (syl * 1.0 / words)
+    return docs.select(
+        "doc_id",
+        words.cast("bigint").alias("words"),
+        syl.cast("bigint").alias("syllables"),
+        (F.floor(flesch * 1000) / 1000).alias("flesch"),
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    deg AS (SELECT part, COUNT(*) AS d FROM e GROUP BY part),
+    common AS (
+        SELECT a.part AS p1, b.part AS p2, COUNT(*) AS c
+        FROM e a JOIN e b ON a.ord = b.ord AND a.part < b.part
+        GROUP BY a.part, b.part
+    )
+    SELECT p1, p2,
+           ROUND(c * 1.0 / (da.d + db.d - c), 4) AS jaccard
+    FROM common
+    JOIN deg da ON da.part = p1
+    JOIN deg db ON db.part = p2
+    ORDER BY jaccard DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction on the part co-purchase graph:
+    score candidate part pairs by |orders(p1) ∩ orders(p2)| /
+    |orders(p1) ∪ orders(p2)|. Candidates come from the wedge join on the
+    shared order (same degree-bounded shape as graph_triangle_count —
+    never all pairs): only pairs with ≥1 common order are materialized,
+    the union size is derived algebraically from the two degrees, and the
+    result is a deterministic top-20 (jaccard desc, then keys) →
+    TakeOrderedAndProject. At 100 TB the wedge join is bounded by
+    Σ_orders |items|² with the hub-order cap that dedup blocking uses —
+    items-per-order is naturally small in a retail graph."""
+    li = table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    deg = e.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.ord") == F.col("b.ord")) & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("part").alias("p1"), F.col("d").alias("d1"))
+    db = deg.select(F.col("part").alias("p2"), F.col("d").alias("d2"))
+    return (
+        common.join(da, "p1")
+        .join(db, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.round(
+                F.col("c") * 1.0 / (F.col("d1") + F.col("d2") - F.col("c")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "p1", "p2")
+        .limit(20)
+    )

@@ -56,6 +56,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.catalog_rollback",
     "sdg_data_catalog_spark.queries.web_curation",
     "sdg_data_catalog_spark.queries.lake_ops",
+    "sdg_data_catalog_spark.queries.ml_eval_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -230,6 +231,20 @@ _PRIORITY = (
     "sink_dynamic_overwrite",
     "scan_nested_pruning",
     "join_federated",
+    # round-4 session-2 additions (oracle-verified at sf0.001 and sf0.01
+    # before staging; promoted rows-only names re-enter the rotation here)
+    "split_kfold",
+    "agg_confusion_matrix",
+    "agg_entropy_by_group",
+    "agg_ab_test",
+    "dq_profile_drift",
+    "etl_k_anonymize",
+    "text_readability",
+    "graph_jaccard_neighbors",
+    "udf_vectorize",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "scan_fixedwidth",
 )
 
 

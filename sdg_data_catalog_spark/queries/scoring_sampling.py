@@ -82,11 +82,55 @@ def udaf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udf_vectorize")  # broadcast-vocab lookup: rows-only (dict is engine-side)
+@register(
+    "udf_vectorize",
+    oracle="""
+    WITH cnt AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    vocab AS (
+        SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS INTEGER) AS id
+        FROM cnt ORDER BY c DESC, w ASC LIMIT 100
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(ws[1:32]) AS w,
+               generate_subscripts(ws[1:32], 1) AS i,
+               LEAST(len(ws), 32) AS n_tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    ids AS (
+        SELECT t.doc_id,
+               string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY t.i) AS head,
+               any_value(t.n_tok) AS n_tok
+        FROM tok t LEFT JOIN vocab v USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, head || repeat(',0', 32 - n_tok) AS token_ids_csv FROM ids
+    """,
+)
 def udf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → padded token-id vector via an Arrow pandas_udf with a
+    broadcast vocab (utils/utils.py:18-25 shape). The vocab is
+    deterministic (top-100 tokens by count desc, token asc → ids 1..100,
+    0 = OOV/pad), and split→lookup→truncate→pad is pure arithmetic, so the
+    whole UDF path is reproducible in ANSI SQL — surfaced as a CSV string
+    (identical bytes on both engines; array columns canonicalize less
+    predictably). Promoted from rows-only in round 4 — this hash-checks
+    the Python UDF machinery itself: broadcast deserialization, Arrow
+    batch transfer, and pad/truncate edge cases all sit on the hashed
+    path."""
     docs = table(spark, sf_dir, "documents")
     vocab = SC.build_vocab(docs, size=100)
-    return SC.vectorize(docs, vocab)
+    vec = SC.vectorize(docs, vocab)
+    return vec.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids_csv"),
+    )
 
 
 @register("udf_ner_score")  # model-scoring dataflow: rows-only

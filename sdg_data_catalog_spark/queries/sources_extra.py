@@ -194,3 +194,42 @@ def catalog_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "scan_fixedwidth",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(38 AS INTEGER) AS rec_len
+    FROM nation
+    """,
+)
+def scan_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook-shaped) text scan: records are
+    rendered as padded fixed-offset lines (key@1..6, name@7..32,
+    regionkey@33..38), written as plain text executor-side, then re-ingested
+    with `spark.read.text` + substring/trim/cast parsing — the layout is the
+    schema, exactly how a real fixed-width feed is consumed. All parsing is
+    codegen'd column arithmetic (substring positions are 1-based in both
+    engines); the oracle recomputes the fields from the source table, so a
+    green row proves the pad→write→scan→parse round-trip is lossless. The
+    constant record length is surfaced so a drifting layout (a mispadded
+    producer) flips the hash. Text-line scans split by newline and
+    parallelize per file block — no different from CSV at 100 TB."""
+    path = io_dir(sf_dir, "fixedwidth")
+    src = table(spark, sf_dir, "nation")
+    lines = src.select(
+        F.concat(
+            F.rpad(F.col("n_nationkey").cast("string"), 6, " "),
+            F.rpad(F.col("n_name"), 26, " "),
+            F.rpad(F.col("n_regionkey").cast("string"), 6, " "),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return raw.select(
+        F.trim(F.substring("value", 1, 6)).cast("int").alias("n_nationkey"),
+        F.trim(F.substring("value", 7, 26)).alias("n_name"),
+        F.trim(F.substring("value", 33, 6)).cast("int").alias("n_regionkey"),
+        F.length("value").cast("int").alias("rec_len"),
+    )

@@ -99,14 +99,15 @@ def test_publish_gate_blocks_bad_batch(spark, tmp_path):
 
 
 def test_approx_distinct_within_bound(spark, sf_dir):
-    """agg_approx_distinct rows-only twin: HLL estimate within ±5% of exact."""
+    """agg_approx_distinct (oracle-backed since r4): the query itself emits
+    the HLL in-bound boolean; cross-check the exact column independently."""
     import pyspark.sql.functions as F
 
     from sdg_data_catalog_spark.catalog import table
     from sdg_data_catalog_spark.queries.registry import all_queries
 
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in all_queries()["agg_approx_distinct"](spark, sf_dir).collect()
     }
     exact = {
@@ -117,4 +118,5 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         .collect()
     }
     for et, ex in exact.items():
-        assert abs(approx[et] - ex) <= max(2, 0.05 * ex), (et, approx[et], ex)
+        assert rows[et]["users_exact"] == ex, (et, rows[et], ex)
+        assert rows[et]["hllpp_within_5pct"], (et, rows[et])
