@@ -222,13 +222,20 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 resize_stub = resize_media
 
 
-def as_png_media(documents: DataFrame, side: int = 24) -> DataFrame:
+def as_png_media(
+    documents: DataFrame, side: int = 24, key_mod: int | None = None
+) -> DataFrame:
     """documents → media table whose payloads are REAL (tiny) PNGs, built
     deterministically from doc_id with the self-contained codec: an RGB
     gradient whose phase is doc_id-dependent. Exercises the full
     decode→transform→encode path end-to-end without any external codec or
     fixture files. Payload bytes are deterministic (fixed zlib level), so
-    differential tests can recompute them locally."""
+    differential tests can recompute them locally.
+
+    key_mod: render from doc_id % key_mod instead of doc_id — gives a
+    corpus with repeated images (each distinct pattern appears
+    ~rows/key_mod times) for the near-dup operators, while media_id stays
+    the unique doc_id."""
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -238,7 +245,8 @@ def as_png_media(documents: DataFrame, side: int = 24) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                payloads.append(png_encode(synthetic_image(int(did), side)))
+                key = int(did) % key_mod if key_mod else int(did)
+                payloads.append(png_encode(synthetic_image(key, side)))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     from pyspark.sql.types import BinaryType

@@ -352,3 +352,77 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
             lambda acc, x: F.greatest(acc, x),
         ).alias("max_abs_err"),
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    SIGIR'98): greedily pick argmax lam*rel(d) - (1-lam)*max_{s∈S} sim(d,s).
+
+    The deployment shape for "give me k RELEVANT but NON-REDUNDANT
+    exemplars" (dedup-aware retrieval, eval-set curation, prompt-example
+    selection). MMR is inherently sequential in k, so the distributed
+    part is the candidate retrieval — relevance against the corpus
+    mean-vector query scores partition-parallel and TakeOrderedAndProject
+    keeps the top-`pool` — and only that pool (pool ≤ 100 rows of 64-d
+    vectors, a few KB) comes to the driver for the greedy loop. At 100 TB
+    the retrieval is the same brute-force/ANN surface as sim_knn/sim_ann_*
+    and the greedy cost stays O(k·pool) regardless of corpus size.
+
+    Deterministic: relevance ties break by vec_id, greedy ties by
+    (score, -vec_id) with fixed float64 math. Output:
+    (rank, vec_id, relevance, mmr_score)."""
+    import numpy as np
+
+    # distributed: corpus mean as the query (posexplode → 64-group avg —
+    # partial-aggregated map-side; 64 rows reach the driver)
+    mean_rows = (
+        embeddings.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    q_vec = np.zeros(64, dtype="float64")
+    for r in mean_rows:
+        q_vec[r["i"]] = r["m"]
+    q_lit = F.array(*[F.lit(float(x)) for x in q_vec])
+    pool_df = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), q_lit).alias("relevance"),
+        )
+        .orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
+        .limit(pool)
+    )
+    rows = pool_df.collect()  # ≤ pool rows — the documented driver bound
+    ids = [r["vec_id"] for r in rows]
+    rel = np.array([r["relevance"] for r in rows], dtype="float64")
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    chosen: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best_i, best_s = None, None
+        for i in remaining:
+            red = max((sims[i][j] for j in chosen), default=0.0)
+            s = lam * rel[i] - (1.0 - lam) * red
+            if best_s is None or s > best_s or (s == best_s and ids[i] < ids[best_i]):
+                best_i, best_s = i, s
+        chosen.append(best_i)
+        scores.append(best_s)
+        remaining.remove(best_i)
+    spark = embeddings.sparkSession
+    out = [
+        (r + 1, int(ids[i]), round(float(rel[i]), 6), round(float(scores[r]), 6))
+        for r, i in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators import similarity as S
 from sdg_data_catalog_spark.queries.registry import register
 
 
@@ -121,3 +122,19 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(_project, "vec_id long, proj array<double>")
+
+
+@register("rank_mmr")  # sequential greedy over a driver-bounded pool: rows-only
+def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-10 exemplar selection
+    over the embeddings table (operators/similarity.py::mmr_select,
+    Carbonell & Goldstein SIGIR'98) — relevant-but-non-redundant picks for
+    eval-set curation and few-shot example selection; the redundancy term
+    is what plain sim_knn top-k lacks. Retrieval (mean-vector relevance +
+    top-50 pool via TakeOrderedAndProject) is distributed; only the ≤50-row
+    pool reaches the driver for the inherently-sequential greedy loop.
+    Rows-only by design (iterative argmax); tests/test_phash_mmr.py pins a
+    pure-numpy differential twin plus the diversity invariant (MMR's
+    chosen set has lower pairwise-cosine mass than relevance-only top-k)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.mmr_select(emb, k=10, pool=50, lam=0.7)

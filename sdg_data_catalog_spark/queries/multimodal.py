@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.operators import multimodal as MM
+from sdg_data_catalog_spark.operators import phash as PH
 from sdg_data_catalog_spark.queries.registry import register
 
 _MEDIA_TYPE_SQL = (
@@ -126,3 +127,30 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").alias("n_bytes"),
         F.sha2(F.col("payload"), 256).alias("sha"),
     )
+
+
+@register("mm_phash_neardup")  # decoded-pixel hashing: rows-only, pytest twin
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash (dHash) — the
+    image-side rung of the dedup ladder (operators/phash.py). The corpus
+    is documents rendered as real PNGs with repeated patterns
+    (doc_id % 64 → each distinct image re-posted ~n/64 times, the
+    re-hosted-meme shape): decode → dHash inside Arrow batches (8 bytes
+    leave the worker per image), then the pigeonhole band equi-join finds
+    every pair within hamming ≤ 3 with no all-pairs scan, verified by
+    JVM-side popcount(XOR).
+
+    Output is the per-hamming-distance pair census — bounded at 4 rows
+    regardless of corpus size — plus the distinct-hash count; the pytest
+    twin (tests/test_phash.py) recomputes the full pair set brute-force
+    and checks band-join completeness (no pair ≤ 3 bits missed)."""
+    docs = table(spark, sf_dir, "documents").limit(500)
+    media = MM.as_png_media(docs, key_mod=64)
+    hashed = PH.phash_media(media).localCheckpoint(eager=False)
+    pairs = PH.neardup_pairs(hashed)
+    census = pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_hashes = hashed.select(
+        F.lit(-1).alias("hamming"),
+        F.count_distinct("phash").alias("n_pairs"),
+    )
+    return census.unionByName(n_hashes).orderBy("hamming")

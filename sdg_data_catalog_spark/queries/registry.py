@@ -245,6 +245,8 @@ _PRIORITY = (
     "agg_approx_distinct",
     "agg_approx_quantiles",
     "scan_fixedwidth",
+    "mm_phash_neardup",
+    "rank_mmr",
 )
 
 
