@@ -1,0 +1,409 @@
+"""Time-series, mining, privacy, and geo operators (engine-added,
+SURVEY.md §2.11 north star).
+
+`ts_resample_locf` / `ts_ewma` give the events table a real time-series
+surface (regular grids + exponential smoothing — the hypertable
+continuous-view companions to etl_rollup_maintained);
+`agg_dp_count` adds the differential-privacy release mechanism a
+governed catalog publishes aggregate stats through; `fpm_frequent_pairs`
+runs MLlib FP-Growth with an exact SQL oracle over the pair/singleton
+slice; `join_geo_radius` is the broadcast-dim theta join for
+radius-of-interest tagging; `dedup_containment` closes the dedup ladder
+with the asymmetric (subset/superset) measure resemblance-Jaccard
+misses. Everything here is hash-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators import dedup as D
+from sdg_data_catalog_spark.queries.registry import register
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "ts_resample_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * COUNT(*)) AS v
+        FROM events WHERE user_id % 5 = 0
+        GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+        SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    joined AS (
+        SELECT g.user_id, g.hr, o.v
+        FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hr = g.hr
+    )
+    SELECT user_id, hr,
+           last_value(v IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY hr) AS value,
+           v IS NULL AS filled
+    FROM joined
+    """,
+)
+def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with last-observation-carried-forward:
+    hourly averages per user, densified to every hour between that user's
+    first and last observation, gaps filled by the latest earlier value
+    (the sensor/metric-pipeline normalization step before any windowed
+    model sees the series). The grid explodes from per-user (min, max)
+    bounds — sequence() + explode, no driver loop — and the fill is one
+    `last(value, ignoreNulls)` running window per user: a single shuffle
+    on user_id covers the hourly agg, the grid join, and the fill. The
+    `filled` flag keeps imputed points distinguishable downstream."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    # hourly mean via integer-cent sums: FP summation order differs between
+    # engines (and between Spark partial-agg schedules), so the mean is
+    # derived from an EXACT bigint sum — bit-stable everywhere
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("v")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    joined = grid.join(obs, ["user_id", "hr"], "left")
+    w = Window.partitionBy("user_id").orderBy("hr")
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> {1 - EWMA_ALPHA} * acc + {EWMA_ALPHA} * x)
+                 AS ew
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           FLOOR(ew * 1e6) / 1e6 AS ewma
+    FROM s
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.2) of the event
+    value stream — the classic smoothed-state feature. EWMA is an
+    inherently sequential fold, so it runs as `aggregate()` over the
+    time-ordered value array per user: one shuffle to group, the fold is
+    codegen'd array arithmetic (no Python, no window-per-row O(n²)).
+    Memory is bounded by per-user event cardinality — the same per-key
+    state bound every stateful-stream operator carries; for unbounded
+    keys the associative segment-decay reformulation (weights
+    (1-α)^(n-i) folded map-side) trades exactness of order for
+    mergeability. Both engines fold with first-element init in identical
+    IEEE order → bit-equal results; floor-truncated at 1e-6 (half-up
+    rounding diverges on representation ties)."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    ew = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            (1 - EWMA_ALPHA) * acc + EWMA_ALPHA * x
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.floor(ew * 1e6) / 1e6).alias("ewma"),
+    )
+
+
+@register(
+    "agg_dp_count",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n,
+               ((CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+                 % 1000000) + 0.5) / 1000000.0 AS u
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           FLOOR((n - CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                      * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000) / 1000
+             AS noisy_count,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM c
+    """,
+)
+def agg_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (ε=1 Laplace mechanism) — how
+    a governed catalog publishes per-group statistics without exposing
+    individual membership (the governance sibling of etl_k_anonymize:
+    k-anonymity protects the rows, DP protects the aggregates). Noise is
+    Laplace(1/ε) via inverse-CDF over a md5-derived uniform — the
+    deterministic-noise trick (seeded per release key) that makes a DP
+    release reproducible for audit AND hash-checkable across engines;
+    a production release would swap the hash input for a secret per-epoch
+    seed. Pure map-side arithmetic after one partial-aggregated count.
+    Demo caveat (documented): real DP must not publish the true count —
+    only `noisy_count` leaves this operator."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return c.select(
+        "event_type",
+        (F.floor((F.col("n") + noise) * 1000) / 1000).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )
+
+
+@register(
+    "fpm_frequent_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    singles AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS itemset, COUNT(*) AS freq
+        FROM b GROUP BY l_suppkey
+    ),
+    pairs AS (
+        SELECT CAST(a.l_suppkey AS VARCHAR) || '+' || CAST(c.l_suppkey AS VARCHAR)
+                 AS itemset,
+               COUNT(*) AS freq
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey
+         AND CAST(a.l_suppkey AS VARCHAR) < CAST(c.l_suppkey AS VARCHAR)
+        GROUP BY 1
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs), nb
+    WHERE freq >= CEIL(0.002 * n)
+    """,
+)
+def fpm_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining via MLlib FP-Growth (minSupport=0.002) over
+    supplier baskets per order — the co-occurrence miner behind
+    'frequently bought together'. FP-Growth is the distributed path
+    (conditional-tree partitioning, no candidate explosion — the reason
+    it beats Apriori at scale); the oracle re-derives the size-≤2 slice
+    exactly from SQL counts, so the MLlib run is hash-verified where SQL
+    can reach and the itemset surface is truncated to that slice for the
+    contract (larger itemsets exist in the model; the slice is the
+    verifiable projection). Itemsets surface as '+'.joined sorted strings
+    — engine-neutral and canonicalization-safe. MLlib's support threshold
+    is ceil(minSupport·n) — mirrored literally in the oracle."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set(F.col("l_suppkey").cast("string")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.002, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.concat_ws("+", F.array_sort("items")).alias("itemset"),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+    )
+
+
+@register(
+    "join_geo_radius",
+    oracle="""
+    WITH cities AS (
+        SELECT n_nationkey,
+               CAST((n_nationkey * 37) % 120 AS DOUBLE) - 60 + 0.5 AS clat,
+               CAST((n_nationkey * 73) % 360 AS DOUBLE) - 180 + 0.5 AS clon
+        FROM nation
+    ),
+    pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 13) % 120 AS DOUBLE) - 60 + 0.25 AS plat,
+               CAST((c_custkey * 29) % 360 AS DOUBLE) - 180 + 0.25 AS plon
+        FROM customer
+    ),
+    d AS (
+        SELECT n_nationkey, c_custkey,
+               2.0 * 6371.0 * asin(sqrt(
+                   pow(sin(radians(plat - clat) / 2.0), 2)
+                   + cos(radians(clat)) * cos(radians(plat))
+                     * pow(sin(radians(plon - clon) / 2.0), 2))) AS km
+        FROM cities CROSS JOIN pts
+    )
+    SELECT n_nationkey,
+           CAST(COUNT(CASE WHEN km <= 2000 THEN 1 END) AS BIGINT) AS n_within,
+           FLOOR(MIN(km) * 10) / 10 AS nearest_km
+    FROM d GROUP BY n_nationkey
+    """,
+)
+def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo radius join: tag each city-of-interest (synthetic centers
+    derived from nation keys) with the customers whose synthetic
+    coordinates fall within 2,000 km, by haversine distance. The dim side
+    is tiny (|nation| rows), so the 100 TB plan is the broadcast theta
+    join — per-point work is |dim| codegen'd trig comparisons, fully
+    map-side, no shuffle of the big side (the same regime as
+    join_gazetteer's broadcast bound; a large×large geo join would
+    switch to lat/lon grid-cell equi-blocking exactly like the simhash
+    pigeonhole). Output is the per-city census + nearest distance —
+    bounded by |dim|. Distances floor-truncated at 100 m; both engines
+    evaluate the identical haversine expression tree."""
+    na = table(spark, sf_dir, "nation")
+    cu = table(spark, sf_dir, "customer")
+    cities = na.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 37) % 120).cast("double").alias("clat0"),
+        ((F.col("n_nationkey") * 73) % 360).cast("double").alias("clon0"),
+    ).select(
+        "n_nationkey",
+        (F.col("clat0") - 60 + 0.5).alias("clat"),
+        (F.col("clon0") - 180 + 0.5).alias("clon"),
+    )
+    pts = cu.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 13) % 120).cast("double") - 60 + 0.25).alias("plat"),
+        (((F.col("c_custkey") * 29) % 360).cast("double") - 180 + 0.25).alias("plon"),
+    )
+    km = (
+        2.0
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("plat") - F.col("clat")) / 2.0), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("plat"))
+                * F.pow(F.sin(F.radians(F.col("plon") - F.col("clon")) / 2.0), 2)
+            )
+        )
+    )
+    return (
+        pts.join(F.broadcast(cities))
+        .select("n_nationkey", km.alias("km"))
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.when(F.col("km") <= 2000, 1)).cast("bigint").alias("n_within"),
+            (F.floor(F.min("km") * 10) / 10).alias("nearest_km"),
+        )
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:12], ' ') AS text
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / sa.n_sh, 6) AS containment_a_in_b,
+           ROUND(CAST(c AS DOUBLE) / sb.n_sh, 6) AS containment_b_in_a
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / sa.n_sh >= 0.9
+       OR CAST(c AS DOUBLE) / sb.n_sh >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A,B) = |S(A)∩S(B)| / |S(A)| — the
+    subset/superset detector (Broder's containment, the measure behind
+    quote/excerpt/boilerplate-inclusion dedup) that resemblance-Jaccard
+    structurally misses: a 12-token excerpt inside a 128-token document
+    has tiny Jaccard but containment ≈ 1. The synthetic corpus plants
+    12-token prefixes of every 4th document; candidates flow through the
+    same inverted shingle index as dedup_jaccard_pairs (equi-join on the
+    shingle — never all pairs; the max_df hot-shingle cap applies
+    unchanged at scale), sizes join back algebraically, and both
+    directions are emitted so either containment orientation can gate."""
+    docs = table(spark, sf_dir, "documents")
+    prefix = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(prefix)
+    sh = D.shingles(corpus)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cab = F.col("c") * 1.0 / F.col("na")
+    cba = F.col("c") * 1.0 / F.col("nb")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((cab >= 0.9) | (cba >= 0.9))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cab, 6).alias("containment_a_in_b"),
+            F.round(cba, 6).alias("containment_b_in_a"),
+        )
+    )

@@ -57,6 +57,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.web_curation",
     "sdg_data_catalog_spark.queries.lake_ops",
     "sdg_data_catalog_spark.queries.ml_eval_extra",
+    "sdg_data_catalog_spark.queries.analytics_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -247,6 +248,12 @@ _PRIORITY = (
     "scan_fixedwidth",
     "mm_phash_neardup",
     "rank_mmr",
+    "ts_resample_locf",
+    "ts_ewma",
+    "agg_dp_count",
+    "fpm_frequent_pairs",
+    "join_geo_radius",
+    "dedup_containment",
 )
 
 
