@@ -178,12 +178,12 @@ def test_q18_bucketed_agg_no_exchange(spark, sf_dir):
     assert "q18_bucketed" in all_queries()
 
 
-def test_q5_bucketed_preagg_no_exchange(spark, sf_dir):
-    """q5_bucketed's lineitem pre-agg must ride the bucket partitioning:
-    no Exchange may sit between the li_bkt scan and its HashAggregate, and
-    the fact-fact join must be bucket-local (ShuffledHashJoin, no Exchange
-    under either fact input — the only Exchange in the plan is the final
-    tiny by-nation agg)."""
+def test_q5_bucketed_join_no_exchange(spark, sf_dir):
+    """q5_bucketed's fact-fact join must be bucket-local (ShuffledHashJoin
+    with no Exchange under either fact input — since r4 the plan joins
+    filtered lineitem directly, no per-orderkey pre-agg; see the query
+    docstring's A/B). The only Exchange in the plan is the final tiny
+    by-nation agg."""
     plan = _formatted_plan(all_queries()["q5_bucketed"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     # exactly one shuffle Exchange: the final groupBy(n_name) — counted via
