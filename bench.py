@@ -68,6 +68,12 @@ EXTENDED = (
     "graph_triangle_count",
     "funnel_conversion",
     "sim_ann_pq_topk",
+    # round-4 session-2 additions (all ≤2.8 s steady at sf0.1, measured)
+    "fpm_frequent_pairs",
+    "dedup_containment",
+    "ts_ewma",
+    "join_geo_radius",
+    "mm_phash_neardup",
 )
 
 # Headline set: the heaviest representative per operator family.
