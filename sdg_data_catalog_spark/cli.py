@@ -301,6 +301,39 @@ def cmd_audit(args: argparse.Namespace) -> dict[str, Any]:
     }
 
 
+def cmd_sql(args: argparse.Namespace) -> dict[str, Any]:
+    """Ad-hoc SQL front door (`spark-sql` parity): register every catalog
+    table as a temp view over the chosen sf_dir and run one statement
+    through Spark SQL — the same Catalyst planning path the registered
+    operators use, opened to arbitrary queries. The view names match the
+    DuckDB oracle views (region nation customer supplier part orders
+    lineitem events documents embeddings), so any oracle SQL from
+    `oracle_sql()` is runnable here verbatim (dialect differences aside)."""
+    from sdg_data_catalog_spark.catalog import TABLES, table
+
+    spark = _get_spark("sdg-sql")
+    for t in TABLES:
+        table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(args.statement)
+    if args.explain:
+        df.explain("formatted")
+    summary: dict[str, Any] = {"command": "sql", "columns": df.columns}
+    if args.output:
+        writer = df.write.mode("overwrite")
+        if args.format == "parquet":
+            writer.parquet(args.output)
+        elif args.format == "jsonl":
+            writer.json(args.output)
+        else:
+            writer.option("header", True).csv(args.output)
+        summary["output"] = args.output
+    else:
+        for r in df.limit(args.show).collect():
+            print(json.dumps(r.asDict(), default=str), file=sys.stderr)
+    summary["rows"] = df.count()
+    return summary
+
+
 def cmd_list(_args: argparse.Namespace) -> dict[str, Any]:
     from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries
 
@@ -346,6 +379,15 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--output")
     q.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet")
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("sql", help="run ad-hoc SQL over the catalog views")
+    sq.add_argument("statement")
+    sq.add_argument("--sf-dir", default=default_sf)
+    sq.add_argument("--show", type=int, default=10)
+    sq.add_argument("--explain", action="store_true")
+    sq.add_argument("--output")
+    sq.add_argument("--format", choices=("parquet", "jsonl", "csv"), default="parquet")
+    sq.set_defaults(fn=cmd_sql)
 
     ls = sub.add_parser("list", help="list registered operators")
     ls.set_defaults(fn=cmd_list)

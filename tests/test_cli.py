@@ -76,3 +76,23 @@ def test_query_runner_and_list(sf_dir, tmp_path, capsys):
     assert pd.read_parquet(out)["n"].sum() > 0
     listing = main(["list"])
     assert listing["queries"] >= 250
+
+
+def test_sql_front_door(sf_dir, tmp_path):
+    """Ad-hoc SQL runs over the catalog views and sinks to parquet; the
+    result matches the same aggregation done through pandas."""
+    out = str(tmp_path / "sql_out")
+    summary = main(
+        [
+            "sql",
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+            "--sf-dir",
+            sf_dir,
+            "--output",
+            out,
+        ]
+    )
+    assert summary["rows"] == 5
+    got = pd.read_parquet(out).set_index("lang")["n"].to_dict()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert got == docs["lang"].value_counts().to_dict()
