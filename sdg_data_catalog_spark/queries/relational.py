@@ -58,32 +58,32 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q5_adhoc", oracle=_Q5_ORACLE)
 def q5_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snowflake agg with the two join-reduction moves a cost-based planner
-    would make, done by hand because Catalyst does not push aggregates
-    through joins:
-
-      1. semi-join reduction down the dim chain — region filter → nation →
-         customer (broadcast), so orders shrinks to the surviving ~40%
-         BEFORE touching lineitem;
-      2. partial-agg pushdown — lineitem is pre-aggregated per orderkey
-         (map-side combine collapses the ~4 lines/order while scanning),
-         so the big join shuffles 1 narrow row per order instead of every
-         line.
-
-    Net plan: one shuffle for the lineitem pre-agg, one for the final join,
-    a tiny final agg; measured 1.6× faster than the flat join order at sf1
-    with bit-identical results. The customer-side broadcast is correct
-    while |filtered customers| fits a broadcast (true through sf100-ish);
-    beyond that drop the hint and AQE shuffle-joins orders⋈customer — the
-    lineitem pre-agg, which carries the bulk of the win, is scale-invariant.
+    """Snowflake agg with the join-reduction move a cost-based planner
+    would make, done by hand: semi-join reduction down the dim chain —
+    region filter → nation → customer (broadcast), so orders shrinks to
+    the surviving ~40% BEFORE touching lineitem. The customer-side
+    broadcast is correct while |filtered customers| fits a broadcast
+    (true through sf100-ish); beyond that drop the hint and AQE
+    shuffle-joins orders⋈customer.
 
     Small-side fast path (same bound-checked move as q3): when statistics
     prove the (o_orderkey, n_name) side fits a broadcast — parquet footer
     row count when the whole table is under the bound, else one
     session-memoized count probe (see _fits_broadcast) — lineitem is
-    joined to it directly and aggregated by n_name in one pass: the
-    pre-agg exchange disappears entirely (lineitem never shuffles). Above
-    the bound the pre-agg plan stands."""
+    joined to it directly and aggregated by n_name in one pass: lineitem
+    never shuffles at all.
+
+    Above the bound: shuffle-hash join filtered lineitem against the
+    reduced orders side, then aggregate by n_name ONCE (25 groups,
+    partial map-side). The earlier above-bound form pre-aggregated
+    lineitem per orderkey before the join; at ~1.2 filtered lines per
+    order the map-side combine shrinks the shuffle barely at all, and
+    the ~|orderkeys|-group hash table costs more than it saves —
+    measured sf10 interleaved min-of-5 with GC barriers (2026-08-14):
+    join-then-agg 2.03 s vs pre-agg 2.44 s, identical results (same A/B
+    direction as q5_bucketed). The shuffle-hash build side is the
+    reduced orders projection (two narrow columns, ~1/32 per partition);
+    with pathological per-key skew drop the hint and let AQE pick."""
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
@@ -115,16 +115,12 @@ def q5_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("line_count"),
             )
         )
-    li = lif.groupBy("l_orderkey").agg(
-        F.sum(rev).alias("rev"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
     return (
-        li.join(ordn, F.col("l_orderkey") == F.col("o_orderkey"))
+        lif.join(ordn.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("rev"), 2).alias("revenue"),
-            F.sum("cnt").alias("line_count"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
         )
     )
 
