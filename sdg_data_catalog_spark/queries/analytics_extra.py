@@ -407,3 +407,72 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cba, 6).alias("containment_b_in_a"),
         )
     )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.part AS pa, b.part AS pb
+        FROM base a JOIN base b ON a.ord = b.ord AND a.part < b.part
+    ),
+    src AS (SELECT MIN(pa) AS s FROM e),
+    r(node, hop) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT CASE WHEN e.pa = r.node THEN e.pb ELSE e.pa END, r.hop + 1
+        FROM r JOIN e ON e.pa = r.node OR e.pb = r.node
+        WHERE r.hop < 4
+    )
+    SELECT node, CAST(MIN(hop) AS INTEGER) AS hop FROM r GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability (≤4 hops) over the part co-purchase
+    graph from its smallest vertex — the Pregel frontier-expansion shape
+    every distributed graph traversal reduces to: each round joins ONLY
+    the current frontier against the edge table, anti-joins the visited
+    set, and localCheckpoints to cut lineage (the dedup_components /
+    pagerank iteration discipline). Per-round driver work is one emptiness
+    check (a count on the already-shuffled frontier — the documented
+    scalar-per-round cost every iterative operator here pays); all
+    expansion is distributed equi-joins, never adjacency broadcast. The
+    oracle replays the exact search as a recursive CTE with UNION-dedup
+    and takes MIN(hop) — Spark's level-synchronous BFS and SQL's
+    fixpoint recursion provably agree on hop distances."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = base.alias("a")
+    b = base.alias("b")
+    e = (
+        a.join(b, (F.col("a.ord") == F.col("b.ord")) & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # undirected adjacency: both orientations
+    adj = e.unionByName(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    src = e.agg(F.min("pa")).collect()[0][0]
+    visited = spark.createDataFrame([(int(src), 0)], "node BIGINT, hop INT")
+    frontier = visited
+    for hop in range(1, 5):
+        nxt = (
+            frontier.join(adj, F.col("node") == F.col("pa"))
+            .select(F.col("pb").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()  # materializes; cuts the per-round lineage
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

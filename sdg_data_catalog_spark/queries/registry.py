@@ -254,6 +254,7 @@ _PRIORITY = (
     "fpm_frequent_pairs",
     "join_geo_radius",
     "dedup_containment",
+    "graph_bfs_hops",
 )
 
 

@@ -152,3 +152,36 @@ def test_containment_finds_planted_prefixes(spark, sf_dir):
             assert max(r.containment_a_in_b, r.containment_b_in_a) >= 0.9
             found += 1
     assert found >= 0.9 * len(planted), (found, len(planted))
+
+
+def test_bfs_hops_matches_python_bfs(spark, sf_dir):
+    """Level-synchronous Spark BFS equals a textbook queue BFS over the
+    same co-purchase adjacency."""
+    from collections import deque
+
+    out = {
+        r.node: r.hop
+        for r in all_queries()["graph_bfs_hops"](spark, sf_dir).toPandas().itertuples()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    adj: dict[int, set[int]] = {}
+    for _, basket in li.groupby("l_orderkey")["l_partkey"]:
+        items = sorted(set(basket))
+        for i, a in enumerate(items):
+            for b in items[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    src = min(a for a, ns in adj.items() if ns)
+    want = {src: 0}
+    q = deque([(src, 0)])
+    while q:
+        node, hop = q.popleft()
+        if hop == 4:
+            continue
+        for nb in adj.get(node, ()):
+            if nb not in want:
+                want[nb] = hop + 1
+                q.append((nb, hop + 1))
+    assert out == want
