@@ -476,3 +476,79 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+@register(
+    "etl_surrogate_key",
+    oracle="""
+    SELECT source,
+           CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) AS source_sk,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    """,
+)
+def etl_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key assignment for a dimension: dense 1..N keys over the
+    distinct source values, ordered by the natural key. This is the
+    pattern SURVEY §7 warns about done right: `monotonically_increasing_id`
+    is partition-dependent and unstable across shuffles/retries, so keys
+    come from `row_number()` over an EXPLICIT total order — reproducible
+    on any cluster layout, any retry. The window runs over the distinct
+    dimension only (metadata-sized after the aggregate), never the fact
+    table; facts then join on the natural key to pick up the surrogate —
+    the standard warehouse dim-build."""
+    docs = table(spark, sf_dir, "documents")
+    dim = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("source")
+    return dim.select(
+        "source",
+        F.row_number().over(w).cast("bigint").alias("source_sk"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH wc AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: least-squares
+    slope of ln(frequency) against ln(rank) — natural text sits near −1;
+    strong deviation flags template/generated or keyword-stuffed corpora
+    (the corpus-level sibling of the per-document text_ttr /
+    text_char_entropy signals). Word counts shuffle once; the ranked
+    regression runs over the types table (vocabulary-sized, not
+    corpus-sized) with `regr_slope` — a single-pass algebraic aggregate
+    in both engines. Deterministic rank ties via (count desc, word
+    asc)."""
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = wc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(
+            F.expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4
+        ).alias("zipf_slope"),
+    )

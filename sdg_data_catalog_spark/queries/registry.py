@@ -255,6 +255,8 @@ _PRIORITY = (
     "join_geo_radius",
     "dedup_containment",
     "graph_bfs_hops",
+    "etl_surrogate_key",
+    "text_zipf_slope",
 )
 
 

@@ -185,3 +185,31 @@ def test_bfs_hops_matches_python_bfs(spark, sf_dir):
                 want[nb] = hop + 1
                 q.append((nb, hop + 1))
     assert out == want
+
+
+def test_surrogate_keys_dense_and_stable(spark, sf_dir):
+    """Keys are a dense 1..N permutation in natural-key order — the
+    stability property monotonically_increasing_id lacks."""
+    out = all_queries()["etl_surrogate_key"](spark, sf_dir).toPandas()
+    out = out.sort_values("source_sk")
+    assert list(out["source_sk"]) == list(range(1, len(out) + 1))
+    assert list(out["source"]) == sorted(out["source"])
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert out["n_docs"].sum() == len(docs)
+
+
+def test_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
+    """regr_slope over (ln rank, ln freq) equals a numpy least-squares fit
+    on the same ranked counts; natural-ish corpus slope is negative."""
+    import numpy as np
+
+    row = all_queries()["text_zipf_slope"](spark, sf_dir).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter(w for t in docs["text"] for w in t.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype="float64"))
+    y = np.log(np.array([c for _, c in ranked], dtype="float64"))
+    slope = np.polyfit(x, y, 1)[0]
+    assert row.n_types == len(ranked)
+    assert abs(row.zipf_slope - round(slope, 4)) <= 1e-3
+    assert row.zipf_slope < 0

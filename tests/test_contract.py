@@ -120,3 +120,19 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     for et, ex in exact.items():
         assert rows[et]["users_exact"] == ex, (et, rows[et], ex)
         assert rows[et]["hllpp_within_5pct"], (et, rows[et])
+
+
+def test_priority_window_hygiene():
+    """Every _PRIORITY name must resolve to a registered query — a typo
+    here silently drops the name out of the driver's 50-name hash window
+    (registry._reorder skips unknown names). Also: no duplicates, and the
+    window head (first 50 registered names) comes verbatim from the
+    priority list."""
+    from sdg_data_catalog_spark.queries.registry import _PRIORITY, all_queries
+
+    qs = all_queries()
+    unknown = [n for n in _PRIORITY if n not in qs]
+    assert unknown == [], f"_PRIORITY names not registered: {unknown}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate _PRIORITY names"
+    head = list(qs)[:50]
+    assert head == [n for n in _PRIORITY if n in qs][:50]

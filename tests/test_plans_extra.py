@@ -70,3 +70,50 @@ def test_new_relational_ops_stay_jvm_side(spark, sf_dir):
     ):
         plan = _spark_plan(_q(spark, sf_dir, name))
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+# --- round-4 session-2 batch -----------------------------------------------
+
+
+def test_mapside_only_new_ops(spark, sf_dir):
+    """split_kfold and text_readability are pure projections — zero
+    shuffles, zero Python nodes (codegen'd md5/regex arithmetic)."""
+    for name in ("split_kfold", "text_readability"):
+        df = _q(spark, sf_dir, name)
+        assert _shuffles(df) == 0, name
+        assert "BatchEvalPython" not in _spark_plan(df), name
+
+
+def test_single_shuffle_new_aggs(spark, sf_dir):
+    """One hash-partitioned aggregation each: confusion matrix, per-user
+    entropy (second fold rides the tiny counts table via AQE/partial),
+    EWMA fold, and the DP release."""
+    assert _shuffles(_q(spark, sf_dir, "agg_confusion_matrix")) == 1
+    assert _shuffles(_q(spark, sf_dir, "ts_ewma")) == 1
+    assert _shuffles(_q(spark, sf_dir, "agg_dp_count")) == 1
+
+
+def test_k_anonymize_broadcasts_group_sizes(spark, sf_dir):
+    """The QI group-size table comes back as a broadcast join — the corpus
+    itself is never shuffled for the suppression pass."""
+    df = _q(spark, sf_dir, "etl_k_anonymize")
+    p = _spark_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert _shuffles(df) == 1  # only the group-size aggregation
+
+
+def test_geo_radius_is_broadcast_nested_loop(spark, sf_dir):
+    """The dim cross product is the DELIBERATE broadcast nested loop
+    (tiny build side) — and must never degrade to a non-broadcast
+    CartesianProduct."""
+    p = _spark_plan(_q(spark, sf_dir, "join_geo_radius"))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_vectorize_is_arrow_not_row_python(spark, sf_dir):
+    """udf_vectorize's Python stays Arrow-batched (ArrowEvalPython),
+    never row-at-a-time BatchEvalPython."""
+    p = _spark_plan(_q(spark, sf_dir, "udf_vectorize"))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
