@@ -552,3 +552,39 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE)))"), 4
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "agg_hourly_seasonality",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * COUNT(*)) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume and mean value per
+    (day-of-week × hour-of-day) cell — the 7×24 fingerprint behind
+    anomaly baselines and traffic-aware sampling (dq_anomaly_days'
+    z-screen needs exactly this matrix as its expected-volume prior).
+    One partial-aggregated shuffle into at most 168 groups regardless of
+    corpus size; means come from exact integer-cent sums (the
+    ts_resample_locf determinism discipline). Day-of-week is pinned to
+    ISO Monday=0 on BOTH engines — Spark's dayofweek() (Sunday=1) vs
+    DuckDB's dow (Sunday=0) is a classic silent-off-by-one, avoided via
+    weekday()/isodow."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekday("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("avg_value"),
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.operators import pq
@@ -171,3 +172,82 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in unit.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
     return pq.adc_topk(encoded, "vec_id", queries, books, topk=TOPK)
+
+
+def _rerank_weights() -> tuple[list[float], list[float]]:
+    """Deterministic first-stage query vector q and folded bilinear row
+    t_j = Σ_i q_i·W_ij, both from pure integer arithmetic (the
+    udf_bert_classify weight pattern) — reproducible bit-for-bit in any
+    engine, no RNG, no stored artifacts."""
+    def w(i: int, j: int) -> float:
+        return (((i * 64 + j + 101) * 2654435761) % 1000003 % 97 - 48) / 48.0
+
+    q = [(((i + 29) * 2654435761) % 1000003 % 97 - 48) / 48.0 for i in range(64)]
+    t = [sum(q[i] * w(i, j) for i in range(64)) for j in range(64)]
+    return q, t
+
+
+_RERANK_Q, _RERANK_T = _rerank_weights()
+_Q_SQL = "[" + ", ".join(repr(x) for x in _RERANK_Q) + "]"
+_T_SQL = "[" + ", ".join(repr(x) for x in _RERANK_T) + "]"
+
+
+@register(
+    "sim_rerank_bilinear",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_Q_SQL})[i])) AS s1,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * ({_T_SQL})[i])) AS s2
+        FROM embeddings
+    ),
+    top AS (
+        SELECT vec_id, s1, s2 FROM scored
+        ORDER BY s1 DESC, vec_id ASC LIMIT 20
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s2 DESC, vec_id ASC) AS INTEGER)
+             AS rerank,
+           vec_id,
+           ROUND(s1, 6) AS stage1_score,
+           ROUND(s2, 6) AS stage2_score
+    FROM top
+    """,
+)
+def sim_rerank_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: cheap first-stage dot-product recall (top-20
+    by q·d — TakeOrderedAndProject over a map-side codegen'd fold, the
+    same scan any ANN index would feed) re-ranked by an expensive
+    bilinear cross-scorer qᵀW d — the retrieve-then-rerank shape of
+    every production search/RAG stack. The bilinear form folds to a
+    single precomputed vector t (tⱼ = Σᵢ qᵢWᵢⱼ), so reranking is another
+    64-dim dot — computed for ALL rows map-side here because the fold is
+    that cheap; with a real cross-encoder the second stage would run
+    only on the 20 survivors via mapInPandas (the bound that makes
+    reranking affordable at 100 TB). Fixed integer-derived weights make
+    both stages hash-checkable — rank order included."""
+    emb = table(spark, sf_dir, "embeddings")
+    q_lit = F.array(*[F.lit(x) for x in _RERANK_Q])
+    t_lit = F.array(*[F.lit(x) for x in _RERANK_T])
+
+    def dot(vec, lit):
+        return F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = emb.select(
+        "vec_id",
+        dot(F.col("embedding"), q_lit).alias("s1"),
+        dot(F.col("embedding"), t_lit).alias("s2"),
+    )
+    top = scored.orderBy(F.col("s1").desc(), F.col("vec_id").asc()).limit(20)
+    w = Window.orderBy(F.col("s2").desc(), F.col("vec_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rerank"),
+        "vec_id",
+        F.round("s1", 6).alias("stage1_score"),
+        F.round("s2", 6).alias("stage2_score"),
+    )

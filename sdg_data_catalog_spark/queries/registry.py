@@ -257,6 +257,8 @@ _PRIORITY = (
     "graph_bfs_hops",
     "etl_surrogate_key",
     "text_zipf_slope",
+    "agg_hourly_seasonality",
+    "sim_rerank_bilinear",
 )
 
 

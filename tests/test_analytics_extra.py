@@ -213,3 +213,22 @@ def test_zipf_slope_matches_numpy_lstsq(spark, sf_dir):
     assert row.n_types == len(ranked)
     assert abs(row.zipf_slope - round(slope, 4)) <= 1e-3
     assert row.zipf_slope < 0
+
+
+def test_hourly_seasonality_cells(spark, sf_dir):
+    """Cells equal a pandas recompute with ISO weekday numbering and
+    exact-cent means; the grid never exceeds 7x24."""
+    out = all_queries()["agg_hourly_seasonality"](spark, sf_dir).toPandas()
+    assert len(out) <= 168
+    ev = _events(sf_dir).copy()
+    ev["dow"] = ev["ts"].dt.weekday  # pandas: Monday=0, matching ISO-1
+    ev["hour"] = ev["ts"].dt.hour
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    want = ev.groupby(["dow", "hour"]).agg(
+        n_events=("cents", "size"), cents=("cents", "sum")
+    )
+    got = out.set_index(["dow", "hour"]).sort_index()
+    assert list(got.index) == list(want.index)
+    assert (got["n_events"] == want["n_events"]).all()
+    mean = want["cents"] / (100.0 * want["n_events"])
+    assert (got["avg_value"] - mean).abs().max() <= 1e-12

@@ -115,3 +115,35 @@ def test_pq_self_retrieval_and_recall(spark, sf_dir):
     assert self_rank1 == 10
     recalls = [len(bftop[q] & pqtop[q]) / len(bftop[q]) for q in bftop]
     assert sum(recalls) / len(recalls) >= 0.3
+
+
+def test_rerank_bilinear_matches_numpy(spark, sf_dir):
+    """Both retrieval stages and the final rank order reproduce from a
+    numpy recompute with the same integer-derived weights."""
+    import numpy as np
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.ann_pq import _RERANK_Q, _RERANK_T
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    out = (
+        all_queries()["sim_rerank_bilinear"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rerank")
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(emb["embedding"].tolist(), dtype="float64")
+    ids = emb["vec_id"].to_numpy()
+    s1 = mat @ np.array(_RERANK_Q)
+    s2 = mat @ np.array(_RERANK_T)
+    order = np.lexsort((ids, -s1))[:20]
+    refined = sorted(
+        ((round(-s2[i], 6), ids[i]) for i in order),
+    )
+    want_ids = [int(vid) for _, vid in refined]
+    assert out["vec_id"].tolist() == want_ids
+    by_id = {ids[i]: (s1[i], s2[i]) for i in order}
+    for r in out.itertuples():
+        w1, w2 = by_id[r.vec_id]
+        assert abs(r.stage1_score - round(w1, 6)) <= 1e-6
+        assert abs(r.stage2_score - round(w2, 6)) <= 1e-6

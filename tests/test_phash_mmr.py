@@ -102,3 +102,36 @@ def test_mmr_matches_numpy_twin(spark, sf_dir):
 
     topk = [int(pool_ids[i]) for i in range(10)]
     assert mean_pairwise(got) <= mean_pairwise(topk) + 1e-12
+
+
+def test_dhash_band_pigeonhole_property():
+    """Pure-function property: any two 64-bit hashes within hamming <=3
+    share at least one of the 4 16-bit bands (the equi-join key), so the
+    banded candidate join can never miss a qualifying pair. Exercised on
+    a deterministic pseudo-random sample plus adversarial 3-bit flips."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(200):
+        h = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        h2 = h
+        for b in flips:
+            h2 ^= 1 << b
+        shared = any(
+            (h >> (i * 16)) & 0xFFFF == (h2 >> (i * 16)) & 0xFFFF
+            for i in range(4)
+        )
+        assert shared, (hex(h), flips)
+
+
+def test_dhash_survives_png_roundtrip():
+    """The codec is lossless, so hashing after encode→decode must equal
+    hashing the raw pixels — the exact property the Spark path relies on."""
+    from sdg_data_catalog_spark.operators.imagecodec import png_decode, png_encode
+
+    for key in (0, 7, 33, 63):
+        img = synthetic_image(key, 24)
+        direct = PH.dhash_image(img)
+        rt = PH.dhash_image(png_decode(png_encode(img)))
+        assert direct == rt
