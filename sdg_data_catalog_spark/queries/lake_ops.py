@@ -166,3 +166,49 @@ def join_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register("diag_rowgroup_stats")  # path-dependent metadata: rows-only, DuckDB twin
+def diag_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group statistics surfaced as a table — the metadata
+    that predicate pushdown skipping actually runs on. A 100 TB scan's
+    cost is decided by whether these min/max ranges let row groups be
+    skipped (tight, sorted ranges = cheap time-slice queries; this diag
+    quantifies layout health the way diag_partition_skew quantifies key
+    balance — and is what sink_range_clustered/sink_zorder_clustered
+    exist to improve). Footers are read EXECUTOR-SIDE via pyarrow inside
+    mapInPandas (one task per file — only statistics cross the wire,
+    never data pages). Rows-only in the driver gate (the oracle views
+    can't reference file paths); the pytest twin compares against
+    DuckDB's parquet_metadata() on the same file — both engines must
+    report identical footer contents."""
+    import pandas as _pd
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    files = spark.createDataFrame([(path,)], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                names = md.schema.names
+                ci = names.index("l_shipdate")
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    out.append(
+                        (rg, md.row_group(rg).num_rows, st.min, st.max)
+                    )
+            yield _pd.DataFrame(
+                out,
+                columns=["row_group_id", "n_rows", "min_shipdate", "max_shipdate"],
+            )
+
+    return files.mapInPandas(
+        read_footers,
+        "row_group_id int, n_rows bigint, "
+        "min_shipdate timestamp_ntz, max_shipdate timestamp_ntz",
+    )

@@ -259,6 +259,8 @@ _PRIORITY = (
     "text_zipf_slope",
     "agg_hourly_seasonality",
     "sim_rerank_bilinear",
+    "sample_stratified_exact",
+    "diag_rowgroup_stats",
 )
 
 

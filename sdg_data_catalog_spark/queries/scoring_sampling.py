@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.operators import gazetteer as G
@@ -481,4 +482,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("rank", 10).alias("rank"))
         .orderBy(F.desc("rank"), "node")
         .limit(50)
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-count stratified sampling: precisely 10 documents per
+    language, chosen by ranking each stratum on md5(doc_id) — a
+    deterministic uniform permutation, so the pick is reproducible
+    across engines, runs, and cluster layouts. This is the exact-n
+    companion to split_stratified's sampleBy (fraction semantics,
+    Spark-RNG, rows-only): eval sets and few-shot pools need "exactly n
+    per class", and rand()-ranked sampling can't be oracle-checked or
+    replayed. One hash-partitioned window per stratum; at 100 TB with a
+    hot stratum, pre-filter by an md5-prefix range (sample_hash) to cut
+    the windowed volume before ranking."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
     )

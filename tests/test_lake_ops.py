@@ -55,3 +55,41 @@ def test_federated_join_pushes_filter_to_jdbc(spark, sf_dir):
     assert "PushedFilters" in plan and "c_acctbal" in plan
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_rowgroup_stats_match_duckdb_metadata(spark, sf_dir):
+    """The executor-side pyarrow footer read must agree with DuckDB's
+    parquet_metadata() on the same file — row-group count, row counts,
+    and l_shipdate min/max stats."""
+    import duckdb
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    out = (
+        all_queries()["diag_rowgroup_stats"](spark, sf_dir)
+        .toPandas()
+        .sort_values("row_group_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT CAST(row_group_id AS INTEGER) AS row_group_id,
+               CAST(num_values AS BIGINT) AS n_rows,
+               CAST(stats_min_value AS TIMESTAMP) AS min_shipdate,
+               CAST(stats_max_value AS TIMESTAMP) AS max_shipdate
+        FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+        WHERE path_in_schema = 'l_shipdate'
+        ORDER BY row_group_id
+        """
+    ).fetchdf()
+    assert len(out) == len(want) >= 1
+    assert (out["row_group_id"] == want["row_group_id"]).all()
+    assert (out["n_rows"] == want["n_rows"]).all()
+    assert (
+        pd.to_datetime(out["min_shipdate"]) == pd.to_datetime(want["min_shipdate"])
+    ).all()
+    assert (
+        pd.to_datetime(out["max_shipdate"]) == pd.to_datetime(want["max_shipdate"])
+    ).all()

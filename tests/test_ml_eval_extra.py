@@ -194,3 +194,18 @@ def test_fixedwidth_roundtrip(spark, sf_dir):
     got = sorted(map(tuple, out[["n_nationkey", "n_name", "n_regionkey"]].values))
     want = sorted(map(tuple, nation[["n_nationkey", "n_name", "n_regionkey"]].values))
     assert got == want
+
+
+def test_stratified_exact_counts_and_determinism(spark, sf_dir):
+    """Exactly 10 per language; the picks equal a python md5-rank
+    recompute (reproducible sampling — the property rand() lacks)."""
+    out = all_queries()["sample_stratified_exact"](spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    assert out.groupby("lang").size().eq(10).all()
+    for lang, g in docs.groupby("lang"):
+        ranked = sorted(
+            g["doc_id"],
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )[:10]
+        got = sorted(out.loc[out["lang"] == lang, "doc_id"])
+        assert got == sorted(ranked), lang
