@@ -261,6 +261,7 @@ _PRIORITY = (
     "sim_rerank_bilinear",
     "sample_stratified_exact",
     "diag_rowgroup_stats",
+    "stream_table_changes",
 )
 
 

@@ -233,3 +233,103 @@ def scan_fixedwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("value", 33, 6)).cast("int").alias("n_regionkey"),
         F.length("value").cast("int").alias("rec_len"),
     )
+
+
+@register(
+    "stream_table_changes",
+    oracle="""
+    WITH v0 AS (
+      SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0
+    ),
+    v1 AS (
+      SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             n_chars + CASE WHEN doc_id % 8 = 0 THEN 2 ELSE 0 END AS n_chars
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    d1 AS (
+      SELECT 1 AS version,
+             CASE WHEN v0.doc_id IS NULL THEN 'added'
+                  WHEN v1.doc_id IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             COALESCE(v1.doc_id, v0.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN v0.n_chars
+                  ELSE v1.n_chars END AS n_chars
+      FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+      WHERE v0.doc_id IS NULL OR v1.doc_id IS NULL OR v0.n_chars <> v1.n_chars
+    ),
+    d2 AS (
+      SELECT 2 AS version,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_type,
+             COALESCE(v2.doc_id, v1.doc_id) AS doc_id,
+             CASE WHEN v2.doc_id IS NULL THEN v1.n_chars
+                  ELSE v2.n_chars END AS n_chars
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.n_chars <> v2.n_chars
+    )
+    SELECT CAST(version AS INTEGER) AS version, change_type,
+           doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+    """,
+)
+def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed stream over the repo's own versioned table format
+    (sources/datasource_api.py::make_table_changes_stream_source — the
+    Delta-CDF shape): three snapshots are published through the DQ-capable
+    atomic store, then consumed as a stream where EACH VERSION IS ONE
+    MICRO-BATCH of (added/removed/changed) row changes, version-number
+    offsets are checkpointed by the engine, and readBetweenOffsets replays
+    committed version ranges deterministically from the retained snapshot
+    dirs. Downstream, this is what incremental consumers (rollup
+    maintenance, index refresh, cache invalidation) subscribe to instead
+    of re-diffing snapshots. The oracle recomputes both change batches
+    relationally from the source table — the drained feed must equal the
+    full-outer-join diffs cell-for-cell, proving stream ≡ batch on the
+    change semantics."""
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        register_table_changes_stream_source,
+    )
+    from sdg_data_catalog_spark.sources.formats import table_safe_sf_name
+
+    root = io_dir(sf_dir, "cdf_versions")
+    docs = table(spark, sf_dir, "documents")
+    v0 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    v1 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        (F.col("n_chars") + F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias(
+            "n_chars"
+        ),
+    )
+    v2 = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        (F.col("n_chars") + F.when(F.col("doc_id") % 8 == 0, 2).otherwise(0)).alias(
+            "n_chars"
+        ),
+    )
+    publish(v0, root, 0, keep=10)
+    publish(v1, root, 1, keep=10)
+    publish(v2, root, 2, keep=10)
+
+    register_table_changes_stream_source(spark)
+    name = f"t_stream_changes_{table_safe_sf_name(sf_dir)}"
+    q = (
+        spark.readStream.format("sdg_table_changes")
+        .option("root", root)
+        .option("max_version", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -145,3 +145,90 @@ def register_papers_source(spark) -> None:
         spark.dataSource.register(PapersDataSource)
     except Exception:
         pass  # already registered in this session
+
+
+def make_table_changes_stream_source():
+    """Change-data-feed STREAMING source over the atomic versioned store
+    (sources/atomic.py) — the Delta-CDF analog built on this repo's own
+    table format: each published version is one micro-batch of changes,
+    the offset is the next version number, and `readBetweenOffsets`
+    recomputes any committed version range deterministically from the
+    retained snapshot dirs (exactly-once replay). The reader runs in the
+    engine's dedicated Python runner process with NO Spark session, so
+    the per-version delta is computed there directly from the snapshot
+    parquet via pandas/pyarrow — honest for a CDF reader, which by
+    definition reads the table's own log/files, and cheap because a
+    version delta is keyed-row work, not corpus work.
+
+    Classes are defined at call time (cloudpickled BY VALUE) for the same
+    runner-isolation reason as make_papers_stream_source. Options:
+    `root` (atomic store root), `max_version` (backlog end; `read` stops
+    advancing there so processAllAvailable() sees a drained stream).
+    Emits (version, change_type[added|removed|changed], doc_id, n_chars)
+    with the NEW value for added/changed and the OLD value for removed.
+    Returns (source_cls, reader_cls)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class TableChangesStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options) -> None:
+            self.root = options["root"]
+            self.max_version = int(options.get("max_version", "0"))
+
+        def initialOffset(self) -> dict:
+            return {"v": 1}  # first change batch is v0 -> v1
+
+        def _version_df(self, v: int):
+            import os
+
+            import pandas as pd
+
+            return pd.read_parquet(
+                os.path.join(self.root, "versions", f"v{v:09d}")
+            )[["doc_id", "n_chars"]]
+
+        def _changes(self, v: int) -> list:
+            old = self._version_df(v - 1).set_index("doc_id")["n_chars"]
+            new = self._version_df(v).set_index("doc_id")["n_chars"]
+            rows = []
+            for k in new.index.difference(old.index):
+                rows.append((v, "added", int(k), int(new[k])))
+            for k in old.index.difference(new.index):
+                rows.append((v, "removed", int(k), int(old[k])))
+            both = new.index.intersection(old.index)
+            for k in both[new[both] != old[both]]:
+                rows.append((v, "changed", int(k), int(new[k])))
+            rows.sort(key=lambda r: (r[1], r[2]))
+            return rows
+
+        def read(self, start: dict):
+            v = start["v"]
+            if v > self.max_version:
+                return iter([]), start  # backlog drained: offset parks
+            return iter(self._changes(v)), {"v": v + 1}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            rows: list = []
+            for v in range(start["v"], end["v"]):
+                rows.extend(self._changes(v))
+            return iter(rows)
+
+    class TableChangesStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sdg_table_changes"
+
+        def schema(self) -> str:
+            return "version INT, change_type STRING, doc_id BIGINT, n_chars BIGINT"
+
+        def simpleStreamReader(self, schema) -> "TableChangesStreamReader":
+            return TableChangesStreamReader(self.options)
+
+    return TableChangesStreamSource, TableChangesStreamReader
+
+
+def register_table_changes_stream_source(spark) -> None:
+    source_cls, _ = make_table_changes_stream_source()
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception:
+        pass  # already registered in this session

@@ -78,3 +78,43 @@ def test_diff_versions_matches_pandas_twin(spark, sf_dir):
     expect["unchanged"] = len(both) - expect["changed"]
     got = dict(zip(out["status"], out["n_rows"]))
     assert got == {k: v for k, v in expect.items() if v > 0}
+
+
+def test_table_changes_replay_contract(spark, sf_dir, tmp_path):
+    """The CDF reader's readBetweenOffsets must replay EXACTLY what the
+    incremental read() path emitted, for the full range and any split of
+    it — the retried-micro-batch contract."""
+    import pyspark.sql.functions as F
+
+    from sdg_data_catalog_spark.catalog import table
+    from sdg_data_catalog_spark.sources.atomic import publish
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        make_table_changes_stream_source,
+    )
+
+    root = str(tmp_path / "cdf")
+    docs = table(spark, sf_dir, "documents")
+    publish(docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"), root, 0, keep=10)
+    publish(docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "n_chars"), root, 1, keep=10)
+    publish(docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "n_chars"), root, 2, keep=10)
+
+    _, reader_cls = make_table_changes_stream_source()
+    r = reader_cls({"root": root, "max_version": "2"})
+    off = r.initialOffset()
+    incremental = []
+    for _ in range(3):
+        it, off2 = r.read(off)
+        incremental.extend(it)
+        if off2 == off:
+            break
+        off = off2
+    assert off == {"v": 3}
+    full = list(r.readBetweenOffsets({"v": 1}, {"v": 3}))
+    assert incremental == full
+    split = list(r.readBetweenOffsets({"v": 1}, {"v": 2})) + list(
+        r.readBetweenOffsets({"v": 2}, {"v": 3})
+    )
+    assert incremental == split
+    # parked offset emits nothing
+    it, same = r.read({"v": 3})
+    assert list(it) == [] and same == {"v": 3}
