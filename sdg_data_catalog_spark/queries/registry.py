@@ -262,6 +262,7 @@ _PRIORITY = (
     "sample_stratified_exact",
     "diag_rowgroup_stats",
     "stream_table_changes",
+    "sink_datasource_api",
 )
 
 

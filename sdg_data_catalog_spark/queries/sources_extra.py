@@ -333,3 +333,39 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "sink_datasource_api",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def sink_datasource_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the Spark 4 Python DataSource WRITER
+    (sources/datasource_api.py::make_jsonl_sink_source): executor tasks
+    stream JSONL shards to temp files, the driver-side job commit
+    promotes them and writes the `_SUCCESS` manifest, aborts clean up —
+    the task-commit/job-commit protocol the reference's per-row
+    INSERT+commit lacks entirely (db_connection.py:68-73). The query
+    writes a documents slice through the sink, then reads the COMMITTED
+    shards back with the ordinary JSON scan; the oracle recomputes the
+    slice from the source table, so a green row proves both the bytes
+    and the commit promotion. The abort path (failed job ⇒ no visible
+    output, no _SUCCESS) is pinned by
+    tests/test_sources_extra.py::test_jsonl_sink_abort_leaves_no_output."""
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        register_jsonl_sink_source,
+    )
+
+    register_jsonl_sink_source(spark)
+    path = io_dir(sf_dir, "jsonl_sink")
+    out = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    out.write.format("sdg_jsonl_sink").option("path", path).mode("append").save()
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    return spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(
+        os.path.join(path, "part-*.jsonl")
+    )

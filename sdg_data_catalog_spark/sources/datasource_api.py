@@ -232,3 +232,81 @@ def register_table_changes_stream_source(spark) -> None:
         spark.dataSource.register(source_cls)
     except Exception:
         pass  # already registered in this session
+
+
+def make_jsonl_sink_source():
+    """Spark 4 Python DataSource WRITER with a real two-phase commit:
+    every task streams its rows to a `.tmp` shard and returns the shard
+    path in its WriterCommitMessage; only the DRIVER-side `commit()`
+    promotes the shards (tmp → final rename, then a `_SUCCESS` manifest
+    listing every committed shard), and `abort()` removes the orphans —
+    so a failed/aborted job leaves NO visible output and a retried task's
+    duplicate tmp (task IDs make shard names unique per attempt) is never
+    promoted. This is the task-commit / job-commit split every
+    distributed sink needs (the reference's per-row INSERT+commit,
+    db_connection.py:68-73, has no such protocol — a crash leaves a
+    half-written table). Classes defined at call time → cloudpickled by
+    value (runner isolation, same as the stream sources)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class ShardCommit(WriterCommitMessage):
+        tmp_path: str
+        n_rows: int
+
+    class JsonlSinkWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator) -> "ShardCommit":
+            _os.makedirs(self.path, exist_ok=True)
+            tmp = _os.path.join(self.path, f".shard-{_uuid.uuid4().hex}.tmp")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return ShardCommit(tmp_path=tmp, n_rows=n)
+
+        def commit(self, messages) -> None:
+            final = []
+            for i, m in enumerate(messages):
+                dst = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+                _os.replace(m.tmp_path, dst)
+                final.append({"file": _os.path.basename(dst), "rows": m.n_rows})
+            with open(_os.path.join(self.path, "_SUCCESS"), "w") as fh:
+                _json.dump({"shards": final}, fh)
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                try:
+                    _os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+    class JsonlSinkSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sdg_jsonl_sink"
+
+        def writer(self, schema, overwrite: bool) -> "JsonlSinkWriter":
+            return JsonlSinkWriter(self.options)
+
+    return JsonlSinkSource, JsonlSinkWriter
+
+
+def register_jsonl_sink_source(spark) -> None:
+    source_cls, _ = make_jsonl_sink_source()
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception:
+        pass

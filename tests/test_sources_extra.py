@@ -118,3 +118,37 @@ def test_table_changes_replay_contract(spark, sf_dir, tmp_path):
     # parked offset emits nothing
     it, same = r.read({"v": 3})
     assert list(it) == [] and same == {"v": 3}
+
+
+def test_jsonl_sink_abort_leaves_no_output(spark, sf_dir, tmp_path):
+    """Two-phase commit: a job that fails mid-write must leave NO
+    committed shards and NO _SUCCESS manifest — readers of the target
+    directory see nothing."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        register_jsonl_sink_source,
+    )
+
+    register_jsonl_sink_source(spark)
+    path = str(tmp_path / "sink_abort")
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("planted task failure")
+
+    bad = spark.range(100).select(boom(F.col("id")).alias("doc_id"))
+    with pytest.raises(Exception):
+        bad.write.format("sdg_jsonl_sink").option("path", path).mode(
+            "append"
+        ).save()
+    committed = (
+        [f for f in os.listdir(path) if not f.startswith(".")]
+        if os.path.isdir(path)
+        else []
+    )
+    assert "_SUCCESS" not in committed
+    assert not [f for f in committed if f.startswith("part-")]
