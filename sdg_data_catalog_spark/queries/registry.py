@@ -263,6 +263,7 @@ _PRIORITY = (
     "diag_rowgroup_stats",
     "stream_table_changes",
     "sink_datasource_api",
+    "stream_sink_datasource",
 )
 
 

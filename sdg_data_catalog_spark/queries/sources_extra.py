@@ -369,3 +369,52 @@ def sink_datasource_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(
         os.path.join(path, "part-*.jsonl")
     )
+
+
+@register(
+    "stream_sink_datasource",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS paper_id,
+           CAST(i // 100 AS INTEGER) AS page,
+           'paper-' || CAST(i AS VARCHAR) AS title,
+           CAST((i * 2654435761) % 50 AS INTEGER) AS n_refs
+    FROM range(300) t(i)
+    """,
+)
+def stream_sink_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom-source → custom-sink streaming: the paginated
+    papers stream (page-per-micro-batch) written through the Python
+    `DataSourceStreamWriter` JSONL sink — per-batch two-phase commit
+    with batchId-derived shard names, so a replayed micro-batch
+    overwrites itself (exactly-once OUTPUT on top of at-least-once
+    delivery). After the 3-page backlog drains, the committed shards are
+    read back with the ordinary JSON scan and hash-checked against the
+    same generator SQL the batch scan uses: source → stream → sink →
+    scan must be value-identical to the batch pipeline."""
+    from sdg_data_catalog_spark.sources.datasource_api import (
+        register_jsonl_stream_sink_source,
+        register_papers_stream_source,
+    )
+
+    register_papers_stream_source(spark)
+    register_jsonl_stream_sink_source(spark)
+    path = io_dir(sf_dir, "jsonl_stream_sink")
+    chk = io_dir(sf_dir, "jsonl_stream_sink_chk")
+    q = (
+        spark.readStream.format("sdg_papers_stream")
+        .option("pages", "3")
+        .option("page_size", "100")
+        .load()
+        .writeStream.format("sdg_jsonl_stream_sink")
+        .option("path", path)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "paper_id BIGINT, page INT, title STRING, n_refs INT"
+    ).json(os.path.join(path, "batch-*.jsonl"))

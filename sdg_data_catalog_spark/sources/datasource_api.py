@@ -310,3 +310,83 @@ def register_jsonl_sink_source(spark) -> None:
         spark.dataSource.register(source_cls)
     except Exception:
         pass
+
+
+def make_jsonl_stream_sink_source():
+    """Streaming twin of the JSONL sink: a Spark 4
+    `DataSourceStreamWriter` whose commit unit is the MICRO-BATCH —
+    task shards stage as `.tmp`, `commit(messages, batchId)` promotes
+    them to `batch-<id>-part-<i>.jsonl` plus a per-batch manifest, and
+    `abort` drops the orphans. Because the final names are derived from
+    batchId, a REPLAYED batch (failure before the checkpoint advanced)
+    overwrites its own files instead of duplicating them — idempotent
+    replay is what turns the engine's at-least-once delivery into
+    exactly-once OUTPUT, the same discipline as the foreachBatch
+    idempotent upsert but expressed at the sink-API level."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class ShardCommit(WriterCommitMessage):
+        tmp_path: str
+        n_rows: int
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options) -> None:
+            self.path = options["path"]
+
+        def write(self, iterator) -> "ShardCommit":
+            _os.makedirs(self.path, exist_ok=True)
+            tmp = _os.path.join(self.path, f".shard-{_uuid.uuid4().hex}.tmp")
+            n = 0
+            with open(tmp, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return ShardCommit(tmp_path=tmp, n_rows=n)
+
+        def commit(self, messages, batchId: int) -> None:
+            final = []
+            for i, m in enumerate(m for m in messages if m is not None):
+                dst = _os.path.join(
+                    self.path, f"batch-{batchId:05d}-part-{i:05d}.jsonl"
+                )
+                _os.replace(m.tmp_path, dst)
+                final.append({"file": _os.path.basename(dst), "rows": m.n_rows})
+            with open(
+                _os.path.join(self.path, f"_batch-{batchId:05d}.json"), "w"
+            ) as fh:
+                _json.dump({"batch": batchId, "shards": final}, fh)
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in (m for m in messages if m is not None):
+                try:
+                    _os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+    class JsonlStreamSinkSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sdg_jsonl_stream_sink"
+
+        def streamWriter(self, schema, overwrite: bool) -> "JsonlStreamWriter":
+            return JsonlStreamWriter(self.options)
+
+    return JsonlStreamSinkSource, JsonlStreamWriter
+
+
+def register_jsonl_stream_sink_source(spark) -> None:
+    source_cls, _ = make_jsonl_stream_sink_source()
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception:
+        pass
