@@ -218,11 +218,15 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs to map (start, end) annotations onto tokens
     (ner_pipeline.py's offset bookkeeping). Each input row fans out to one
     row per token with its position and char_start; downstream a range
-    join against entity spans labels tokens. The UDTF runs per-row Python
-    (the API's cost model) — fine for the ingest-side fan-out it exists
-    for; the bulk tokenization hot path stays with the codegen'd
+    join against entity spans labels tokens. The UDTF is Arrow-optimized
+    (spark.sql.execution.pythonUDTF.arrow.enabled — set both in
+    session.py and here, so even a plain driver session plans
+    ArrowEvalPythonUDTF instead of per-row pickling); the bulk
+    tokenization hot path still stays with the codegen'd
     split/posexplode twin (same result, asserted by the shared oracle)."""
     from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf(returnType="pos INT, token STRING, char_start INT")
     class TokenPositions:

@@ -68,6 +68,9 @@ def get_spark(app_name: str = "sdg-data-catalog-spark", master: str | None = Non
         # Arrow for every pandas_udf / mapInPandas / toPandas hop.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow-optimized Python UDTFs: the lateral fan-out runs over Arrow
+        # batches (ArrowEvalPythonUDTF) instead of per-row pickling
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Heap: min(32g, half of MemTotal). 32g on the 128 GiB test box —
         # at the sf10 bench tier a 16g heap showed late-session GC
         # inflation (trailing queries 3-10× their fresh-session times after
