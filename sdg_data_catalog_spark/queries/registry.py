@@ -264,6 +264,7 @@ _PRIORITY = (
     "stream_table_changes",
     "sink_datasource_api",
     "stream_sink_datasource",
+    "win_percent_cume",
 )
 
 

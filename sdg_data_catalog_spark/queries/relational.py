@@ -1187,3 +1187,31 @@ def win_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             "RANGE BETWEEN 25.0 PRECEDING AND CURRENT ROW), 2)"
         ).alias("sum_near"),
     )
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WHERE user_id % 7 = 0
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the relative-standing window functions
+    completing the §2.5 ranking surface (the scale-free way to express
+    "top 1% by value" without knowing group sizes). Rank-ratio rationals
+    like (rank−1)/(n−1) evaluate bit-identically across engines; the
+    deterministic (value, event_id) order removes tie ambiguity. One
+    window exchange on the partition key, same as every ranking op."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
