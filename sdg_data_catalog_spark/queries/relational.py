@@ -44,11 +44,11 @@ _Q5_ORACLE = """
 @register("q5_revenue_by_nation", oracle=_Q5_ORACLE)
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-aware headline Q5: when the ingest-time 32-bucket orderkey
-    layout already exists on disk, the lineitem pre-agg and the final
-    orderkey join ride it exchange-free (scale_ops.q5_bucketed — the plan
-    a warehouse runs daily); fresh directories fall back to the ad-hoc
-    plan (q5_adhoc, same oracle, same answer). The probe is a pure
-    filesystem check — it never builds the layout."""
+    layout already exists on disk, the orderkey join rides it
+    exchange-free (scale_ops.q5_bucketed — the plan a warehouse runs
+    daily; join-then-agg since r4, see its A/B); fresh directories fall
+    back to the ad-hoc plan (q5_adhoc, same oracle, same answer). The
+    probe is a pure filesystem check — it never builds the layout."""
     from sdg_data_catalog_spark.queries import scale_ops
 
     if scale_ops.bucketed_layout_on_disk(sf_dir):
