@@ -188,3 +188,76 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").alias("negative_source"),
         )
     )
+
+
+@register(
+    "pipeline_medallion",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 13 <> 0
+    GROUP BY lang, source
+    """,
+)
+def pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion layering end-to-end through this engine's own
+    primitives — the architecture a 100 TB lake actually runs:
+
+      bronze: raw JSONL feed with planted malformed lines (doc_id % 13,
+              the etl_dlq_routing corpus), scanned PERMISSIVE — corrupt
+              records route to the dead letter, never kill the job;
+      silver: parsed survivors, exact-dedup'd on the key, atomically
+              published BEHIND the document DQ gate (operators/dq.py) —
+              a bad batch can never become LATEST;
+      gold:   the per-(lang, source) rollup computed FROM THE PUBLISHED
+              silver snapshot (not the in-flight frame) and published as
+              its own version — consumers read gold, silver is the
+              replay/repair point, bronze is the audit trail.
+
+    The oracle recomputes gold straight from the source table minus the
+    planted-corrupt keys: a green row proves the full chain — corruption
+    split, dedup, gated publish, snapshot isolation, rollup — end to
+    end. Each hop is one shuffle or less; every layer boundary is an
+    atomic pointer flip."""
+    from sdg_data_catalog_spark.operators.dq import document_gate
+    from sdg_data_catalog_spark.sources.atomic import publish, read_latest
+
+    docs = table(spark, sf_dir, "documents")
+    bronze_path = io_dir(sf_dir, "medallion_bronze")
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "source", "n_chars")))
+    docs.select(line.alias("value")).write.text(bronze_path)
+
+    parsed = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT,"
+            " _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(bronze_path)
+        .cache()
+    )
+    silver = (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .select("doc_id", "lang", "source", "n_chars")
+        .dropDuplicates(["doc_id"])
+    )
+    silver_root = io_dir(sf_dir, "medallion_silver")
+    publish(silver, silver_root, 0, gate=document_gate)
+
+    gold = (
+        read_latest(spark, silver_root)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    gold_root = io_dir(sf_dir, "medallion_gold")
+    publish(gold, gold_root, 0)
+    return read_latest(spark, gold_root)

@@ -265,6 +265,7 @@ _PRIORITY = (
     "sink_datasource_api",
     "stream_sink_datasource",
     "win_percent_cume",
+    "pipeline_medallion",
 )
 
 

@@ -92,3 +92,33 @@ def test_negative_pairs_match_hash_twin(spark, sf_dir):
             if neg != a:
                 expect.add((a, o, neg))
     assert got == expect
+
+
+def test_medallion_layers_published_and_isolated(spark, sf_dir):
+    """Both layer roots hold an atomic version after the run, and the gold
+    rollup equals a pandas recompute that excludes the planted-corrupt
+    keys (bronze corruption never leaks downstream)."""
+    import os
+
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.registry import all_queries
+    from sdg_data_catalog_spark.sources.atomic import latest_version
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    out = all_queries()["pipeline_medallion"](spark, sf_dir).toPandas()
+    for layer in ("medallion_silver", "medallion_gold"):
+        root = io_dir(sf_dir, layer, fresh=False)
+        assert latest_version(root) is not None, layer
+        assert os.path.isfile(os.path.join(root, "LATEST"))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    clean = docs[docs["doc_id"] % 13 != 0]
+    want = (
+        clean.groupby(["lang", "source"])
+        .agg(n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"))
+        .reset_index()
+    )
+    got = out.sort_values(["lang", "source"]).reset_index(drop=True)
+    want = want.sort_values(["lang", "source"]).reset_index(drop=True)
+    assert (got["n_docs"] == want["n_docs"]).all()
+    assert (got["total_chars"] == want["total_chars"]).all()
