@@ -266,6 +266,7 @@ _PRIORITY = (
     "stream_sink_datasource",
     "win_percent_cume",
     "pipeline_medallion",
+    "udf_ner_score",  # promoted rows-only → hash-checked in r4 session 2
 )
 
 

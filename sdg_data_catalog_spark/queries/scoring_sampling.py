@@ -134,10 +134,42 @@ def udf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udf_ner_score")  # model-scoring dataflow: rows-only
+@register(
+    "udf_ner_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           ROUND(list_sum(list_transform(ws,
+               t -> ln((('0x' || substr(md5(t), 1, 15))::BIGINT % 997 + 1)
+                       / 998.0))), 4) AS path_score,
+           CAST(len(list_filter(ws, t -> contains(t, 'data'))) AS INTEGER)
+             AS n_entities,
+           COALESCE(array_to_string(list_filter(ws, t -> contains(t, 'data')),
+                                    '|'), '') AS entities_csv
+    FROM t
+    """,
+)
 def udf_ner_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch NER scoring via mapInPandas (ner_pipeline.py:338-375 eval():
+    batch decode → scores/paths). The stand-in model's per-token
+    probability is md5-derived integer arithmetic (the same table the
+    rank_al_* oracles use), so the ENTIRE scorer output — Viterbi-shaped
+    path score, entity count, and the entity tokens themselves — is
+    hash-checked against ANSI SQL. Promoted from rows-only in round 4:
+    with udf_vectorize and udf_bert_classify this puts every §2.10
+    model-scoring dataflow except the engine-internal LDA pair on the
+    hashed path. Entities surface as a '|'-joined string (array columns
+    canonicalize less predictably); the Python left-fold of log-probs
+    matches DuckDB's list_sum fold bit-for-bit (proven by rank_al_lc's
+    green oracle on the same expression)."""
     docs = table(spark, sf_dir, "documents")
-    return SC.ner_score(docs)
+    out = SC.ner_score(docs)
+    return out.select(
+        "doc_id",
+        F.round("path_score", 4).alias("path_score"),
+        "n_entities",
+        F.concat_ws("|", F.col("entity_tokens")).alias("entities_csv"),
+    )
 
 
 @register(
