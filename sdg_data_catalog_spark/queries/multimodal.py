@@ -81,10 +81,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # byte-level decode: rows-only, pytest twin
+_HIST_CSV_SQL = " || ',' || ".join(
+    f"CAST(SUM(CASE WHEN code // 16 = {i} THEN 1 ELSE 0 END) AS VARCHAR)"
+    for i in range(16)
+)
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    WITH ch AS (
+        SELECT doc_id, ord(unnest(string_split_regex(text, ''))) AS code
+        FROM documents
+    )
+    SELECT doc_id AS media_id,
+           {_MEDIA_TYPE_SQL.replace("doc_id", "ch.doc_id")} AS media_type,
+           CAST(COUNT(*) AS INTEGER) AS n_bytes,
+           FLOOR(AVG(code) * 10000) / 10000 AS mean_byte,
+           {_HIST_CSV_SQL} AS hist_csv
+    FROM ch
+    GROUP BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over the opaque payload column in Arrow
+    batches (operators/multimodal.py::decode_features: 16-bin byte
+    histogram + mean byte, the stand-in for pixel/spectrogram features
+    with the exact mapInPandas signature a real decoder uses). Promoted
+    from rows-only in round 4: the payload is the UTF-8 text (pure ASCII
+    corpus, verified — bytes ≡ characters), so DuckDB reproduces the
+    histogram from ord() per character and the mean from the exact
+    integer sum; the hash now covers the binary-column plumbing
+    (encode → Arrow transfer → numpy bincount) end to end. Histogram
+    surfaces as a CSV string; the mean is floor-truncated (identical
+    doubles, half-up rounding diverges on representation ties)."""
     media = MM.as_media(table(spark, sf_dir, "documents"))
-    return MM.decode_features(media)
+    out = MM.decode_features(media)
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        (F.floor(F.col("mean_byte") * 10000) / 10000).alias("mean_byte"),
+        F.concat_ws(
+            ",", F.transform("byte_hist", lambda x: x.cast("string"))
+        ).alias("hist_csv"),
+    )
 
 
 @register("mm_resize_jpeg")  # rows-only, differential pytest twin

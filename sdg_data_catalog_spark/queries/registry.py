@@ -267,6 +267,7 @@ _PRIORITY = (
     "win_percent_cume",
     "pipeline_medallion",
     "udf_ner_score",  # promoted rows-only → hash-checked in r4 session 2
+    "mm_decode_features",  # promoted rows-only → hash-checked in r4 session 2
 )
 
 
