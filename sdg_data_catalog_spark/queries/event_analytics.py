@@ -359,3 +359,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT event_type,
+           MAX(ts) AS latest_ts,
+           CAST(FLOOR((epoch(date_trunc('second', g.global_max))
+                       - epoch(date_trunc('second', MAX(ts)))) / 3600) AS BIGINT)
+             AS lag_hours,
+           FLOOR((epoch(date_trunc('second', g.global_max))
+                  - epoch(date_trunc('second', MAX(ts)))) / 3600) > 24 AS stale
+    FROM events, g
+    GROUP BY event_type, g.global_max
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness check: per-stream (event_type) latest timestamp and
+    its lag behind the feed's global high-water mark, with a >24 h stale
+    flag — the monitoring question every ingest pipeline answers before
+    dq_constraints even matters (correct-but-stale data fails SLAs too;
+    completes the DQ family: constraints → anomaly → drift → freshness).
+    Two partial-aggregated MAX folds (per-type and global — the global is
+    a 1-row broadcast onto the per-type frame); at 100 TB both are
+    metadata-cheap scans and the high-water mark would come from the
+    catalog's ANALYZE stats (catalog_stats) for free."""
+    ev = table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("global_max"))
+    per = ev.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    lag_hours = (
+        F.floor(
+            (F.unix_timestamp("global_max") - F.unix_timestamp("latest_ts")) / 3600
+        )
+    ).cast("bigint")
+    return per.join(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        lag_hours.alias("lag_hours"),
+        (lag_hours > 24).alias("stale"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id,
+           CAST(FLOOR((epoch(date_trunc('second', p.purchase_ts))
+                       - epoch(date_trunc('second', s.signup_ts))) / 60) AS BIGINT)
+             AS minutes_to_convert,
+           p.purchase_ts IS NOT NULL AS converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per user: first signup → first STRICTLY LATER
+    purchase (the ordered-funnel discipline funnel_conversion
+    established — a purchase before the signup must not count), emitted
+    per user with the conversion flag so downstream can take any
+    quantile without this operator choosing one. Two co-partitioned
+    user_id aggregations and one left join — all on the same key, one
+    effective shuffle lineage; the latency distribution itself is the
+    deliverable every growth dashboard plots."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    minutes = F.floor(
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")) / 60
+    ).cast("bigint")
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            minutes.alias("minutes_to_convert"),
+            F.col("purchase_ts").isNotNull().alias("converted"),
+        )
+    )

@@ -268,6 +268,8 @@ _PRIORITY = (
     "pipeline_medallion",
     "udf_ner_score",  # promoted rows-only → hash-checked in r4 session 2
     "mm_decode_features",  # promoted rows-only → hash-checked in r4 session 2
+    "dq_freshness",
+    "funnel_time_to_convert",
 )
 
 

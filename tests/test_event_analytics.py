@@ -122,3 +122,44 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
     tri = sum(len(adj[u] & adj[v]) for u, v in edges) // 3
     assert row["n_edges"] == len(edges)
     assert row["n_triangles"] == tri
+
+
+def test_freshness_and_time_to_convert_twins(spark, sf_dir):
+    """Freshness lags and conversion latencies reproduce from pandas with
+    second-truncated epoch math (Spark unix_timestamp semantics)."""
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    sec = ev["ts"].dt.floor("s")
+    gmax = sec.max()
+
+    fresh = {
+        r.event_type: r
+        for r in all_queries()["dq_freshness"](spark, sf_dir).toPandas().itertuples()
+    }
+    for et, g in ev.groupby("event_type"):
+        lag = int((gmax - sec[g.index].max()).total_seconds() // 3600)
+        assert fresh[et].lag_hours == lag, et
+        assert fresh[et].stale == (lag > 24)
+
+    out = {
+        r.user_id: r
+        for r in all_queries()["funnel_time_to_convert"](spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    signup = ev[ev.event_type == "signup"].groupby("user_id")["ts"].min()
+    for user, s_ts in signup.items():
+        later = ev[
+            (ev.event_type == "purchase") & (ev.user_id == user) & (ev.ts > s_ts)
+        ]["ts"]
+        r = out[user]
+        if later.empty:
+            assert not r.converted and pd.isna(r.minutes_to_convert)
+        else:
+            want = int(
+                (later.min().floor("s") - s_ts.floor("s")).total_seconds() // 60
+            )
+            assert r.converted and r.minutes_to_convert == want, user
