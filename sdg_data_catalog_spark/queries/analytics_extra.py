@@ -460,6 +460,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
     src = e.agg(F.min("pa")).collect()[0][0]
+    if src is None:  # no co-purchase edges at all: empty reachability set
+        return spark.createDataFrame([], "node BIGINT, hop INT")
     visited = spark.createDataFrame([(int(src), 0)], "node BIGINT, hop INT")
     frontier = visited
     for hop in range(1, 5):

@@ -270,6 +270,7 @@ _PRIORITY = (
     "mm_decode_features",  # promoted rows-only → hash-checked in r4 session 2
     "dq_freshness",
     "funnel_time_to_convert",
+    "scan_multiline_json",
 )
 
 

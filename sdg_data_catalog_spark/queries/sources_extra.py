@@ -418,3 +418,54 @@ def stream_sink_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "paper_id BIGINT, page INT, title STRING, n_refs INT"
     ).json(os.path.join(path, "batch-*.jsonl"))
+
+
+@register(
+    "scan_multiline_json",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 9 = 0
+    GROUP BY source
+    """,
+)
+def scan_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line JSON scan: one pretty-printed JSON ARRAY per file (the
+    API-response/export dump shape) read with `multiLine=true` — the
+    format that JSONL's line-per-record scan can NOT split: a multiline
+    document must be parsed whole, so Spark parallelizes per FILE, not
+    per block. That is exactly why the oracle-visible aggregate is
+    derived after the scan: the round-trip proves correctness while the
+    docstring records the scale caveat — at 100 TB you shard the export
+    into many array files (as this writer does, one per task) or convert
+    to JSONL at the edge; a single giant array file is a one-task scan."""
+    import json as _json
+
+    path = io_dir(sf_dir, "multiline_json")
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", "source", "n_chars")
+    )
+
+    def write_array(it):
+        import uuid as _uuid
+
+        batch = [r.asDict() for r in it]
+        if batch:
+            fname = os.path.join(path, f"part-{_uuid.uuid4().hex}.json")
+            with open(fname, "w") as fh:
+                _json.dump(batch, fh, indent=1)
+
+    rows.foreachPartition(write_array)
+    parsed = (
+        spark.read.schema("doc_id BIGINT, source STRING, n_chars BIGINT")
+        .option("multiLine", "true")
+        .json(path)
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
