@@ -383,3 +383,35 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+@register("etl_column_crypto")  # JVM-side AES: rows-only (no AES in DuckDB)
+def etl_column_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for PII-bearing fields: the source column is
+    AES-encrypted JVM-side (`aes_encrypt`, 128-bit key) so the published
+    table carries ciphertext while authorized readers decrypt in the same
+    engine — the governance rung between etl_k_anonymize (suppression)
+    and agg_dp_count (noisy aggregates) when the VALUE must survive but
+    only for key-holders. ECB mode is chosen deliberately: deterministic
+    ciphertext keeps the column joinable/groupable (the classic
+    searchable-encryption trade-off — equal plaintexts are linkable,
+    which is the point for key-preserving pipelines; swap to GCM when
+    linkability itself is the leak). Everything runs in codegen'd JVM
+    expressions — no Python, no driver round-trip; rows-only because
+    DuckDB has no AES, with the decrypt-equals-original proof emitted as
+    a hashed-path column and pinned in tests."""
+    docs = table(spark, sf_dir, "documents").limit(500)
+    key = "0123456789abcdef"  # demo key; production: column-keyed KMS secret
+    enc = docs.select(
+        "doc_id",
+        F.expr(f"base64(aes_encrypt(source, '{key}', 'ECB'))").alias("source_ct"),
+        "source",
+    )
+    return enc.select(
+        "doc_id",
+        "source_ct",
+        (
+            F.expr(f"CAST(aes_decrypt(unbase64(source_ct), '{key}', 'ECB') AS STRING)")
+            == F.col("source")
+        ).alias("roundtrip_ok"),
+    )

@@ -271,6 +271,7 @@ _PRIORITY = (
     "dq_freshness",
     "funnel_time_to_convert",
     "scan_multiline_json",
+    "etl_column_crypto",
 )
 
 

@@ -209,3 +209,22 @@ def test_stratified_exact_counts_and_determinism(spark, sf_dir):
         )[:10]
         got = sorted(out.loc[out["lang"] == lang, "doc_id"])
         assert got == sorted(ranked), lang
+
+
+def test_column_crypto_roundtrip_and_determinism(spark, sf_dir):
+    """Ciphertext is deterministic (ECB, fixed key), never equals the
+    plaintext, and decrypts back to the original for every row."""
+    out = all_queries()["etl_column_crypto"](spark, sf_dir).toPandas()
+    assert out["roundtrip_ok"].all()
+    docs = _docs(sf_dir).set_index("doc_id")
+    for r in out.head(50).itertuples():
+        assert r.source_ct != docs.loc[r.doc_id, "source"]
+    out2 = all_queries()["etl_column_crypto"](spark, sf_dir).toPandas()
+    a = out.sort_values("doc_id")["source_ct"].tolist()
+    b = out2.sort_values("doc_id")["source_ct"].tolist()
+    assert a == b  # deterministic ciphertext: joinable/groupable
+    # equal plaintexts produce equal ciphertexts (the ECB linkability
+    # trade-off the docstring documents)
+    merged = out.set_index("doc_id").join(docs[["source"]])
+    cts = merged.groupby("source")["source_ct"].nunique()
+    assert (cts == 1).all()
