@@ -74,6 +74,7 @@ EXTENDED = (
     "ts_ewma",
     "join_geo_radius",
     "mm_phash_neardup",
+    "udf_ner_score",
 )
 
 # Headline set: the heaviest representative per operator family.

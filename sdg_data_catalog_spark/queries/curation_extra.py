@@ -333,3 +333,59 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
     )
+
+
+@register(
+    "plan_token_budget",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, tokens,
+               pow(tokens, CAST(0.7 AS DOUBLE))
+                 / SUM(pow(tokens, CAST(0.7 AS DOUBLE))) OVER () AS weight
+        FROM s
+    )
+    SELECT source, tokens,
+           FLOOR(weight * 1e6) / 1e6 AS weight,
+           CAST(FLOOR(weight * 500000) AS BIGINT) AS quota_tokens,
+           FLOOR(LEAST(CAST(1.0 AS DOUBLE), weight * 500000 / tokens) * 1e6)
+             / 1e6 AS sampling_rate
+    FROM w
+    """,
+)
+def plan_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget planning: turn a global training budget (500k tokens)
+    into per-source quotas under temperature-weighted mixing (T=0.7 —
+    upweights small sources relative to proportional sampling, the
+    standard multilingual/multi-domain recipe). This is the PLANNING
+    step ahead of the samplers: sample_temperature draws with these
+    relative weights, sample_mixture enforces per-domain keep-rates, and
+    this operator computes what those rates should BE — per-source token
+    mass (one shuffle, partial-aggregated word counts), share^T
+    normalization over the sources dimension (a |sources|-row window),
+    and the resulting quota + capped sampling rate. All closed-form
+    column math; floor-truncated surfaces (pow is libm — identical
+    doubles, but half-up rounding would diverge on ties)."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
+    )
+    w_all = Window.partitionBy()
+    weight = F.pow(F.col("tokens"), 0.7) / F.sum(F.pow(F.col("tokens"), 0.7)).over(
+        w_all
+    )
+    budget = 500000
+    return s.select(
+        "source",
+        "tokens",
+        (F.floor(weight * 1e6) / 1e6).alias("weight"),
+        F.floor(weight * budget).cast("bigint").alias("quota_tokens"),
+        (
+            F.floor(F.least(F.lit(1.0), weight * budget / F.col("tokens")) * 1e6)
+            / 1e6
+        ).alias("sampling_rate"),
+    )

@@ -272,6 +272,7 @@ _PRIORITY = (
     "funnel_time_to_convert",
     "scan_multiline_json",
     "etl_column_crypto",
+    "plan_token_budget",
 )
 
 

@@ -159,3 +159,23 @@ def test_mode_per_group_matches_pandas(spark, sf_dir):
         row = out[out["source"] == src].iloc[0]
         assert row["mode_lang"] == top["lang"]
         assert row["n_docs"] == top["cnt"]
+
+
+def test_token_budget_plan_invariants(spark, sf_dir):
+    """Weights sum to ~1, quotas sum to <= budget, rates are capped at 1,
+    and the temperature upweights small sources vs proportional."""
+    out = all_queries()["plan_token_budget"](spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    toks = docs.assign(t=docs["text"].str.split(" ").str.len()).groupby("source")["t"].sum()
+    for r in out.itertuples():
+        assert r.tokens == toks[r.source]
+        assert 0 < r.sampling_rate <= 1.0
+    assert abs(out["weight"].sum() - 1.0) <= 1e-3
+    assert out["quota_tokens"].sum() <= 500000
+    # temperature < 1 compresses shares: smallest source's weight must
+    # exceed its proportional share, largest must fall below
+    total = toks.sum()
+    small, large = toks.idxmin(), toks.idxmax()
+    w = out.set_index("source")["weight"]
+    assert w[small] > toks[small] / total
+    assert w[large] < toks[large] / total
