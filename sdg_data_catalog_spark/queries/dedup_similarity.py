@@ -728,3 +728,69 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jac
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT t.thr AS threshold,
+           CAST((SELECT COUNT(*) FROM j WHERE jac >= t.thr) AS BIGINT) AS n_pairs
+    FROM (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS thr) t
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield curve: candidate-pair counts at every Jaccard threshold
+    in one pass — the tuning readout a curator reads BEFORE committing a
+    threshold (0.6 vs 0.8 can change corpus size by percent points; the
+    reference picks thresholds blind). The expensive part — the inverted
+    shingle index and the pair intersection — is computed ONCE; the sweep
+    is a 5-row threshold dimension crossed against the scored pairs with
+    a conditional count, not five re-runs. Same candidate generation as
+    dedup_jaccard_pairs, so the curve is exactly consistent with what the
+    production threshold will deliver."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingles(_near_dup_corpus(docs))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common"))).alias("jac")
+        )
+    )
+    thr = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double")
+    return (
+        jac.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("jac") >= F.col("threshold")).cast("bigint")), F.lit(0)
+            ).alias("n_pairs")
+        )
+    )

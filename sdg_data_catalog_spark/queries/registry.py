@@ -273,6 +273,7 @@ _PRIORITY = (
     "scan_multiline_json",
     "etl_column_crypto",
     "plan_token_budget",
+    "dedup_threshold_sweep",
 )
 
 
