@@ -419,7 +419,18 @@ def q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-row TakeOrdered. Same oracle as q18_large_orders — layout changes
     the physical plan, never the answer. At 100 TB the bucketed layout is
     paid once at ingest and every per-order aggregation or orderkey join
-    in the workload rides it shuffle-free."""
+    in the workload rides it shuffle-free.
+
+    sf10 floor profile (2026-08-14, min-of-3 with GC barriers, slower
+    boot): scan+sum of l_quantity alone 0.48 s → adding the per-orderkey
+    hash map (60 M rows → ~15 M groups, bucket-local) 1.46 s → +HAVING
+    1.52 s → full query (orders join + customer + top-20) 2.38 s, vs
+    DuckDB ~0.9 s whole-query. The ~1 s group-map term IS the query's
+    semantics (every order's quantity must be summed before the
+    predicate can drop it) — no plan change removes it, only faster
+    hash-agg machinery would; the bucketed layout already deleted the
+    exchange that used to dominate. Same irreducible-floor class as
+    q1's decode profile."""
     join_bucketed(spark, sf_dir)  # ensure the bucketed tables exist
     sfn = _sf_name(sf_dir)
     li = spark.table(f"li_bkt_{sfn}")
