@@ -415,3 +415,60 @@ def etl_column_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("source")
         ).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "etl_pit_features",
+    oracle="""
+    SELECT e.event_id AS label_event_id,
+           e.user_id,
+           CAST(COUNT(h.event_id) AS BIGINT) AS n_prior_events,
+           CAST(COALESCE(SUM(CAST(ROUND(h.value * 100) AS BIGINT)), 0) AS DOUBLE)
+             / 100.0 AS sum_prior_value
+    FROM events e
+    LEFT JOIN events h
+      ON h.user_id = e.user_id
+     AND (h.ts < e.ts OR (h.ts = e.ts AND h.event_id < e.event_id))
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def etl_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly: for every label event
+    (purchase), the user's activity features computed over STRICTLY
+    PRIOR history — the leakage-free training-set construction a feature
+    store exists for (a feature computed over rows at-or-after the label
+    timestamp trains a model on the future). One shuffle on user_id and
+    one running window with a rows-preceding frame builds features for
+    every label simultaneously — never a per-label range scan; the
+    (ts, event_id) tie-break makes "prior" total and reproducible, and
+    the oracle replays exactly that frame as a correlated inequality
+    join. Sums ride the exact integer-cent trick (FP summation order
+    differs across engines)."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_prior_events"),
+        (
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w),
+                F.lit(0),
+            ).cast("double")
+            / 100.0
+        ).alias("sum_prior_value"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("n_prior_events").cast("bigint").alias("n_prior_events"),
+        "sum_prior_value",
+    )

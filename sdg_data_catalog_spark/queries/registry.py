@@ -274,6 +274,7 @@ _PRIORITY = (
     "etl_column_crypto",
     "plan_token_budget",
     "dedup_threshold_sweep",
+    "etl_pit_features",
 )
 
 
