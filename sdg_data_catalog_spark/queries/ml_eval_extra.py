@@ -472,3 +472,105 @@ def etl_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_prior_events").cast("bigint").alias("n_prior_events"),
         "sum_prior_value",
     )
+
+
+_BERT_P_SQL = """1.0 / (1.0 + exp(-list_sum(list_transform(range(1, 65),
+    i -> CAST(embedding[i] AS DOUBLE)
+         * ((((i + 17) * 2654435761) % 1000003 % 97 - 48) / 48.0)))))"""
+
+
+@register(
+    "agg_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, {_BERT_P_SQL} AS p, label % 2 AS y FROM embeddings
+    )
+    SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(FLOOR(p * 1e6)) AS DOUBLE) / (1e6 * COUNT(*)) AS avg_p,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM scored GROUP BY 1
+    """,
+)
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration readout: predicted-probability deciles vs the
+    empirical positive rate in each bin — the reliability-diagram data
+    behind every "is this model over-confident?" review (the evaluation
+    depth the reference's missing `evaluation` module never reached).
+    Scores come from the deterministic classifier head
+    (udf_bert_classify's mapInPandas path), labels from the embeddings
+    table (y = label % 2); one partial-aggregated shuffle into ≤10 bins.
+    The mean prediction is folded as an exact integer sum of
+    FLOOR(p·1e6) — FP summation order differs across engines, truncated
+    micro-units don't."""
+    from sdg_data_catalog_spark.operators import scoring as SC
+
+    emb = table(spark, sf_dir, "embeddings")
+    scored = SC.classify_embeddings(emb).join(
+        emb.select("vec_id", (F.col("label") % 2).alias("y")), "vec_id"
+    )
+    p = F.col("p_positive")
+    return (
+        scored.groupBy(
+            F.least(F.floor(p * 10), F.lit(9)).cast("int").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.floor(p * 1e6)).cast("double")
+                / (1e6 * F.count(F.lit(1)))
+            ).alias("avg_p"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+    )
+
+
+@register(
+    "agg_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, {_BERT_P_SQL} AS p, label % 2 AS y FROM embeddings
+    ),
+    ranked AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY p, vec_id) AS r FROM scored
+    )
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+           FLOOR((SUM(CASE WHEN y = 1 THEN r END)
+                  - SUM(y) * (SUM(y) + 1) / 2.0)
+                 / (SUM(y) * (COUNT(*) - SUM(y))) * 1e6) / 1e6 AS auc
+    FROM ranked
+    """,
+)
+def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC as a dataflow: the Mann-Whitney rank-sum identity
+    AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋) — one global rank
+    (a single total-order window; at 100 TB this becomes the two-pass
+    distributed ranking: per-partition sort + offset by partition
+    prefix counts, exactly how TPC-style global ranks scale) and one
+    aggregate, no quadratic pair comparison. The (p, vec_id) tie-break
+    makes the rank total, so the statistic is exactly reproducible in
+    both engines — classifier evaluation with a hash-checked AUC."""
+    from pyspark.sql.window import Window as W
+
+    from sdg_data_catalog_spark.operators import scoring as SC
+
+    emb = table(spark, sf_dir, "embeddings")
+    scored = SC.classify_embeddings(emb).join(
+        emb.select("vec_id", (F.col("label") % 2).alias("y")), "vec_id"
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number()
+        .over(W.orderBy(F.col("p_positive"), F.col("vec_id")))
+        .alias("r"),
+    )
+    n_pos = F.sum("y")
+    n = F.count(F.lit(1))
+    rank_sum = F.sum(F.when(F.col("y") == 1, F.col("r")))
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * (n - n_pos))
+    return ranked.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        (n - n_pos).cast("bigint").alias("n_neg"),
+        (F.floor(auc * 1e6) / 1e6).alias("auc"),
+    )

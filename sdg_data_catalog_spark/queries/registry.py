@@ -275,6 +275,8 @@ _PRIORITY = (
     "plan_token_budget",
     "dedup_threshold_sweep",
     "etl_pit_features",
+    "agg_calibration_bins",
+    "agg_roc_auc",
 )
 
 

@@ -228,3 +228,38 @@ def test_column_crypto_roundtrip_and_determinism(spark, sf_dir):
     merged = out.set_index("doc_id").join(docs[["source"]])
     cts = merged.groupby("source")["source_ct"].nunique()
     assert (cts == 1).all()
+
+
+def test_auc_matches_sklearn_free_numpy(spark, sf_dir):
+    """The rank-sum AUC equals a direct pairwise-probability estimate
+    computed in numpy (P(score_pos > score_neg) with the same total
+    order), and calibration bins partition the corpus."""
+    import numpy as np
+
+    from sdg_data_catalog_spark.operators.scoring import classify_embeddings  # noqa: F401
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(emb["embedding"].tolist(), dtype="float64")
+    w = np.array(
+        [((((i + 17) * 2654435761) % 1000003) % 97 - 48) / 48.0 for i in range(1, 65)]
+    )
+    p = 1.0 / (1.0 + np.exp(-(mat @ w)))
+    y = (emb["label"] % 2).to_numpy()
+    ids = emb["vec_id"].to_numpy()
+    order = np.lexsort((ids, p))
+    ranks = np.empty(len(p), dtype="int64")
+    ranks[order] = np.arange(1, len(p) + 1)
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+    row = all_queries()["agg_roc_auc"](spark, sf_dir).toPandas().iloc[0]
+    assert (row.n_pos, row.n_neg) == (n_pos, n_neg)
+    assert abs(row.auc - math.floor(auc * 1e6) / 1e6) <= 1e-9
+
+    bins = all_queries()["agg_calibration_bins"](spark, sf_dir).toPandas()
+    assert bins["n"].sum() == len(emb)
+    assert set(bins["bin"]) <= set(range(10))
+    for r in bins.itertuples():
+        sel = np.minimum(np.floor(p * 10), 9) == r.bin
+        assert r.n == int(sel.sum())
+        assert abs(r.pos_rate - y[sel].mean()) <= 1e-9
