@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
@@ -573,4 +574,106 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pos.cast("bigint").alias("n_pos"),
         (n - n_pos).cast("bigint").alias("n_neg"),
         (F.floor(auc * 1e6) / 1e6).alias("auc"),
+    )
+
+
+@register(
+    "agg_pr_curve",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_BERT_P_SQL} AS p, label % 2 AS y FROM embeddings
+    )
+    SELECT t.thr AS threshold,
+           CAST(SUM(CASE WHEN p >= t.thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p >= t.thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p < t.thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           FLOOR(SUM(CASE WHEN p >= t.thr AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN p >= t.thr THEN 1 ELSE 0 END), 0) * 1e6)
+             / 1e6 AS precision,
+           FLOOR(SUM(CASE WHEN p >= t.thr AND y = 1 THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(y), 0) * 1e6) / 1e6 AS recall
+    FROM scored
+    CROSS JOIN (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS thr) t
+    GROUP BY t.thr
+    """,
+)
+def agg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall operating curve: TP/FP/FN and derived P/R at five
+    decision thresholds in ONE pass — the scored frame is crossed against
+    the tiny threshold dimension and conditionally counted, never
+    re-scored per threshold (the dedup_threshold_sweep shape applied to
+    classifier evaluation; together with agg_roc_auc and
+    agg_calibration_bins this is the complete model-eval readout the
+    reference's missing `evaluation` module promised as
+    entity_level_f1/detailed_metrics, ner_pipeline.py:294-334)."""
+    from sdg_data_catalog_spark.operators import scoring as SC
+
+    emb = table(spark, sf_dir, "embeddings")
+    scored = SC.classify_embeddings(emb).join(
+        emb.select("vec_id", (F.col("label") % 2).alias("y")), "vec_id"
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in (0.3, 0.4, 0.5, 0.6, 0.7)], "threshold double"
+    )
+    j = scored.crossJoin(F.broadcast(thr))
+    pred_pos = F.col("p_positive") >= F.col("threshold")
+    tp = F.sum((pred_pos & (F.col("y") == 1)).cast("bigint"))
+    fp = F.sum((pred_pos & (F.col("y") == 0)).cast("bigint"))
+    fn = F.sum(((~pred_pos) & (F.col("y") == 1)).cast("bigint"))
+    return j.groupBy("threshold").agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        (F.floor(tp * 1.0 / F.nullif(tp + fp, F.lit(0)) * 1e6) / 1e6).alias(
+            "precision"
+        ),
+        (F.floor(tp * 1.0 / F.nullif(F.sum("y"), F.lit(0)) * 1e6) / 1e6).alias(
+            "recall"
+        ),
+    )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ),
+    floor_n AS (
+        SELECT MIN(c) AS m FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sized, floor_n
+    WHERE rn <= floor_n.m
+    GROUP BY lang
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class balancing by deterministic downsampling: every language is
+    cut to the MINORITY class size via the md5-ranked per-stratum window
+    (sample_stratified_exact's mechanism with a data-derived n) — the
+    class-imbalance fix applied before training a classifier on skewed
+    labels, reproducible across engines and runs where rand()
+    downsampling is not. The minority size is a 1-row broadcast from a
+    |classes|-row aggregate; per-class ranking is one hash-partitioned
+    window. Output is the per-class census — every class exactly equal —
+    with the selection itself available upstream of the final count."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sized = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    floor_n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).agg(
+        F.min("c").alias("m")
+    )
+    return (
+        sized.join(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -277,6 +277,8 @@ _PRIORITY = (
     "etl_pit_features",
     "agg_calibration_bins",
     "agg_roc_auc",
+    "agg_pr_curve",
+    "sample_balanced_classes",
 )
 
 

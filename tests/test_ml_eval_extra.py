@@ -263,3 +263,26 @@ def test_auc_matches_sklearn_free_numpy(spark, sf_dir):
         sel = np.minimum(np.floor(p * 10), 9) == r.bin
         assert r.n == int(sel.sum())
         assert abs(r.pos_rate - y[sel].mean()) <= 1e-9
+
+
+def test_balanced_classes_equal_counts(spark, sf_dir):
+    """Every class is cut to exactly the minority size."""
+    out = all_queries()["sample_balanced_classes"](spark, sf_dir).toPandas()
+    docs = _docs(sf_dir)
+    m = docs.groupby("lang").size().min()
+    assert set(out["n"]) == {m}
+    assert set(out["lang"]) == set(docs["lang"])
+
+
+def test_pr_curve_monotone_recall(spark, sf_dir):
+    """Recall is non-increasing in the threshold; counts are consistent
+    (tp+fn = n_pos at every threshold)."""
+    out = (
+        all_queries()["agg_pr_curve"](spark, sf_dir)
+        .toPandas()
+        .sort_values("threshold")
+    )
+    n_pos = (out["tp"] + out["fn"]).unique()
+    assert len(n_pos) == 1
+    rec = out["recall"].tolist()
+    assert all(a >= b - 1e-12 for a, b in zip(rec, rec[1:]))
