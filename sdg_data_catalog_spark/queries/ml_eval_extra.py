@@ -677,3 +677,119 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "etl_gdpr_erasure",
+    oracle="""
+    WITH erased AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN e.user_id IN (SELECT user_id FROM erased)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS rows_after,
+           CAST(SUM(CASE WHEN e.user_id IN (SELECT user_id FROM erased)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_erased
+    FROM events e
+    GROUP BY event_type
+    """,
+)
+def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten pass: every event of the erasure set (users
+    whose md5 leads with '0' — standing in for a deletion-request list)
+    is removed by LEFT ANTI JOIN and the cleaned table is atomically
+    published as a NEW version — the erasure a versioned lake actually
+    performs: readers flip to the cleaned snapshot at the pointer, the
+    prior version ages out under retention (the documented compliance
+    window), and the operation is a full-scan rewrite ONLY of affected
+    partitions at 100 TB (partition by user-bucket and the anti-join
+    prunes untouched files). The audit output is the per-stream
+    before/after/erased census; the pytest twin additionally proves the
+    published LATEST contains zero erased users while the prior version
+    still does (history until retention)."""
+    from sdg_data_catalog_spark.sources.atomic import publish, read_latest
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    ev = table(spark, sf_dir, "events")
+    erased = ev.select("user_id").filter(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0"
+    ).distinct()
+    cleaned = ev.join(F.broadcast(erased), "user_id", "left_anti")
+    root = io_dir(sf_dir, "gdpr_events")
+    publish(ev, root, 0, keep=10)
+    publish(cleaned, root, 1, keep=10)
+    after = (
+        read_latest(spark, root)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_after"))
+    )
+    before = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before")
+    )
+    return before.join(after, "event_type").select(
+        "event_type",
+        "rows_before",
+        "rows_after",
+        (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+    )
+
+
+@register(
+    "dq_divergence_js",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    src_tot AS (SELECT source, SUM(n) AS st FROM c GROUP BY source),
+    gl AS (SELECT lang, SUM(n) AS g FROM c GROUP BY lang),
+    gtot AS (SELECT SUM(n) AS gt FROM c),
+    terms AS (
+        SELECT c.source,
+               CAST(c.n AS DOUBLE) / st.st AS p,
+               CAST(g.g AS DOUBLE) / gtot.gt AS q
+        FROM c
+        JOIN src_tot st ON st.source = c.source
+        JOIN gl g ON g.lang = c.lang
+        CROSS JOIN gtot
+    )
+    SELECT source,
+           FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))) * 1e6) / 1e6
+             AS js_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def dq_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's language distribution
+    from the corpus-wide distribution — the categorical-drift monitor
+    beside dq_profile_drift's numeric Welch-z: a crawler source whose
+    language mix silently shifts flags here even when volumes and means
+    look normal. All terms are exact count ratios (the count tables are
+    |sources|×|langs|, metadata-sized at any corpus scale), the ln
+    arithmetic is floor-truncated. Every language present per source
+    keeps both p and q strictly positive, so the JS terms are
+    well-defined without smoothing; languages a source does NOT emit
+    contribute through q's mass only — matching the oracle exactly
+    because both engines enumerate identical (source, lang) support."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    st = c.groupBy("source").agg(F.sum("n").alias("st"))
+    g = c.groupBy("lang").agg(F.sum("n").alias("g"))
+    gt = c.agg(F.sum("n").alias("gt"))
+    terms = (
+        c.join(st, "source")
+        .join(F.broadcast(g), "lang")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            (F.col("n").cast("double") / F.col("st")).alias("p"),
+            (F.col("g").cast("double") / F.col("gt")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    js = F.sum(0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m))
+    return terms.groupBy("source").agg(
+        (F.floor(js * 1e6) / 1e6).alias("js_divergence")
+    )

@@ -279,6 +279,8 @@ _PRIORITY = (
     "agg_roc_auc",
     "agg_pr_curve",
     "sample_balanced_classes",
+    "etl_gdpr_erasure",
+    "dq_divergence_js",
 )
 
 

@@ -286,3 +286,32 @@ def test_pr_curve_monotone_recall(spark, sf_dir):
     assert len(n_pos) == 1
     rec = out["recall"].tolist()
     assert all(a >= b - 1e-12 for a, b in zip(rec, rec[1:]))
+
+
+def test_gdpr_erasure_latest_clean_history_retained(spark, sf_dir):
+    """After the erasure publish: LATEST contains ZERO erased users, the
+    prior version still contains them (history until retention), and the
+    census balances."""
+    import hashlib as _h
+
+    from sdg_data_catalog_spark.queries.registry import all_queries
+    from sdg_data_catalog_spark.sources.atomic import read_latest, read_version
+    from sdg_data_catalog_spark.sources.formats import io_dir
+
+    out = all_queries()["etl_gdpr_erasure"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    erased = {
+        u for u in ev["user_id"].unique()
+        if _h.md5(str(u).encode()).hexdigest()[0] == "0"
+    }
+    assert (out["rows_before"] - out["rows_after"] == out["rows_erased"]).all()
+    assert out["rows_erased"].sum() == int(ev["user_id"].isin(erased).sum())
+    root = io_dir(sf_dir, "gdpr_events", fresh=False)
+    latest_users = {
+        r.user_id for r in read_latest(spark, root).select("user_id").distinct().collect()
+    }
+    assert not (latest_users & erased)
+    v0_users = {
+        r.user_id for r in read_version(spark, root, 0).select("user_id").distinct().collect()
+    }
+    assert erased <= v0_users
