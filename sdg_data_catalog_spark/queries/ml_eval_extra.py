@@ -793,3 +793,48 @@ def dq_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         (F.floor(js * 1e6) / 1e6).alias("js_divergence")
     )
+
+
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS r
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((2.0 * SUM(CAST(r AS BIGINT) * n_chars)
+                  / (COUNT(*) * SUM(n_chars))
+                  - (COUNT(*) + 1.0) / COUNT(*)) * 1e6) / 1e6 AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the document-length distribution per source —
+    the concentration signal curators read before sampling: a source
+    whose token mass sits in a few giant documents (high Gini) behaves
+    very differently under doc-level sampling than a uniform one, and
+    plan_token_budget's per-source quotas silently assume the latter.
+    Computed by the exact rank identity G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n:
+    one per-source rank window over integer lengths, integer products and
+    sums throughout (bit-exact in both engines), one floor-truncated
+    division at the end. The (n_chars, doc_id) tie-break makes ranks
+    total; per-source windows shuffle once on the source key."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    n = F.count(F.lit(1))
+    gini = (
+        2.0 * F.sum(F.col("r") * F.col("n_chars")) / (n * F.sum("n_chars"))
+        - (n + 1.0) / n
+    )
+    return ranked.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        (F.floor(gini * 1e6) / 1e6).alias("gini"),
+    )

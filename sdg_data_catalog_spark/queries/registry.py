@@ -281,6 +281,7 @@ _PRIORITY = (
     "sample_balanced_classes",
     "etl_gdpr_erasure",
     "dq_divergence_js",
+    "agg_gini_concentration",
 )
 
 

@@ -315,3 +315,25 @@ def test_gdpr_erasure_latest_clean_history_retained(spark, sf_dir):
         r.user_id for r in read_version(spark, root, 0).select("user_id").distinct().collect()
     }
     assert erased <= v0_users
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """Per-source Gini equals the numpy rank-identity recompute and sits
+    in [0, 1)."""
+    import numpy as np
+
+    out = {
+        r.source: r
+        for r in all_queries()["agg_gini_concentration"](spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    docs = _docs(sf_dir)
+    for source, g in docs.groupby("source"):
+        x = g.sort_values(["n_chars", "doc_id"])["n_chars"].to_numpy(dtype="int64")
+        n = len(x)
+        gini = 2.0 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1.0) / n
+        r = out[source]
+        assert r.n_docs == n
+        assert abs(r.gini - math.floor(gini * 1e6) / 1e6) <= 1e-9
+        assert 0 <= r.gini < 1
