@@ -590,3 +590,118 @@ def agg_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (100.0 * F.count(F.lit(1)))
         ).alias("avg_value"),
     )
+
+
+@register(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS c,
+               LAG(CAST(ROUND(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pc
+        FROM events
+    ),
+    p AS (SELECT user_id, c, pc FROM s WHERE pc IS NOT NULL),
+    m AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(c) AS sc, SUM(pc) AS spc,
+               SUM(c * pc) AS scp,
+               SUM(c * c) AS scc, SUM(pc * pc) AS spp
+        FROM p GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           FLOOR((n * scp - sc * spc)
+                 / sqrt(CAST(n * scc - sc * sc AS DOUBLE)
+                        * CAST(n * spp - spc * spc AS DOUBLE)) * 1e6) / 1e6
+             AS autocorr_lag1
+    FROM m
+    WHERE (n * scc - sc * sc) > 0 AND (n * spp - spc * spc) > 0
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value stream — the
+    persistence/momentum signal that separates trending metrics from
+    white noise (and the stationarity pre-check before any forecasting
+    model touches the series). Pearson r over (xₜ, xₜ₋₁) pairs from one
+    LAG window per user; every moment is an EXACT integer sum over
+    cent-scaled values (products ≤1e10 fit bigint comfortably), so the
+    only floating-point step is the final normalized division —
+    floor-truncated, bit-stable across engines regardless of summation
+    order. Degenerate (zero-variance) series are excluded identically
+    on both sides."""
+    from pyspark.sql.window import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", c.alias("c"), F.lag(c).over(w).alias("pc")).filter(
+        F.col("pc").isNotNull()
+    )
+    m = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("pc").alias("spc"),
+        F.sum(F.col("c") * F.col("pc")).alias("scp"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("pc") * F.col("pc")).alias("spp"),
+    )
+    var_x = F.col("n") * F.col("scc") - F.col("sc") * F.col("sc")
+    var_y = F.col("n") * F.col("spp") - F.col("spc") * F.col("spc")
+    r = (F.col("n") * F.col("scp") - F.col("sc") * F.col("spc")) / F.sqrt(
+        var_x.cast("double") * var_y.cast("double")
+    )
+    return m.filter((var_x > 0) & (var_y > 0)).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.floor(r * 1e6) / 1e6).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.part AS pa, b.part AS pb
+        FROM base a JOIN base b ON a.ord = b.ord AND a.part < b.part
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+        ) GROUP BY node
+    )
+    SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph — the first
+    diagnostic on any graph workload: a heavy power-law tail predicts
+    exactly the hub-skew that degree-oriented wedge joins
+    (graph_triangle_count) and hot-key salting exist to defuse, so this
+    census is what decides those strategies' thresholds. Two exact
+    count aggregations over the edge list (node degrees, then the
+    degree histogram — second agg runs over the already-reduced nodes
+    table); output cardinality is |distinct degrees|, metadata-sized at
+    any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a, b = base.alias("a"), base.alias("b")
+    e = (
+        a.join(b, (F.col("a.ord") == F.col("b.ord")) & (F.col("a.part") < F.col("b.part")))
+        .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .distinct()
+    )
+    nodes = e.select(F.col("pa").alias("node")).unionAll(
+        e.select(F.col("pb").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -282,6 +282,8 @@ _PRIORITY = (
     "etl_gdpr_erasure",
     "dq_divergence_js",
     "agg_gini_concentration",
+    "ts_autocorr_lag1",
+    "graph_degree_distribution",
 )
 
 

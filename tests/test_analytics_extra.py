@@ -232,3 +232,40 @@ def test_hourly_seasonality_cells(spark, sf_dir):
     assert (got["n_events"] == want["n_events"]).all()
     mean = want["cents"] / (100.0 * want["n_events"])
     assert (got["avg_value"] - mean).abs().max() <= 1e-12
+
+
+def test_autocorr_and_degree_distribution_twins(spark, sf_dir):
+    """Lag-1 autocorrelation matches numpy corrcoef on cent-scaled pairs;
+    the degree histogram sums to the co-purchase node count."""
+    import numpy as np
+
+    out = {
+        r.user_id: r
+        for r in all_queries()["ts_autocorr_lag1"](spark, sf_dir)
+        .toPandas()
+        .itertuples()
+    }
+    ev = _events(sf_dir)
+    for user, g in ev.groupby("user_id"):
+        c = (g.sort_values(["ts", "event_id"])["value"] * 100).round().astype("int64").to_numpy()
+        if len(c) < 2:
+            continue
+        x, y = c[1:], c[:-1]
+        if x.std() == 0 or y.std() == 0:
+            assert user not in out
+            continue
+        r_np = np.corrcoef(x, y)[0, 1]
+        assert out[user].n_pairs == len(x)
+        assert abs(out[user].autocorr_lag1 - math.floor(r_np * 1e6) / 1e6) <= 1e-6
+
+    hist = all_queries()["graph_degree_distribution"](spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    nodes = set()
+    for _, basket in li.groupby("l_orderkey")["l_partkey"]:
+        items = sorted(set(basket))
+        if len(items) > 1:
+            nodes.update(items)
+    assert hist["n_nodes"].sum() == len(nodes)
+    assert (hist["degree"] >= 1).all()
