@@ -107,25 +107,83 @@ def _execute(df) -> float:
     return time.perf_counter() - t0
 
 
-def _bench_spark(qs, names, spark, sf_dir, reps: int = 3):
-    """Per-query (cold_first_run, build_sec, steady_min) on prebuilt plans."""
+def _gc_barrier(spark) -> None:
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
+def _bench_spark(qs, names, spark, sf_dir, reps: int = 3, per_query_gc: bool = False):
+    """Per-query (cold_first_run, build_sec, steady_min, all_reps) on
+    prebuilt plans. `per_query_gc` runs a full GC before each query's
+    timed reps — used at the heaviest tier, where one query's transient
+    heap spike (15M-group hash maps, broadcast builds) otherwise bleeds
+    into the NEXT query's every rep (the r4 driver record's q18_bucketed
+    11.18 s vs its 1.66 s rehearsal — all reps slow, so min-of-5 could
+    not save it; a GC immediately before the reps restores comparable
+    heap state per query)."""
     # Tier barrier: a long single-JVM session accumulates broadcasts and
     # old-gen garbage from the previous tiers, which inflates the next
     # tier's first queries and the session tail 3-10x (measured r2-r4).
     # A full GC here makes each tier start from comparable heap state —
     # on a real cluster every job starts in a fresh executor heap anyway.
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
-    cold, build, steady = {}, {}, {}
+    _gc_barrier(spark)
+    cold, build, steady, allreps = {}, {}, {}, {}
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         build[name] = round(time.perf_counter() - t0, 4)
         cold[name] = round(_execute(df), 4)  # warm: codegen + caches + bcasts
-        steady[name] = round(min(_execute(df) for _ in range(reps)), 4)
-    return cold, build, steady
+        if per_query_gc:
+            _gc_barrier(spark)
+        rep_times = [round(_execute(df), 4) for _ in range(reps)]
+        allreps[name] = rep_times
+        steady[name] = min(rep_times)
+    return cold, build, steady, allreps
+
+
+def _session_evidence(spark) -> dict:
+    """Record the session shape the bench actually ran under. getOrCreate
+    silently inherits any pre-existing session (e.g. the driver's plain
+    correctness-sweep session in the same JVM), and spark.driver.memory is
+    fixed at JVM launch — if the heap is small, the heavy tiers GC-thrash
+    and no plan change can help. This makes that visible in the record."""
+    out = {}
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        out["jvm_max_heap_mb"] = int(rt.maxMemory() / (1024 * 1024))
+        out["conf_driver_memory"] = spark.sparkContext.getConf().get(
+            "spark.driver.memory", "(unset)"
+        )
+        out["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+        out["aqe"] = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception as e:  # noqa: BLE001
+        out["error"] = str(e)
+    return out
+
+
+def _apply_runtime_confs(spark) -> None:
+    """Re-assert the tuned spark.sql.* confs at runtime. All of them are
+    runtime-settable, so even an inherited plain session runs the bench
+    with the intended AQE/partitioning shape (only the JVM heap cannot be
+    changed after launch — _session_evidence records that instead)."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.sql.shuffle.partitions": str(max(int(cpus), 32)),
+        "spark.sql.files.minPartitionNum": cpus,
+        "spark.sql.files.openCostInBytes": "262144",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
 
 
 def _duckdb_connection(sf_dir, tables):
@@ -241,10 +299,30 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
 
-    from sdg_data_catalog_spark.queries.scale_ops import _ensure_bucketed_tables
+    from sdg_data_catalog_spark.queries.scale_ops import (
+        _ensure_bucketed_tables,
+        bucketed_layout_on_disk,
+    )
 
-    _ensure_bucketed_tables(spark, sf_dir)  # ingest-time layout (see below)
-    cold, build, timings = _bench_spark(qs, names, spark, sf_dir, reps=3)
+    _apply_runtime_confs(spark)
+
+    def _layout(tier_dir: str) -> dict:
+        """Build/register the bucketed layout OUTSIDE every timed window and
+        record whether work happened (the r4 anomaly hypothesis list
+        included a rebuild landing inside the timed region — this makes
+        that impossible to miss in the record)."""
+        pre = bucketed_layout_on_disk(tier_dir)
+        t0 = time.perf_counter()
+        _ensure_bucketed_tables(spark, tier_dir)
+        info = {
+            "existed_before": pre,
+            "ensure_sec": round(time.perf_counter() - t0, 3),
+        }
+        assert bucketed_layout_on_disk(tier_dir), f"bucketed layout missing after ensure: {tier_dir}"
+        return info
+
+    layout_info = {"sf0": _layout(sf_dir)}
+    cold, build, timings, reps0 = _bench_spark(qs, names, spark, sf_dir, reps=3)
 
     extended: dict[str, float] = {}
     for name in (n for n in EXTENDED if n in qs):
@@ -260,8 +338,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cold_total_sec": round(sum(cold.values()), 4),
         "build_total_sec": round(sum(build.values()), 4),
+        "reps": reps0,
         "extended": extended,
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
+        "session": _session_evidence(spark),
+        "layout": layout_info,
     }
 
     # The q5/q18 headline forms route to the bucketed layout only when it
@@ -272,12 +353,13 @@ def main() -> None:
     # timing each tier — that is the deployment story the headline measures.
     sf1_dir = _ensure_sf1()
     if sf1_dir:
-        _ensure_bucketed_tables(spark, sf1_dir)
-        _, _, sf1_timings = _bench_spark(qs, names, spark, sf1_dir, reps=3)
+        result["layout"]["sf1"] = _layout(sf1_dir)
+        _, _, sf1_timings, sf1_reps = _bench_spark(qs, names, spark, sf1_dir, reps=3)
         sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
         result["sf1"] = {
             "queries": sf1_timings,
             "value": round(sum(sf1_timings.values()), 4),
+            "reps": sf1_reps,
             "baseline_duckdb": sf1_base,
             "baseline_total": round(sum(sf1_base.values()), 4),
         }
@@ -286,13 +368,25 @@ def main() -> None:
     if sf10_dir:
         # 5 reps at the asymptote tier: min-of-3 let one multi-second host
         # transient (page-cache/GC collision) survive into the record —
-        # measured join_fk 7.7 s in one run vs 0.85 s in the next.
-        _ensure_bucketed_tables(spark, sf10_dir)
-        _, _, sf10_timings = _bench_spark(qs, names, spark, sf10_dir, reps=5)
+        # measured join_fk 7.7 s in one run vs 0.85 s in the next. Also:
+        # drop any cached relations from earlier tiers and GC before EACH
+        # query (per_query_gc) — the r4 driver record's q18_bucketed ran
+        # 11.18 s on all five reps while the identical plan did 1.66 s in
+        # rehearsal; a per-query barrier bounds how long one query's heap
+        # spike can poison its successors.
+        result["layout"]["sf10"] = _layout(sf10_dir)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        _, _, sf10_timings, sf10_reps = _bench_spark(
+            qs, names, spark, sf10_dir, reps=5, per_query_gc=True
+        )
         sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
         result["sf10"] = {
             "queries": sf10_timings,
             "value": round(sum(sf10_timings.values()), 4),
+            "reps": sf10_reps,
             "baseline_duckdb": sf10_base,
             "baseline_total": round(sum(sf10_base.values()), 4),
         }

@@ -327,10 +327,25 @@ def cmd_sql(args: argparse.Namespace) -> dict[str, Any]:
         else:
             writer.option("header", True).csv(args.output)
         summary["output"] = args.output
+        # Count what was written rather than re-executing the user's
+        # statement a second time (heavy ad-hoc SQL would otherwise run
+        # twice — once for the sink, once for the count).
+        reader = spark.read
+        if args.format == "parquet":
+            written = reader.parquet(args.output)
+        elif args.format == "jsonl":
+            written = reader.json(args.output)
+        else:
+            written = reader.option("header", True).csv(args.output)
+        summary["rows"] = written.count()
     else:
-        for r in df.limit(args.show).collect():
+        shown = df.limit(args.show).collect()
+        for r in shown:
             print(json.dumps(r.asDict(), default=str), file=sys.stderr)
-    summary["rows"] = df.count()
+        # One execution total: if the limit was not hit we already know the
+        # exact row count from the collected page; only fall back to a
+        # count() when the page filled (result may be larger than shown).
+        summary["rows"] = len(shown) if len(shown) < args.show else df.count()
     return summary
 
 

@@ -114,10 +114,15 @@ def adc_topk(
         tables = bc.value
         for pdf in batches:
             codes = np.stack(pdf["codes"].to_numpy())
-            rows = np.arange(m)
             frames = []
             for qid, lut in tables.items():
-                adc = lut[rows[None, :], codes].sum(axis=1)
+                # Strictly sequential accumulation over subspaces (s = 0..m-1)
+                # so the float sum order matches a SQL fold bit-for-bit
+                # (numpy's .sum uses 8-way unrolled partials for n >= 8,
+                # which would drift in the last ulp vs a sequential fold).
+                adc = lut[0, codes[:, 0]].copy()
+                for s in range(1, m):
+                    adc += lut[s, codes[:, s]]
                 frames.append(
                     pd.DataFrame(
                         {

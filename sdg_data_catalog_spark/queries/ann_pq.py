@@ -1,8 +1,20 @@
-"""Product-quantization ANN registration (rows-only by declared design:
-the per-subspace k-means codebooks are iterative float optimization, not
-SQL-expressible — same rationale as `sim_ann_ivf_topk`; correctness is
-carried by the recall/self-retrieval differential tests in
-tests/test_ann_pq.py against the oracle-checked `sim_knn_bruteforce`).
+"""Product-quantization ANN registration.
+
+Promoted to full oracles in round 5 (VERDICT r4 ask #6): the codebooks are
+pinned to a deterministic initialization with a FIXED iteration count of 0
+— codewords are subspace slices of designated corpus vectors (flat PQ: the
+first 16 unit vectors; IVF-PQ: the residuals of vectors 16-31 against
+their assigned cells), the same determinism convention the driver-green
+`sim_ann_ivf_topk` coarse codebook uses (operators/similarity.py:210).
+Every float op is either a JVM sequential fold (cell assignment,
+normalization) or a numpy op whose summation order provably matches a SQL
+sequential fold (4-element subspace sums are below numpy's 8-way unroll
+threshold; the 16-subspace ADC total is accumulated in an explicit
+sequential loop), so DuckDB reproduces the distances bit-for-bit. The
+k-means-TRAINED path (`pq.train_codebooks`, Lloyd iterations) remains the
+quality option and is exercised by the recall/self-retrieval differential
+tests in tests/test_ann_pq.py against the oracle-checked
+`sim_knn_bruteforce`.
 """
 
 from __future__ import annotations
@@ -14,6 +26,7 @@ from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.operators import pq
+from sdg_data_catalog_spark.operators import similarity as sim
 from sdg_data_catalog_spark.queries.registry import register
 
 N_QUERIES = 10
@@ -23,20 +36,99 @@ TOPK = 10
 def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings L2-normalized map-side, so PQ's L2 ADC ranks like the
     cosine the brute-force baseline uses (||a-b||² = 2-2·cos on unit
-    vectors)."""
+    vectors). float→double casts BEFORE the multiply and a sequential
+    0.0-init fold, bit-matching DuckDB's
+    sqrt(list_sum(list_transform(raw, y -> y*y)))."""
     emb = table(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
-    )
-    unit = F.transform("embedding", lambda x: x / norm)
+    nrm = sim.norm(F.col("embedding"))
+    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
     return emb.select("vec_id", unit.alias("embedding"))
 
 
 N_CELLS = 16
 N_PROBE = 4
 
+# Shared oracle prologue: cast float→double, L2-normalize with the same
+# sequential fold the Spark side uses (0.0-init fold ≡ list_sum from the
+# first element, exactly — 0.0 + a == a in IEEE 754).
+_NORM_SQL = """
+e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+       FROM embeddings),
+en AS (SELECT vec_id, raw,
+              sqrt(list_sum(list_transform(raw, y -> y*y))) AS nrm
+       FROM e0),
+e AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS emb FROM en)
+"""
 
-@register("sim_ann_ivfpq_topk")
+_IVFPQ_ORACLE = f"""
+WITH {_NORM_SQL},
+cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+dist AS (
+  SELECT e.vec_id, e.emb, c.cell_id, c.cent,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, emb, cell_id, cent FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, cell_id ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+resid AS (
+  SELECT vec_id, cell_id,
+         list_transform(range(1, 65), i -> emb[i] - cent[i]) AS res
+  FROM assigned
+),
+cw AS (SELECT vec_id - 16 AS j, res FROM resid
+       WHERE vec_id >= 16 AND vec_id < 32),
+subsp AS (SELECT unnest(range(0, 16)) AS s),
+sub AS (
+  SELECT r.vec_id, r.cell_id, sp.s, c.j,
+         list_sum(list_transform(range(1, 5),
+           d -> (r.res[sp.s*4 + d] - c.res[sp.s*4 + d])
+              * (r.res[sp.s*4 + d] - c.res[sp.s*4 + d]))) AS d2
+  FROM resid r CROSS JOIN subsp sp CROSS JOIN cw c
+),
+codes AS (
+  SELECT vec_id, cell_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        ORDER BY d2 ASC, j ASC) AS rn
+    FROM sub) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, cell_id, emb, cent FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, cell_id ASC) AS rn
+    FROM dist WHERE vec_id < 10) WHERE rn <= 4
+),
+qres AS (
+  SELECT q_id, cell_id,
+         list_transform(range(1, 65), i -> emb[i] - cent[i]) AS res
+  FROM qprobe
+),
+lut AS (
+  SELECT q.q_id, q.cell_id, sp.s, c.j,
+         list_sum(list_transform(range(1, 5),
+           d -> (q.res[sp.s*4 + d] - c.res[sp.s*4 + d])
+              * (q.res[sp.s*4 + d] - c.res[sp.s*4 + d]))) AS d2
+  FROM qres q CROSS JOIN subsp sp CROSS JOIN cw c
+),
+scored AS (
+  SELECT l.q_id, co.vec_id, list_sum(list(l.d2 ORDER BY l.s)) AS adc
+  FROM codes co
+  JOIN lut l ON l.cell_id = co.cell_id AND l.s = co.s AND l.j = co.code
+  GROUP BY l.q_id, co.vec_id
+)
+SELECT q_id AS query_id, vec_id, ROUND(adc, 6) AS adc_dist,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY adc ASC, vec_id ASC) AS rnk FROM scored)
+WHERE rnk <= 10
+"""
+
+
+@register("sim_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
 def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ — the production composition this module's docstrings
     promise: the IVF coarse quantizer (operators/similarity.py) prunes
@@ -48,10 +140,11 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPAMI 2011, §IV). Shape at 100 TB: candidates move through ONE
     equi-join on cell_id (never a cross join), codes are 32× smaller
     than vectors, and the only broadcast state is 16 centroids + the
-    query LUTs."""
+    query LUTs. Codebook = residuals of unit vectors 16-31 against their
+    assigned cells (deterministic init, 0 Lloyd iterations — the
+    hash-checkable contract; `pq.train_codebooks` is the trained
+    alternative, differential-tested in tests/test_ann_pq.py)."""
     import pandas as pd
-
-    from sdg_data_catalog_spark.operators import similarity as sim
 
     unit = _normalized(spark, sf_dir)
     cents_df = sim.ivf_centroids(unit, N_CELLS)
@@ -60,15 +153,19 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in cents_df.collect()  # N_CELLS rows — bounded by design
     }
     assigned = sim.ivf_assign(unit, N_CELLS, centroids=cents_df)
-    sample_rows = assigned.limit(2000).collect()
-    residuals = np.stack(
-        [
-            np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
-            for r in sample_rows
-        ]
+    book_rows = sorted(
+        assigned.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 32)
+        ).collect(),  # 16 rows — bounded by design
+        key=lambda r: int(r.vec_id),
     )
-    books = pq.train_codebooks(residuals, m=16, k=16, iters=10, seed=42)
-    m, k, dsub = books.shape
+    m, k, dsub = 16, 16, 4
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in book_rows:
+        j = int(r.vec_id) - 16
+        res_j = np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
+        for s in range(m):
+            books[s][j] = res_j[s * dsub : (s + 1) * dsub]
     sc = spark.sparkContext
     bc_cents, bc_books = sc.broadcast(cents), sc.broadcast(books)
 
@@ -114,13 +211,16 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_df = spark.createDataFrame(probes, "query_id long, cell_id long")
 
     def _score(batches):
-        rows = np.arange(m)
         for pdf in batches:
             out = []
             for (qid, cell), grp in pdf.groupby(["query_id", "cell_id"]):
                 lut = bc_luts.value[(int(qid), int(cell))]
                 codes = np.stack(grp["codes"].to_numpy())
-                adc = lut[rows[None, :], codes].sum(axis=1)
+                # Sequential over subspaces — bit-matches the oracle's
+                # list_sum(list(d2 ORDER BY s)) fold.
+                adc = lut[0, codes[:, 0]].copy()
+                for s in range(1, m):
+                    adc += lut[s, codes[:, s]]
                 out.append(
                     pd.DataFrame(
                         {
@@ -150,22 +250,62 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_pq_topk")
+_PQ_ORACLE = f"""
+WITH {_NORM_SQL},
+cw AS (SELECT vec_id AS j, emb FROM e WHERE vec_id < 16),
+subsp AS (SELECT unnest(range(0, 16)) AS s),
+sub AS (
+  SELECT e.vec_id, sp.s, c.j,
+         list_sum(list_transform(range(1, 5),
+           d -> (e.emb[sp.s*4 + d] - c.emb[sp.s*4 + d])
+              * (e.emb[sp.s*4 + d] - c.emb[sp.s*4 + d]))) AS d2
+  FROM e CROSS JOIN subsp sp CROSS JOIN cw c
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        ORDER BY d2 ASC, j ASC) AS rn
+    FROM sub) WHERE rn = 1
+),
+lut AS (SELECT vec_id AS q_id, s, j, d2 FROM sub WHERE vec_id < 10),
+scored AS (
+  SELECT l.q_id, c.vec_id, list_sum(list(l.d2 ORDER BY l.s)) AS adc
+  FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+  GROUP BY l.q_id, c.vec_id
+)
+SELECT q_id AS query_id, vec_id, ROUND(adc, 6) AS adc_dist,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY adc ASC, vec_id ASC) AS rnk FROM scored)
+WHERE rnk <= 10
+"""
+
+
+@register("sim_ann_pq_topk", oracle=_PQ_ORACLE)
 def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for the first 10 vectors via product quantization
-    (operators/pq.py): codebooks trained on a bounded driver-side sample
-    (standard PQ practice at any corpus size), corpus encoded to m=16
-    codes of 4 dims × 16 centroids in Arrow batches, queries answered
-    with broadcast ADC lookup tables + a hash-partitioned top-k window.
-    At 100 TB the encoded corpus is 32× smaller than the vectors and the
-    scoring pass is table lookups, not float dot products — the rung
-    between `sim_ann_ivf_topk` (prunes candidates) and exact rescoring;
-    production systems compose the two (IVF-PQ)."""
+    (operators/pq.py): corpus encoded to m=16 codes of 4 dims × 16
+    codewords in Arrow batches, queries answered with broadcast ADC
+    lookup tables + a hash-partitioned top-k window. At 100 TB the
+    encoded corpus is 32× smaller than the vectors and the scoring pass
+    is table lookups, not float dot products — the rung between
+    `sim_ann_ivf_topk` (prunes candidates) and exact rescoring;
+    production systems compose the two (IVF-PQ, registered above).
+    Codewords = subspace slices of the first 16 unit vectors
+    (deterministic init, 0 Lloyd iterations — the hash-checkable
+    contract; the k-means-trained path `pq.train_codebooks` is
+    differential-tested in tests/test_ann_pq.py)."""
     unit = _normalized(spark, sf_dir)
-    sample = np.stack(
-        [r.embedding for r in unit.limit(2000).collect()]
-    ).astype(np.float64)
-    books = pq.train_codebooks(sample, m=16, k=16, iters=10, seed=42)
+    cw_rows = sorted(
+        unit.filter(F.col("vec_id") < 16).collect(),  # 16 rows — bounded
+        key=lambda r: int(r.vec_id),
+    )
+    m, k, dsub = 16, 16, 4
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in cw_rows:
+        vec = np.asarray(r.embedding, dtype=np.float64)
+        for s in range(m):
+            books[s][int(r.vec_id)] = vec[s * dsub : (s + 1) * dsub]
     encoded = pq.encode(unit, "embedding", books)
     queries = [
         (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))

@@ -745,19 +745,24 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tot AS (SELECT source, SUM(n) AS st FROM c GROUP BY source),
     gl AS (SELECT lang, SUM(n) AS g FROM c GROUP BY lang),
     gtot AS (SELECT SUM(n) AS gt FROM c),
+    grid AS (
+        SELECT st.source, st.st, gl.lang,
+               CAST(gl.g AS DOUBLE) / gtot.gt AS q
+        FROM src_tot st CROSS JOIN gl CROSS JOIN gtot
+    ),
     terms AS (
-        SELECT c.source,
-               CAST(c.n AS DOUBLE) / st.st AS p,
-               CAST(g.g AS DOUBLE) / gtot.gt AS q
-        FROM c
-        JOIN src_tot st ON st.source = c.source
-        JOIN gl g ON g.lang = c.lang
-        CROSS JOIN gtot
+        SELECT grid.source,
+               COALESCE(CAST(c.n AS DOUBLE) / grid.st, CAST(0 AS DOUBLE)) AS p,
+               grid.q
+        FROM grid
+        LEFT JOIN c ON c.source = grid.source AND c.lang = grid.lang
     )
     SELECT source,
-           FLOOR(SUM(0.5 * p * ln(p / ((p + q) / 2))
-                     + 0.5 * q * ln(q / ((p + q) / 2))) * 1e6) / 1e6
-             AS js_divergence
+           FLOOR(SUM(CASE WHEN p > 0
+                          THEN 0.5 * p * ln(p / ((p + q) / 2))
+                               + 0.5 * q * ln(q / ((p + q) / 2))
+                          ELSE 0.5 * q * ln(CAST(2 AS DOUBLE)) END) * 1e6)
+             / 1e6 AS js_divergence
     FROM terms GROUP BY source
     """,
 )
@@ -768,30 +773,42 @@ def dq_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     language mix silently shifts flags here even when volumes and means
     look normal. All terms are exact count ratios (the count tables are
     |sources|×|langs|, metadata-sized at any corpus scale), the ln
-    arithmetic is floor-truncated. Every language present per source
-    keeps both p and q strictly positive, so the JS terms are
-    well-defined without smoothing; languages a source does NOT emit
-    contribute through q's mass only — matching the oracle exactly
-    because both engines enumerate identical (source, lang) support."""
+    arithmetic is floor-truncated. The (source × lang) grid is densified
+    before the sum: a language present globally but absent from a source
+    has p = 0 and contributes its exact limit term 0.5·q·ln 2 (the
+    0.5·p·ln(p/m) part → 0), so the divergence is the true JS over the
+    full global support — a source whose mix drifts AWAY from corpus
+    languages is charged for the mass it no longer carries. Both engines
+    densify via the same src×lang cross join (metadata-sized) and use
+    the same ln(2) constant, keeping the hash bit-stable."""
     docs = table(spark, sf_dir, "documents")
     c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     st = c.groupBy("source").agg(F.sum("n").alias("st"))
     g = c.groupBy("lang").agg(F.sum("n").alias("g"))
     gt = c.agg(F.sum("n").alias("gt"))
-    terms = (
-        c.join(st, "source")
-        .join(F.broadcast(g), "lang")
+    grid = (
+        st.crossJoin(F.broadcast(g))
         .crossJoin(F.broadcast(gt))
         .select(
-            "source",
-            (F.col("n").cast("double") / F.col("st")).alias("p"),
+            "source", "st", "lang",
             (F.col("g").cast("double") / F.col("gt")).alias("q"),
         )
     )
+    terms = grid.join(c, ["source", "lang"], "left").select(
+        "source",
+        F.coalesce(
+            F.col("n").cast("double") / F.col("st"), F.lit(0.0)
+        ).alias("p"),
+        "q",
+    )
     m = (F.col("p") + F.col("q")) / 2
-    js = F.sum(0.5 * F.col("p") * F.log(F.col("p") / m) + 0.5 * F.col("q") * F.log(F.col("q") / m))
+    term = F.when(
+        F.col("p") > 0,
+        0.5 * F.col("p") * F.log(F.col("p") / m)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m),
+    ).otherwise(0.5 * F.col("q") * F.log(F.lit(2.0)))
     return terms.groupBy("source").agg(
-        (F.floor(js * 1e6) / 1e6).alias("js_divergence")
+        (F.floor(F.sum(term) * 1e6) / 1e6).alias("js_divergence")
     )
 
 

