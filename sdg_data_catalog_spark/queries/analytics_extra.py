@@ -15,6 +15,8 @@ misses. Everything here is hash-checked against DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -225,26 +227,69 @@ def fpm_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (larger itemsets exist in the model; the slice is the
     verifiable projection). Itemsets surface as '+'.joined sorted strings
     — engine-neutral and canonicalization-safe. MLlib's support threshold
-    is ceil(minSupport·n) — mirrored literally in the oracle."""
+    is ceil(minSupport·n) — mirrored literally in the oracle.
+
+    Scale guards (r4 verdict ask #5 — was the heaviest extended-tier entry
+    at 12.8 s): (1) Apriori pre-filter — an item below single-item support
+    cannot appear in ANY frequent itemset, so infrequent items are removed
+    from baskets BEFORE the tree build; basket COUNT is preserved (orders
+    whose items are all pruned stay as empty baskets) so MLlib's
+    ceil(minSupport·n) threshold — and therefore the result — is exactly
+    unchanged, while the tree width is bounded by the frequent-item
+    universe by construction. (2) The mined result (≤ |frequent items| +
+    frequent pairs rows — KB-scale) is materialized once via
+    localCheckpoint: FPGrowthModel.freqItemsets otherwise re-runs the
+    whole mining job on every downstream action, which is what the bench's
+    steady-state loop was measuring."""
     from pyspark.ml.fpm import FPGrowth
 
     li = table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_suppkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set(F.col("l_suppkey").cast("string")).alias("items"))
+    pairs_src = li.select("l_orderkey", "l_suppkey").distinct()
+    n_orders = pairs_src.select(F.countDistinct("l_orderkey").alias("n"))
+    freq_items = (
+        pairs_src.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("cnt") >= F.ceil(F.lit(0.002) * F.col("n")))
+        .select(F.col("l_suppkey").cast("string").alias("item"))
     )
-    model = FPGrowth(
-        itemsCol="items", minSupport=0.002, minConfidence=0.5
-    ).fit(baskets)
-    return (
-        model.freqItemsets.filter(F.size("items") <= 2)
+    # Bounded driver read: #frequent singles <= sum(basket sizes)/(0.002·n)
+    # = avg_basket/minSupport (~2000 here) REGARDLESS of corpus size — the
+    # same bounded-scalar class as the PQ codebook collects.
+    flist = sorted(r.item for r in freq_items.collect())
+    baskets = (
+        pairs_src.groupBy("l_orderkey")
+        .agg(F.collect_set(F.col("l_suppkey").cast("string")).alias("all_items"))
         .select(
-            F.concat_ws("+", F.array_sort("items")).alias("itemset"),
-            F.col("freq").cast("bigint").alias("freq"),
+            "l_orderkey",
+            F.array_intersect(
+                "all_items", F.array(*[F.lit(x) for x in flist])
+            ).alias("items"),
         )
     )
+    # FP-Growth makes TWO passes (item counting, then tree mining), each of
+    # which would otherwise re-execute the basket lineage; cache for the
+    # fit, release after the result is checkpointed. numPartitions keeps
+    # the suffix-group mining wide even when AQE has coalesced the basket
+    # build down to a few post-shuffle partitions.
+    baskets = baskets.persist()
+    try:
+        model = FPGrowth(
+            itemsCol="items",
+            minSupport=0.002,
+            minConfidence=0.5,
+            numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        ).fit(baskets)
+        return (
+            model.freqItemsets.filter(F.size("items") <= 2)
+            .select(
+                F.concat_ws("+", F.array_sort("items")).alias("itemset"),
+                F.col("freq").cast("bigint").alias("freq"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        baskets.unpersist()
 
 
 @register(

@@ -884,9 +884,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_bkt — skipping the 1.35 M-row broadcast build) measured WORSE,
     1.08 s: one shared broadcast probe beats 32 per-bucket hash builds at
     this selectivity, so a q3 layout twin is deliberately not registered.
-    The remaining gap is broadcast build + 30 M-row probe + 3 M-group
-    aggregate vs an in-process hash chain — a single-exchange plan with
-    no structural scale-killer."""
+
+    Component decomposition (round 5, same boot, min-of-3 each with GC
+    barriers; boot ran ~1.5× slower than r4's — Spark absolutes inflate
+    with host IO state while DuckDB's don't, see PERF.md): orders
+    scan+date-filter+customer-probe alone 0.43 s (this is the broadcast
+    BUILD input — 15 M rows × 3 cols parquet decode, filter already
+    pushed); lineitem scan+shipdate-filter+sum alone 0.28 s; the full
+    plan adds broadcast serialization + 33 M-row probe + 3 M-group
+    partial agg + one 3 M-row exchange + top-10, landing at 1.48 s that
+    boot (DuckDB 0.26). The two scans are ~0.7 s of irreducible decode
+    that an in-process engine pipelines into one pass; a second A/B of
+    the zero-exchange-agg form (broadcast ords probing li_bkt — the agg
+    rides the bucket partitioning, no exchange) measured 1.40 vs 1.48 —
+    within host noise, so the layout twin stays unregistered. A
+    single-exchange plan with no structural scale-killer: at 100× the
+    exchange carries only the 3 M aggregated rows, never lineitem."""
     customer = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
