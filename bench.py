@@ -292,10 +292,52 @@ def _ensure_sf10() -> str | None:
     return _ensure_replica(100, os.path.join(_REPO, ".scratch", "sf10"))
 
 
+def _fresh_heap_session():
+    """get_spark, but never on a starved inherited heap. getOrCreate joins
+    any pre-existing session in this process (the driver runs its
+    correctness sweep and then bench in ONE process); a plain session
+    launches the JVM with the 1g default heap, which the sf10 tier
+    GC-thrashes on — the leading explanation for r4's q18_bucketed
+    11.18 s driver reading (all 5 reps slow; 1.66 s rehearsed in a fresh
+    tuned JVM). Heap size is fixed at JVM launch, so the only fix is to
+    stop the inherited context AND the py4j gateway, then launch a fresh
+    JVM with the tuned conf. Evidence of what happened lands in the
+    detail record either way."""
+    from pyspark.sql import SparkSession
+
+    evidence = {"inherited": False, "restarted": False}
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        evidence["inherited"] = True
+        try:
+            rt = active.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            heap_mb = int(rt.maxMemory() / (1024 * 1024))
+        except Exception:
+            heap_mb = -1
+        evidence["inherited_heap_mb"] = heap_mb
+        from sdg_data_catalog_spark.session import _default_driver_mem
+
+        intended_mb = int(_default_driver_mem().rstrip("g")) * 1024
+        if 0 <= heap_mb < intended_mb * 0.6:
+            try:
+                from pyspark import SparkContext
+
+                active.stop()
+                gw = SparkContext._gateway
+                if gw is not None:
+                    gw.shutdown()
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+                evidence["restarted"] = True
+            except Exception as e:  # noqa: BLE001
+                evidence["restart_error"] = str(e)
+    return get_spark("sdg-bench"), evidence
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("sdg-bench")
+    spark, session_origin = _fresh_heap_session()
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
 
@@ -341,7 +383,7 @@ def main() -> None:
         "reps": reps0,
         "extended": extended,
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
-        "session": _session_evidence(spark),
+        "session": {**_session_evidence(spark), **session_origin},
         "layout": layout_info,
     }
 

@@ -1,0 +1,585 @@
+"""Data-selection and retrieval-evaluation operators (round 5).
+
+The curation ladder's decision layer: given the signals the rest of the
+engine computes (lexical scores, embeddings, language mixes, token
+streams), these operators decide WHAT to keep, fuse, or flag — the
+published methods LLM data pipelines actually run:
+
+- `rank_rrf`         — reciprocal-rank fusion of a lexical and a semantic
+                       ranking (Cormack et al., SIGIR'09) — the hybrid-
+                       retrieval default in production RAG stacks.
+- `agg_ndcg`         — NDCG@10 retrieval quality against label-match
+                       relevance (Järvelin & Kekäläinen, TOIS'02).
+- `emb_matryoshka_recall` — recall@10 of a 16-dim prefix-truncated
+                       ranking vs the full 64-dim ranking (Kusupati et
+                       al., "Matryoshka Representation Learning",
+                       NeurIPS'22) — the measurement behind shipping
+                       truncated embeddings.
+- `curation_dsir`    — hashed n-gram importance weights for target-
+                       distribution data selection (Xie et al., "Data
+                       Selection for Language Models via Importance
+                       Resampling", NeurIPS'23).
+- `lm_watermark_greenlist` — green-list z-score watermark detection
+                       (Kirchenbauer et al., ICML'23), context width 1.
+- `ts_anomaly_mad`   — median-absolute-deviation robust anomaly days on
+                       ingest volume (the robust twin of dq_anomaly_days'
+                       mean/σ z-score — one wild day does not drag the
+                       baseline the way it drags a mean).
+
+Cross-engine determinism: token split / md5-bucket arithmetic follow the
+repo conventions (feat_hashing_tf, lm_bigram_score); every float SUM that
+feeds a hashed comparison is an ORDERED sequential fold (Spark
+array_sort+aggregate ≡ DuckDB list_sum(list(x ORDER BY k))), never a
+partial-agg SUM whose accumulation order differs between engines.
+
+Reference analog: the reference pipeline selects paragraphs with ad-hoc
+keyword scores (`paper_classification/data_preparation.py`); these are
+the scale-correct replacements a Spark user would run instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+# Deterministic 64-dim query vector (the udf_bert_classify integer-derived
+# weight pattern — reproducible bit-for-bit in any engine, no RNG).
+_QVEC = [(((i + 29) * 2654435761) % 1000003 % 97 - 48) / 48.0 for i in range(64)]
+_QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]"
+
+
+def _dot64(col, weights):
+    return F.aggregate(
+        F.zip_with(col, F.array(*[F.lit(w) for w in weights]),
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+@register(
+    "rank_rrf",
+    oracle=f"""
+    WITH joined AS (
+      SELECT d.doc_id,
+             len(list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+                             t -> t = 'data')) AS lex_tf,
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * ({_QVEC_SQL})[i])) AS sem
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY lex_tf DESC, doc_id ASC) AS lex_rank,
+             ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id ASC) AS sem_rank
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(sem_rank AS INTEGER) AS sem_rank,
+           ROUND(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
+    FROM ranked
+    ORDER BY 1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank) DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — lexical (term
+    frequency of the query term, map-side token filter) and semantic
+    (embedding dot product with the fixed query vector) — rrf(d) =
+    Σ 1/(k + rank_i(d)), k=60, the parameter-free fusion that wins when
+    score SCALES are incomparable but rank orders both carry signal.
+    Plan shape: one doc⋈emb equi-join, two global rank windows over the
+    candidate set (at 100 TB the windows run over each retriever's
+    ALREADY-truncated top-k, thousands of rows, never the corpus — here
+    the full set IS the candidate set), TakeOrdered top-20. Both ranks
+    carry unique tie-breaks, so the fused order is total."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    toks = F.split(F.lower("text"), "[^a-z]+")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("lex_tf"),
+        _dot64(F.col("embedding"), _QVEC).alias("sem"),
+    )
+    ranked = joined.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("lex_tf"), F.asc("doc_id")))
+        .cast("int").alias("lex_rank"),
+        F.row_number().over(Window.orderBy(F.desc("sem"), F.asc("doc_id")))
+        .cast("int").alias("sem_rank"),
+    )
+    rrf = 1.0 / (60 + F.col("lex_rank")) + 1.0 / (60 + F.col("sem_rank"))
+    return (
+        ranked.select("doc_id", "lex_rank", "sem_rank",
+                      F.round(rrf, 6).alias("rrf"))
+        .orderBy(rrf.desc(), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_COS_FOLD = """list_sum(list_transform(range(1, 65),
+    i -> (CAST(q.embedding[i] AS DOUBLE)
+          / sqrt(list_sum(list_transform(q.embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))))
+       * (CAST(c.embedding[i] AS DOUBLE)
+          / sqrt(list_sum(list_transform(c.embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))))))"""
+
+
+@register(
+    "agg_ndcg",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             {_COS_FOLD} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    top AS (
+      SELECT query_id, rel, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, cand_id ASC) AS rnk
+        FROM scored) WHERE rnk <= 10
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             list_sum(list(rel * ln(CAST(2 AS DOUBLE)) / ln(CAST(1 + rnk AS DOUBLE))
+                           ORDER BY rnk)) AS dcg
+      FROM top GROUP BY query_id
+    )
+    SELECT query_id, n_rel,
+           ROUND(CASE WHEN n_rel > 0 THEN dcg /
+                 list_sum(list_transform(range(1, CAST(n_rel AS INTEGER) + 1),
+                     i -> ln(CAST(2 AS DOUBLE)) / ln(CAST(1 + i AS DOUBLE))))
+                 ELSE CAST(0 AS DOUBLE) END, 6) AS ndcg_10
+    FROM agg
+    """,
+)
+def agg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query over the exact cosine top-10, with label-match
+    binary relevance (a candidate is relevant iff it shares the query's
+    class label) — the ranking-quality metric every retrieval/reranker
+    change is judged by. DCG sums rel/log2(1+rank) in rank order via an
+    ORDERED fold (never an unordered SUM of doubles — partial-agg order
+    is engine- and schedule-dependent); IDCG for binary relevance is the
+    closed form Σ_{{i≤n_rel}} 1/log2(1+i), computed from the INTEGER
+    relevant count. The query side is 10 broadcast rows; candidates
+    stream partition-parallel through the rank window — brute-force here,
+    but the metric consumes any top-k table (plug in the IVF/PQ paths for
+    the approximate variants)."""
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    unit = emb.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("u"),
+    )
+    q = unit.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"),
+        F.col("u").alias("q_u"),
+    )
+    c = unit.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label"),
+        F.col("u").alias("c_u"),
+    )
+    cos = F.aggregate(
+        F.zip_with("q_u", "c_u", lambda a, b: a * b), F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id",
+            F.when(F.col("q_label") == F.col("c_label"), 1).otherwise(0).alias("rel"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 10)
+    ln2 = F.log(F.lit(2.0))
+    term = F.col("rel") * ln2 / F.log(1.0 + F.col("rnk"))
+    agg = top.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rnk"), term.alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_rel").cast("int")),
+            lambda i: ln2 / F.log(1.0 + i.cast("double")),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return agg.select(
+        "query_id", "n_rel",
+        F.round(
+            F.when(F.col("n_rel") > 0, F.col("dcg") / idcg).otherwise(F.lit(0.0)), 6
+        ).alias("ndcg_10"),
+    )
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_sum(list_transform(range(1, 65), i -> q.emb[i] * c.emb[i]))
+               / (sqrt(list_sum(list_transform(q.emb, y -> y*y)))
+                  * sqrt(list_sum(list_transform(c.emb, y -> y*y)))) AS cos_full,
+             list_sum(list_transform(range(1, 17), i -> q.emb[i] * c.emb[i]))
+               / (sqrt(list_sum(list_transform(range(1, 17), i -> q.emb[i]*q.emb[i])))
+                  * sqrt(list_sum(list_transform(range(1, 17), i -> c.emb[i]*c.emb[i])))) AS cos_16
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    top_full AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_full DESC, cand_id ASC) AS r FROM pairs) WHERE r <= 10
+    ),
+    top_16 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_16 DESC, cand_id ASC) AS r FROM pairs) WHERE r <= 10
+    )
+    SELECT f.query_id,
+           CAST(COUNT(t.cand_id) AS BIGINT) AS n_common,
+           COUNT(t.cand_id) / CAST(10 AS DOUBLE) AS recall_at_10
+    FROM top_full f LEFT JOIN top_16 t
+      ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+    GROUP BY f.query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: recall@10 of the 16-dim PREFIX of each
+    embedding against the full 64-dim cosine ranking — the number that
+    decides whether the serving tier can ship 4× smaller vectors. Both
+    rankings are computed in one pass over the same candidate join (two
+    fold expressions per pair, no second scan), then the top-10 sets
+    intersect via an equi-join on (query, candidate). Recall is an exact
+    integer/10 — no float-sum hashing risk. At 100 TB the candidate join
+    is replaced by any registered ANN path; the audit's shape (two
+    rankings → windowed top-k → set intersection) is unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("c_emb"))
+
+    def fold(col):
+        return F.aggregate(col, F.lit(0.0), lambda a, x: a + x)
+
+    def dotn(n):
+        return fold(F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.element_at("q_emb", i) * F.element_at("c_emb", i),
+        ))
+
+    def norm_prefix(col, n):
+        return F.sqrt(fold(F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.element_at(col, i) * F.element_at(col, i),
+        )))
+
+    cos_full = dotn(64) / (
+        F.sqrt(fold(F.transform("q_emb", lambda y: y * y)))
+        * F.sqrt(fold(F.transform("c_emb", lambda y: y * y)))
+    )
+    cos_16 = dotn(16) / (norm_prefix("q_emb", 16) * norm_prefix("c_emb", 16))
+    pairs = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos_full.alias("cos_full"), cos_16.alias("cos_16"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("cand_id"))
+    w16 = Window.partitionBy("query_id").orderBy(F.desc("cos_16"), F.asc("cand_id"))
+    top_full = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= 10).select("query_id", "cand_id")
+    )
+    top_16 = (
+        pairs.withColumn("r", F.row_number().over(w16))
+        .filter(F.col("r") <= 10).select("query_id", "cand_id")
+    )
+    hit = top_16.withColumn("hit", F.lit(1))
+    return (
+        top_full.join(hit, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_common"),
+            (F.count("hit") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
+
+
+_DSIR_B = 128  # hashed feature buckets
+
+
+@register(
+    "curation_dsir",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B}
+                  AS BIGINT) AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS ca FROM toks GROUP BY bucket),
+    tgt AS (SELECT bucket, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM toks) AS ta,
+                   (SELECT COUNT(*) FROM toks WHERE lang = 'en') AS tt),
+    lr AS (
+      SELECT raw.bucket,
+             ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (tot.tt + {_DSIR_B}))
+           - ln(CAST(raw.ca + 1 AS DOUBLE) / (tot.ta + {_DSIR_B})) AS logratio
+      FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.bucket, ANY_VALUE(t.lang) AS lang,
+             COUNT(*) * ANY_VALUE(lr.logratio) AS term
+      FROM toks t JOIN lr ON lr.bucket = t.bucket
+      GROUP BY t.doc_id, t.bucket
+    ),
+    wts AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             list_sum(list(term ORDER BY bucket)) AS w
+      FROM per_doc GROUP BY doc_id
+    )
+    SELECT doc_id, lang, FLOOR(w * 1e6) / 1e6 AS dsir_logweight
+    FROM wts
+    ORDER BY w DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: log p_target(x) − log p_raw(x) over hashed
+    unigram features (Xie et al., NeurIPS'23) — rank raw-corpus documents
+    by how target-like they are (target = the 'en' slice here) and keep
+    the top of the list. The two feature distributions are add-one-
+    smoothed count ratios over a FIXED {_DSIR_B}-bucket hashed space: no
+    vocabulary table at any corpus size, the bucket stats are two
+    broadcast-sized aggregates, and the per-document weight is one
+    ordered fold over its own bucket counts. Plan: explode → combinable
+    (doc, bucket) count → broadcast log-ratio join → per-doc ordered fold
+    → TakeOrdered top-50. Every input to the fold is an exact integer
+    count ratio; the fold order (bucket asc) is pinned on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_B
+    ).alias("bucket")
+    tb = toks.select("doc_id", "lang", bucket)
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ca"))
+    tgt = tb.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = tb.agg(
+        F.count(F.lit(1)).alias("ta"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                      / (F.col("tt") + _DSIR_B))
+                - F.log((F.col("ca") + 1).cast("double") / (F.col("ta") + _DSIR_B))
+            ).alias("logratio"),
+        )
+    )
+    per_doc = (
+        tb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            (F.count(F.lit(1)) * F.any_value("logratio")).alias("term"),
+        )
+    )
+    wts = per_doc.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("bucket"), F.col("term").alias("t")))),
+                lambda s: s.getField("t"),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ).alias("w"),
+    )
+    return (
+        wts.select(
+            "doc_id", "lang", (F.floor(F.col("w") * 1e6) / 1e6).alias("dsir_logweight"), "w"
+        )
+        .orderBy(F.desc("w"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "lang", "dsir_logweight")
+    )
+
+
+@register(
+    "lm_watermark_greenlist",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '[^a-z]+') AS toks
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(toks)),
+                 i -> toks[i] <> '' AND toks[i+1] <> '')) AS n_pairs,
+             len(list_filter(range(1, len(toks)),
+                 i -> toks[i] <> '' AND toks[i+1] <> ''
+                      AND CAST(('0x' || substr(md5(toks[i] || '|' || toks[i+1]), 1, 8))
+                               AS BIGINT) % 2 = 0)) AS n_green
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_green AS BIGINT) AS n_green,
+           FLOOR((2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)) * 1e6)
+             / 1e6 AS z_score,
+           (2.0 * n_green - n_pairs) / sqrt(CAST(n_pairs AS DOUBLE)) > 2.0
+             AS watermarked
+    FROM counted WHERE n_pairs >= 20
+    """,
+)
+def lm_watermark_greenlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Green-list watermark detection (Kirchenbauer et al., ICML'23): with
+    a context-1 watermark, each token is 'green' iff
+    hash(prev_token, token) lands in the green half of the vocabulary;
+    watermarked text shows a green fraction far above 1/2. The detector
+    is the one-proportion z-score z = (2g − n)/√n over a document's n
+    adjacent token pairs, flagged at z > 2. Entirely map-side: the pair
+    scan, md5 green test, and both counts are per-row array expressions
+    (no explode, no shuffle at all — the 100 TB plan is a single pass),
+    and z is one double expression over two exact integers. Docs with
+    <20 pairs are excluded (the z approximation is meaningless there)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), "[^a-z]+")
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+
+    def pair_ok(i):
+        return (F.element_at("toks", i) != "") & (
+            F.element_at("toks", F.lit(1) + i) != ""
+        )
+
+    def green(i):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.element_at("toks", i),
+                        F.lit("|"),
+                        F.element_at("toks", F.lit(1) + i),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return pair_ok(i) & (h % 2 == 0)
+
+    counted = d.select(
+        "doc_id",
+        F.size(F.filter(idx, pair_ok)).cast("bigint").alias("n_pairs"),
+        F.size(F.filter(idx, green)).cast("bigint").alias("n_green"),
+    ).filter(F.col("n_pairs") >= 20)
+    z = (2.0 * F.col("n_green") - F.col("n_pairs")) / F.sqrt(
+        F.col("n_pairs").cast("double")
+    )
+    return counted.select(
+        "doc_id", "n_pairs", "n_green",
+        (F.floor(z * 1e6) / 1e6).alias("z_score"),
+        (z > 2.0).alias("watermarked"),
+    )
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+      FROM daily GROUP BY event_type
+    ),
+    mad AS (
+      SELECT d.event_type,
+             ANY_VALUE(m.med) AS med,
+             quantile_cont(abs(d.n - m.med), 0.5) AS mad
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+      GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           ROUND(m.med, 6) AS med, ROUND(m.mad, 6) AS mad,
+           ROUND(abs(d.n - m.med), 6) AS deviation,
+           abs(d.n - m.med) > 3.0 * CAST(1.4826 AS DOUBLE) * m.mad
+             AS is_anomaly
+    FROM daily d JOIN mad m ON m.event_type = d.event_type
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust ingest-volume anomaly days per event type via median
+    absolute deviation: |count − median| > 3·1.4826·MAD (1.4826 scales
+    MAD to σ under normality). The robust twin of dq_anomaly_days'
+    mean/σ z-score — one wild day inflates a mean AND its σ enough to
+    hide itself; it cannot drag a median. Exactness across engines: the
+    daily counts are integers, both medians are the standard linear
+    interpolation of integer order statistics (exact halves/quarters in
+    doubles — Spark percentile ≡ DuckDB quantile_cont), and the flag
+    compares exactly-representable values. The aggregate frame is
+    |types|×|days| — metadata-sized at any event volume; the only
+    corpus-wide work is the combinable daily count."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        daily.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(
+                F.abs(F.col("n") - F.col("med")), F.lit(0.5)
+            ).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("n") - F.col("med"))
+    return daily.join(F.broadcast(mad), "event_type").select(
+        "event_type", "day", F.col("n").cast("bigint").alias("n"),
+        F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        F.round(dev, 6).alias("deviation"),
+        (dev > 3.0 * F.lit(1.4826) * F.col("mad")).alias("is_anomaly"),
+    )

@@ -58,6 +58,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.lake_ops",
     "sdg_data_catalog_spark.queries.ml_eval_extra",
     "sdg_data_catalog_spark.queries.analytics_extra",
+    "sdg_data_catalog_spark.queries.data_selection",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -179,6 +180,13 @@ _PRIORITY = (
     "sink_dynamic_overwrite",
     "scan_nested_pruning",
     "join_federated",
+    # round-5 registrations (data_selection.py) — oracle-verified before staging
+    "rank_rrf",
+    "agg_ndcg",
+    "emb_matryoshka_recall",
+    "curation_dsir",
+    "lm_watermark_greenlist",
+    "ts_anomaly_mad",
 )
 
 

@@ -1,0 +1,85 @@
+"""Invariant twins for the data-selection / retrieval-eval operators
+(queries/data_selection.py). The hash-vs-DuckDB check lives in
+test_contract.py; these assert the SEMANTIC properties a hash can't see."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sdg_data_catalog_spark.queries.data_selection import (
+    agg_ndcg,
+    curation_dsir,
+    emb_matryoshka_recall,
+    lm_watermark_greenlist,
+    rank_rrf,
+    ts_anomaly_mad,
+)
+
+
+def test_rrf_score_consistent_with_ranks(spark, sf_dir):
+    rows = rank_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        expect = 1.0 / (60 + r.lex_rank) + 1.0 / (60 + r.sem_rank)
+        assert abs(r.rrf - expect) < 1e-6
+    # fused list is sorted by rrf desc (doc_id tie-break)
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ndcg_bounded_and_perfect_when_all_relevant(spark, sf_dir):
+    rows = agg_ndcg(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 <= r.ndcg_10 <= 1.0 + 1e-9
+        # binary relevance: n_rel == 10 forces a perfect prefix → NDCG = 1
+        if r.n_rel == 10:
+            assert abs(r.ndcg_10 - 1.0) < 1e-6
+
+
+def test_matryoshka_recall_bounds_and_self_consistency(spark, sf_dir):
+    rows = emb_matryoshka_recall(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_common <= 10
+        assert abs(r.recall_at_10 - r.n_common / 10.0) < 1e-12
+
+
+def test_dsir_prefers_target_language(spark, sf_dir):
+    """Importance weights rank target-distribution ('en') docs above the
+    corpus rate: the top-50 en share must exceed the overall en share."""
+    from sdg_data_catalog_spark.catalog import table
+
+    top = curation_dsir(spark, sf_dir).collect()
+    assert len(top) == 50
+    en_top = sum(1 for r in top if r.lang == "en") / len(top)
+    docs = table(spark, sf_dir, "documents")
+    en_all = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    assert en_top > en_all, (en_top, en_all)
+
+
+def test_watermark_z_matches_counts_and_unwatermarked_corpus(spark, sf_dir):
+    rows = lm_watermark_greenlist(spark, sf_dir).collect()
+    assert rows
+    flagged = 0
+    for r in rows:
+        assert r.n_pairs >= 20
+        assert 0 <= r.n_green <= r.n_pairs
+        z = (2.0 * r.n_green - r.n_pairs) / math.sqrt(r.n_pairs)
+        assert abs(math.floor(z * 1e6) / 1e6 - r.z_score) < 1e-9
+        flagged += bool(r.watermarked)
+    # natural (unwatermarked) text: green fraction ~ 1/2, so z>2 flags are
+    # rare — at most the one-sided tail (~2.3%) plus slack
+    assert flagged <= max(3, 0.08 * len(rows))
+
+
+def test_mad_flags_are_deviation_consistent(spark, sf_dir):
+    rows = ts_anomaly_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.deviation - abs(r.n - r.med)) < 1e-6
+        assert r.is_anomaly == (r.deviation > 3.0 * 1.4826 * r.mad)
