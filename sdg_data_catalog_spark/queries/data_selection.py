@@ -583,3 +583,226 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev, 6).alias("deviation"),
         (dev > 3.0 * F.lit(1.4826) * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@register(
+    "curation_pareto_front",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             len(list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')))
+               / CAST(len(list_filter(
+                 string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''))
+                 AS DOUBLE) AS ttr
+      FROM documents
+      WHERE len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t <> '')) > 0
+    ),
+    swept AS (
+      SELECT doc_id, n_chars, ttr,
+             MAX(ttr) OVER (ORDER BY n_chars DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ge,
+             MAX(ttr) OVER (ORDER BY n_chars DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_gt
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(ttr, 6) AS ttr
+    FROM swept
+    WHERE NOT (m_ge > ttr) AND (m_gt IS NULL OR m_gt < ttr)
+    """,
+)
+def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-front document selection over two quality objectives —
+    length (n_chars) and lexical diversity (type-token ratio) — the
+    multi-objective keep-set no single weighted score can express: a doc
+    survives iff NO other doc is at least as good on both axes and
+    strictly better on one. Computed with the classic sweep, not an
+    O(N²) dominance join: order by n_chars desc, then a doc is
+    dominated iff max(ttr) over docs with n_chars ≥ its own exceeds its
+    ttr (m_ge, CURRENT ROW range frame — self can never exceed itself)
+    or max(ttr) over STRICTLY greater n_chars ties it (m_gt, 1 PRECEDING
+    range frame over the integer key). Both objectives are exact integer
+    ratios, and RANGE frames over an integer key have identical ANSI
+    semantics in both engines. The global window is a single sort here;
+    at 100 TB run the same sweep per partition first and re-sweep the
+    union of local fronts — a globally non-dominated doc is non-dominated
+    in its shard, so the two-phase result is exactly the global front."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    scored = docs.select(
+        "doc_id", "n_chars",
+        (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("ttr"),
+    ).filter(F.size(toks) > 0)
+    w_ge = (
+        Window.orderBy(F.desc("n_chars"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_gt = Window.orderBy(F.desc("n_chars")).rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = scored.select(
+        "doc_id", "n_chars", "ttr",
+        F.max("ttr").over(w_ge).alias("m_ge"),
+        F.max("ttr").over(w_gt).alias("m_gt"),
+    )
+    return swept.filter(
+        ~(F.col("m_ge") > F.col("ttr"))
+        & (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("ttr")))
+    ).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round("ttr", 6).alias("ttr"),
+    )
+
+
+@register(
+    "agg_source_vocab_jaccard",
+    oracle=f"""
+    WITH sb AS (
+      SELECT DISTINCT source,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {128}
+                  AS BIGINT) AS bucket
+      FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sb GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common / CAST(sa.n + sb2.n - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb2 ON sb2.source = src_b
+    """,
+)
+def agg_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources, as Jaccard similarity
+    of their occupied hashed-vocab buckets — the domain-similarity matrix
+    curators read before mixing sources (two crawls with near-identical
+    vocabularies add less diversity than their row counts suggest). The
+    hashed space caps every per-source set at 128 buckets REGARDLESS of
+    corpus size, so the pairwise join is |sources|²·128 at worst —
+    metadata-sized — while the corpus is touched exactly once by the
+    combinable DISTINCT. Jaccard = |∩| / (|A| + |B| − |∩|), all exact
+    integers until the final division."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sb = toks.select(
+        "source",
+        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 128)
+        .alias("bucket"),
+    ).distinct()
+    sizes = sb.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sb.select(F.col("source").alias("src_a"), "bucket")
+    b = sb.select(F.col("source").alias("src_b"), "bucket")
+    inter = (
+        a.join(b, "bucket")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb2 = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb2), "src_b")
+        .select(
+            "src_a", "src_b", F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS d_days
+      FROM daily GROUP BY event_type
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, m.d_days,
+             SUM(d.n * m.d_days - m.total) OVER (PARTITION BY d.event_type
+                 ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily d JOIN m ON m.event_type = d.event_type
+    ),
+    stat AS (
+      SELECT event_type, day,
+             (s - MIN(s) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING))
+               / CAST(d_days AS DOUBLE) AS lift
+      FROM cum
+    )
+    SELECT event_type, day AS change_day,
+           FLOOR(lift * 1e6) / 1e6 AS cusum_stat
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY lift DESC, day ASC) AS rn
+      FROM stat) WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-changepoint detection on daily ingest volume: the
+    cumulative sum of (count − mean) drifts down before a level shift
+    and climbs after it, so the day maximizing S_t − min_{u≤t} S_u is
+    the most likely changepoint and the lift is the evidence (Page 1954,
+    the sequential-analysis classic). Everything is windowed — running
+    sum and running min over the day order, then an argmax row per type
+    with an earliest-day tie-break; the aggregate frame is |types|×|days|
+    so the windows never see raw events. Determinism: the running sum is
+    kept in INTEGERS by scaling through the day count — Σ(n·D − total)
+    instead of Σ(n − total/D) — because a windowed SUM of doubles is a
+    segment-tree combine in some engines (not a left fold) and could
+    drift an ulp; the single division to doubles happens after the
+    order-free integer MIN."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("d_days"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", "d_days",
+        F.sum(F.col("n") * F.col("d_days") - F.col("total")).over(w_cum).alias("s"),
+    )
+    stat = cum.select(
+        "event_type", "day",
+        ((F.col("s") - F.min("s").over(w_cum)) / F.col("d_days").cast("double")).alias("lift"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("lift"), F.asc("day"))
+    return (
+        stat.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("day").alias("change_day"),
+            (F.floor(F.col("lift") * 1e6) / 1e6).alias("cusum_stat"),
+        )
+    )

@@ -187,6 +187,9 @@ _PRIORITY = (
     "curation_dsir",
     "lm_watermark_greenlist",
     "ts_anomaly_mad",
+    "curation_pareto_front",
+    "agg_source_vocab_jaccard",
+    "ts_cusum_changepoint",
 )
 
 

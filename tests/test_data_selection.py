@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.queries.data_selection import (
     agg_ndcg,
+    agg_source_vocab_jaccard,
+    curation_pareto_front,
+    ts_cusum_changepoint,
     curation_dsir,
     emb_matryoshka_recall,
     lm_watermark_greenlist,
@@ -83,3 +86,37 @@ def test_mad_flags_are_deviation_consistent(spark, sf_dir):
     for r in rows:
         assert abs(r.deviation - abs(r.n - r.med)) < 1e-6
         assert r.is_anomaly == (r.deviation > 3.0 * 1.4826 * r.mad)
+
+
+def test_pareto_front_is_mutually_nondominated(spark, sf_dir):
+    rows = curation_pareto_front(spark, sf_dir).collect()
+    assert rows
+    pts = [(r.n_chars, r.ttr) for r in rows]
+    for i, (a1, b1) in enumerate(pts):
+        for j, (a2, b2) in enumerate(pts):
+            if i == j:
+                continue
+            dominated = (a2 >= a1 and b2 > b1 + 1e-9) or (
+                a2 > a1 and b2 >= b1 - 1e-9 and b2 > b1 + 1e-9
+            )
+            assert not dominated, (pts[i], pts[j])
+
+
+def test_vocab_jaccard_bounds_and_pair_count(spark, sf_dir):
+    from sdg_data_catalog_spark.catalog import table
+
+    rows = agg_source_vocab_jaccard(spark, sf_dir).collect()
+    n_src = table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert 0 < len(rows) <= n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_common >= 1  # joined pairs share at least the join bucket
+
+
+def test_cusum_one_changepoint_per_type_nonnegative(spark, sf_dir):
+    rows = ts_cusum_changepoint(spark, sf_dir).collect()
+    types = [r.event_type for r in rows]
+    assert len(types) == len(set(types)) and rows
+    for r in rows:
+        assert r.cusum_stat >= 0.0
