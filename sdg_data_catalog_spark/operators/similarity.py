@@ -426,3 +426,76 @@ def mmr_select(
     return spark.createDataFrame(
         out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
     )
+
+
+def mmr_select_exact(
+    embeddings: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """`mmr_select` with every float operation pinned to a sequential
+    left fold so an external SQL oracle reproduces the selection
+    bit-for-bit: the query vector is a fixed literal (no corpus-mean
+    aggregate whose partial-agg order is schedule-dependent), relevance
+    is the JVM fold cosine, and the driver-side greedy computes pairwise
+    cosines with explicit Python loops over float64 (numpy's BLAS matmul
+    and 8-way-unrolled sums combine in a different order and can drift
+    the last ulp across ties). Same dataflow bound as mmr_select: only
+    the ≤`pool`-row retrieval result reaches the driver."""
+    q_lit = F.array(*[F.lit(float(x)) for x in qvec])
+    pool_df = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            cosine(F.col("embedding"), q_lit).alias("relevance"),
+        )
+        .orderBy(F.col("relevance").desc(), F.col("vec_id").asc())
+        .limit(pool)
+    )
+    rows = pool_df.collect()  # ≤ pool rows — the documented driver bound
+    ids = [int(r["vec_id"]) for r in rows]
+    rel = [float(r["relevance"]) for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    import math as _math
+
+    norms = [_math.sqrt(_fold_dot(v, v)) for v in vecs]
+    n = len(ids)
+    sims = [
+        [
+            _fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+            if i != j
+            else 1.0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    chosen: list[int] = []
+    scores: list[float] = []
+    remaining = list(range(n))
+    for _ in range(min(k, n)):
+        best_i, best_s = None, None
+        for i in remaining:
+            red = max((sims[i][j] for j in chosen), default=0.0)
+            s = lam * rel[i] - (1.0 - lam) * red
+            if best_s is None or s > best_s or (s == best_s and ids[i] < ids[best_i]):
+                best_i, best_s = i, s
+        chosen.append(best_i)
+        scores.append(best_s)
+        remaining.remove(best_i)
+    spark = embeddings.sparkSession
+    out = [
+        (r + 1, ids[i], round(rel[i], 6), round(scores[r], 6))
+        for r, i in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        out, "rank INT, vec_id BIGINT, relevance DOUBLE, mmr_score DOUBLE"
+    )

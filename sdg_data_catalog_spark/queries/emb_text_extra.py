@@ -124,17 +124,84 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(_project, "vec_id long, proj array<double>")
 
 
-@register("rank_mmr")  # sequential greedy over a driver-bounded pool: rows-only
+# Deterministic MMR query vector (integer-derived — no corpus-mean
+# aggregate, whose float partial-agg order is schedule-dependent).
+_MMR_QVEC = [(((i + 43) * 2654435761) % 1000003 % 97 - 48) / 48.0 for i in range(64)]
+_MMR_QVEC_SQL = "[" + ", ".join(repr(x) for x in _MMR_QVEC) + "]"
+
+
+def _mmr_oracle(k: int = 10, pool: int = 50) -> str:
+    """Generate the MMR oracle: the greedy argmax loop is inherently
+    sequential in k, so it is UNROLLED into k chained CTEs (s1..sk), each
+    selecting the next pick given the previous chosen set — pure ANSI SQL,
+    no recursion, bit-identical to the Python fold greedy because every
+    cosine is the same sequential fold and MAX/comparisons are order-free."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_m_lam = f"(CAST(1 AS DOUBLE) - {lam})"
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+rel AS MATERIALIZED (
+  SELECT vec_id, emb,
+         list_sum(list_transform(range(1, 65),
+             i -> emb[i] * ({_MMR_QVEC_SQL})[i]))
+           / (sqrt(list_sum(list_transform(emb, y -> y*y)))
+              * sqrt(list_sum(list_transform(
+                    CAST({_MMR_QVEC_SQL} AS DOUBLE[]), y -> y*y)))) AS rel
+  FROM e
+),
+pool AS MATERIALIZED (SELECT vec_id, emb, rel FROM rel
+         ORDER BY rel DESC, vec_id ASC LIMIT {pool}),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))
+           / (sqrt(list_sum(list_transform(a.emb, y -> y*y)))
+              * sqrt(list_sum(list_transform(b.emb, y -> y*y)))) AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+s1 AS MATERIALIZED (SELECT vec_id, rel, {lam} * rel AS score FROM pool
+       ORDER BY {lam} * rel DESC, vec_id ASC LIMIT 1),
+c1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for step in range(2, k + 1):
+        prev = step - 1
+        parts.append(f""",
+s{step} AS MATERIALIZED (
+  SELECT p.vec_id, p.rel,
+         {lam} * p.rel - {one_m_lam} * MAX(s.sim) AS score
+  FROM pool p JOIN sims s ON s.ia = p.vec_id
+       AND s.ib IN (SELECT vec_id FROM c{prev})
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM c{prev})
+  GROUP BY p.vec_id, p.rel
+  ORDER BY score DESC, p.vec_id ASC LIMIT 1
+),
+c{step} AS MATERIALIZED (SELECT vec_id FROM c{prev} UNION ALL SELECT vec_id FROM s{step})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, rel, score FROM s{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(rel, 6) AS relevance, ROUND(score, 6) AS mmr_score
+FROM ({union})""")
+    return "".join(parts)
+
+
+@register("rank_mmr", oracle=_mmr_oracle())
 def rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-10 exemplar selection
-    over the embeddings table (operators/similarity.py::mmr_select,
+    over the embeddings table (operators/similarity.py::mmr_select_exact,
     Carbonell & Goldstein SIGIR'98) — relevant-but-non-redundant picks for
     eval-set curation and few-shot example selection; the redundancy term
-    is what plain sim_knn top-k lacks. Retrieval (mean-vector relevance +
+    is what plain sim_knn top-k lacks. Retrieval (fixed-query relevance +
     top-50 pool via TakeOrderedAndProject) is distributed; only the ≤50-row
     pool reaches the driver for the inherently-sequential greedy loop.
-    Rows-only by design (iterative argmax); tests/test_phash_mmr.py pins a
-    pure-numpy differential twin plus the diversity invariant (MMR's
-    chosen set has lower pairwise-cosine mass than relevance-only top-k)."""
+    Promoted from rows-only in round 5: with the query vector pinned to an
+    integer-derived literal and every cosine a sequential fold, the greedy
+    is reproducible in ANSI SQL by unrolling its k steps into chained CTEs
+    (_mmr_oracle) — the selection, scores, and ranks all hash-match.
+    tests/test_phash_mmr.py keeps the independent differential twin plus
+    the diversity invariant (MMR's chosen set has lower pairwise-cosine
+    mass than relevance-only top-k)."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.mmr_select(emb, k=10, pool=50, lam=0.7)
+    return S.mmr_select_exact(emb, _MMR_QVEC, k=10, pool=50, lam=0.7)

@@ -64,10 +64,12 @@ def test_mmr_matches_numpy_twin(spark, sf_dir):
     """The Spark-side MMR selection equals an independent numpy greedy
     over the same relevance pool, and beats relevance-only top-k on
     redundancy (lower mean pairwise cosine among chosen)."""
+    from sdg_data_catalog_spark.queries.emb_text_extra import _MMR_QVEC
+
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     mat = np.array(emb["embedding"].tolist(), dtype="float64")
     ids = emb["vec_id"].to_numpy()
-    q = mat.mean(axis=0)
+    q = np.array(_MMR_QVEC, dtype="float64")
     rel = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
     order = np.lexsort((ids, -rel))[:50]
     pool_ids, pool_rel = ids[order], rel[order]
