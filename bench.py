@@ -75,6 +75,9 @@ EXTENDED = (
     "join_geo_radius",
     "mm_phash_neardup",
     "udf_ner_score",
+    # round-5 additions (both sub-second steady at sf0.1, measured)
+    "curation_dsir",
+    "rank_rrf",
 )
 
 # Headline set: the heaviest representative per operator family.
