@@ -128,22 +128,11 @@ WHERE rnk <= 10
 """
 
 
-@register("sim_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
-def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ — the production composition this module's docstrings
-    promise: the IVF coarse quantizer (operators/similarity.py) prunes
-    the candidate set to the query's `n_probe` nearest cells, and PQ
-    codes of the RESIDUAL (x − centroid) are scored with per-(query,
-    cell) ADC lookup tables — residual encoding is what makes IVF-PQ
-    beat flat PQ (residuals concentrate near zero, so the same 16×16
-    codebook spends its resolution where the data is; Jégou et al.
-    TPAMI 2011, §IV). Shape at 100 TB: candidates move through ONE
-    equi-join on cell_id (never a cross join), codes are 32× smaller
-    than vectors, and the only broadcast state is 16 centroids + the
-    query LUTs. Codebook = residuals of unit vectors 16-31 against their
-    assigned cells (deterministic init, 0 Lloyd iterations — the
-    hash-checkable contract; `pq.train_codebooks` is the trained
-    alternative, differential-tested in tests/test_ann_pq.py)."""
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    """The deterministic IVF-PQ build: (cents dict, codebooks ndarray,
+    encoded DataFrame of (vec_id, cell_id, codes)). Shared by the
+    in-memory query path, the persisted-index sink, and the indexed
+    query path so all three provably compute the same index."""
     import pandas as pd
 
     unit = _normalized(spark, sf_dir)
@@ -188,7 +177,18 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     encoded = assigned.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
+    return cents, books, encoded
 
+
+def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, cents, books):
+    """Per-(query, probe-cell) ADC lookup tables + probe list — bounded
+    (N_QUERIES × N_PROBE rows) driver state, broadcast to executors."""
+    m, k, dsub = books.shape
+    unit = _normalized(spark, sf_dir)
+    cents_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cell_id long, centroid array<double>",
+    )
     q_assigned = sim.ivf_assign(
         unit.filter(F.col("vec_id") < N_QUERIES),
         N_CELLS,
@@ -207,7 +207,17 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         luts[(qid, cell)] = lut
         probes.append((qid, cell))
-    bc_luts = sc.broadcast(luts)
+    return luts, probes
+
+
+def _ivfpq_score(spark: SparkSession, encoded: DataFrame, luts, probes, m: int) -> DataFrame:
+    """ADC scoring over an encoded (vec_id, cell_id, codes) table: one
+    broadcast equi-join on cell_id, Arrow-batched table lookups, window
+    top-k. Sequential accumulation over subspaces — bit-matches the
+    oracle's list_sum(list(d2 ORDER BY s)) fold."""
+    import pandas as pd
+
+    bc_luts = spark.sparkContext.broadcast(luts)
     probe_df = spark.createDataFrame(probes, "query_id long, cell_id long")
 
     def _score(batches):
@@ -216,8 +226,6 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for (qid, cell), grp in pdf.groupby(["query_id", "cell_id"]):
                 lut = bc_luts.value[(int(qid), int(cell))]
                 codes = np.stack(grp["codes"].to_numpy())
-                # Sequential over subspaces — bit-matches the oracle's
-                # list_sum(list(d2 ORDER BY s)) fold.
                 adc = lut[0, codes[:, 0]].copy()
                 for s in range(1, m):
                     adc += lut[s, codes[:, s]]
@@ -233,8 +241,6 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    from pyspark.sql.window import Window
-
     scored = (
         encoded.join(F.broadcast(probe_df), "cell_id")
         .select("query_id", "cell_id", "vec_id", "codes")
@@ -248,6 +254,161 @@ def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK)
         .select("query_id", "vec_id", F.round("adc_dist", 6).alias("adc_dist"), "rnk")
     )
+
+
+@register("sim_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def sim_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production composition this module's docstrings
+    promise: the IVF coarse quantizer (operators/similarity.py) prunes
+    the candidate set to the query's `n_probe` nearest cells, and PQ
+    codes of the RESIDUAL (x − centroid) are scored with per-(query,
+    cell) ADC lookup tables — residual encoding is what makes IVF-PQ
+    beat flat PQ (residuals concentrate near zero, so the same 16×16
+    codebook spends its resolution where the data is; Jégou et al.
+    TPAMI 2011, §IV). Shape at 100 TB: candidates move through ONE
+    equi-join on cell_id (never a cross join), codes are 32× smaller
+    than vectors, and the only broadcast state is 16 centroids + the
+    query LUTs. Codebook = residuals of unit vectors 16-31 against their
+    assigned cells (deterministic init, 0 Lloyd iterations — the
+    hash-checkable contract; `pq.train_codebooks` is the trained
+    alternative, differential-tested in tests/test_ann_pq.py). This
+    path builds the index in-memory per run; `sink_ann_index` +
+    `sim_ann_indexed_topk` below persist and reuse it."""
+    cents, books, encoded = _ivfpq_parts(spark, sf_dir)
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+    return _ivfpq_score(spark, encoded, luts, probes, books.shape[0])
+
+
+_ANN_LAYOUT_VERSION = "v1"
+
+
+def _ann_index_dir(sf_dir: str) -> str:
+    import os
+
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    return os.path.join(_SCRATCH, _sf_name(sf_dir), "ann_ivfpq")
+
+
+def ann_index_on_disk(sf_dir: str) -> bool:
+    import os
+
+    return os.path.isfile(
+        os.path.join(_ann_index_dir(sf_dir), f"_ANN_LAYOUT_{_ANN_LAYOUT_VERSION}")
+    )
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the IVF-PQ index once per scale factor (the ingest-time
+    cost, amortized across the query workload — the same economics as
+    scale_ops' bucketed tables): the encoded code table lands as parquet
+    PARTITIONED BY cell_id, so a query's n_probe cell pruning becomes
+    parquet partition pruning; the 16 centroids + 16×16×4 codebook land
+    beside it as a metadata-sized parquet."""
+    import os
+
+    out = _ann_index_dir(sf_dir)
+    marker = os.path.join(out, f"_ANN_LAYOUT_{_ANN_LAYOUT_VERSION}")
+    if os.path.isfile(marker):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    cents, books, encoded = _ivfpq_parts(spark, sf_dir)
+    encoded.write.partitionBy("cell_id").mode("overwrite").parquet(
+        os.path.join(out, "codes")
+    )
+    m, k, dsub = books.shape
+    meta = [
+        ("centroid", int(c), list(map(float, v)))
+        for c, v in sorted(cents.items())
+    ] + [
+        ("codebook", s * k + j, list(map(float, books[s][j])))
+        for s in range(m)
+        for j in range(k)
+    ]
+    spark.createDataFrame(
+        meta, "kind string, idx long, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "meta"))
+    with open(marker, "w") as fh:
+        fh.write(_ANN_LAYOUT_VERSION)
+    return out
+
+
+@register(
+    "sink_ann_index",
+    oracle=f"""
+    WITH {_NORM_SQL},
+    cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+    dist AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assigned GROUP BY cell_id
+    """,
+)
+def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-and-persist the IVF-PQ index (`_ensure_ann_index`) and
+    return the per-cell census READ BACK from the written layout — the
+    sink is verified by its own output files, and the oracle recomputes
+    the same census from first principles (SQL cell assignment), proving
+    the persisted index contents. At 100 TB this is the nightly
+    index-build job: one pass to encode (codes are 32× smaller than the
+    vectors), partitioned by cell so query-time probes read only
+    n_probe/n_cells of the data via partition pruning."""
+    out = _ensure_ann_index(spark, sf_dir)
+    import os
+
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@register("sim_ann_indexed_topk", oracle=_IVFPQ_ORACLE)
+def sim_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 answered FROM THE PERSISTED INDEX — the steady-state
+    production query path (`sim_ann_ivfpq_topk` is the build-per-run
+    twin; both share `_ivfpq_parts`, and this one hash-matches the same
+    oracle, proving persist→scan loses nothing). The cell_id partition
+    column turns the coarse quantizer's n_probe pruning into parquet
+    PARTITION PRUNING — the scan touches n_probe/n_cells of the code
+    files (asserted in tests/test_ann_pq.py via the explain plan), the
+    codebook/centroid meta is a 272-row parquet read, and the scoring
+    join/fold is identical to the in-memory path."""
+    import os
+
+    out = _ensure_ann_index(spark, sf_dir)
+    meta = spark.read.parquet(os.path.join(out, "meta")).collect()  # 272 rows
+    cents = {
+        int(r.idx): np.asarray(r.vals, dtype=np.float64)
+        for r in meta
+        if r.kind == "centroid"
+    }
+    m, k, dsub = 16, 16, 4
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for r in meta:
+        if r.kind == "codebook":
+            books[int(r.idx) // k][int(r.idx) % k] = np.asarray(
+                r.vals, dtype=np.float64
+            )
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+    probe_cells = sorted({cell for _, cell in probes})
+    encoded = (
+        spark.read.parquet(os.path.join(out, "codes"))
+        .filter(F.col("cell_id").isin(probe_cells))  # partition pruning
+        .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
+    )
+    return _ivfpq_score(spark, encoded, luts, probes, m)
 
 
 _PQ_ORACLE = f"""

@@ -190,6 +190,8 @@ _PRIORITY = (
     "curation_pareto_front",
     "agg_source_vocab_jaccard",
     "ts_cusum_changepoint",
+    "sink_ann_index",
+    "sim_ann_indexed_topk",
 )
 
 

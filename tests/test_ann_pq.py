@@ -147,3 +147,55 @@ def test_rerank_bilinear_matches_numpy(spark, sf_dir):
         w1, w2 = by_id[r.vec_id]
         assert abs(r.stage1_score - round(w1, 6)) <= 1e-6
         assert abs(r.stage2_score - round(w2, 6)) <= 1e-6
+
+
+def test_indexed_topk_equals_in_memory_path(spark, sf_dir):
+    """Persist→scan loses nothing: the indexed query path returns exactly
+    the in-memory IVF-PQ path's rows (same oracle, same answer)."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    mem = sorted(
+        tuple(r) for r in qs["sim_ann_ivfpq_topk"](spark, sf_dir).collect()
+    )
+    idx = sorted(
+        tuple(r) for r in qs["sim_ann_indexed_topk"](spark, sf_dir).collect()
+    )
+    assert mem == idx and len(idx) > 0
+
+
+def test_indexed_topk_scan_is_partition_pruned(spark, sf_dir):
+    """The n_probe cell restriction must reach the parquet scan as a
+    PARTITION filter on cell_id — the pruning that makes the persisted
+    index pay off at scale (scan touches n_probe/n_cells of the files)."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    df = all_queries()["sim_ann_indexed_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "PartitionFilters" in l]
+    assert any(
+        "PartitionFilters" in l and "cell_id" in l for l in plan.splitlines()
+    ), "cell_id not in PartitionFilters:\n" + "\n".join(scan_lines)
+
+
+def test_ann_index_census_matches_assignment(spark, sf_dir):
+    """The persisted code table's per-cell census equals a fresh
+    assignment count — the sink wrote every vector exactly once."""
+    from sdg_data_catalog_spark.operators import similarity as sim
+    from sdg_data_catalog_spark.queries.ann_pq import N_CELLS, _normalized
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    census = {
+        int(r.cell_id): int(r.n_vectors)
+        for r in all_queries()["sink_ann_index"](spark, sf_dir).collect()
+    }
+    unit = _normalized(spark, sf_dir)
+    fresh = (
+        sim.ivf_assign(unit, N_CELLS)
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    want = {int(r.cell_id): int(r["count"]) for r in fresh}
+    assert census == want
+    assert sum(census.values()) == unit.count()
