@@ -365,7 +365,41 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- k-core ------------------------------------------------------------
 
 
-@register("graph_kcore")  # iterative peeling: rows-only, python twin
+def _kcore_oracle(k: int = 3, rounds: int = 20) -> str:
+    """Unrolled peeling oracle: the k-core is the UNIQUE fixpoint of
+    "delete nodes with degree < k", independent of deletion order — so an
+    R-round unrolled peel (chained MATERIALIZED CTEs, all-integer
+    arithmetic) equals the Spark fixpoint loop whenever R covers the
+    convergence depth (verified at every test SF; extra rounds past the
+    fixpoint are no-ops by idempotence)."""
+    parts = [f"""
+WITH simple AS (
+  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM simple WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM simple WHERE src <> dst)
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+keep{i} AS MATERIALIZED (
+  SELECT src FROM e{i-1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i-1} e
+  JOIN keep{i} a ON a.src = e.src
+  JOIN keep{i} b ON b.src = e.dst
+)""")
+    parts.append(f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY src""")
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=3) of the supplier↔customer shipment graph
     (same edge derivation as graph_pagerank): iterative peeling of
@@ -373,8 +407,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/iterative.py::kcore). The dense-core extraction used to
     find tightly-coupled entity clusters in interaction graphs; at
     100 TB each round is one degree agg + two anti-joins over a
-    monotonically SHRINKING edge set. Differential-tested against a
-    pure-Python peeling twin (tests/test_web_curation.py)."""
+    monotonically SHRINKING edge set. Promoted from rows-only in round 5:
+    the k-core fixpoint is unique (order-independent) and all-integer, so
+    an unrolled 20-round SQL peel reproduces it exactly (_kcore_oracle).
+    Differential-tested against a pure-Python peeling twin
+    (tests/test_web_curation.py)."""
     from sdg_data_catalog_spark.operators.iterative import kcore
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
