@@ -75,9 +75,10 @@ EXTENDED = (
     "join_geo_radius",
     "mm_phash_neardup",
     "udf_ner_score",
-    # round-5 additions (both sub-second steady at sf0.1, measured)
+    # round-5 additions (all sub-second steady at sf0.1, measured)
     "curation_dsir",
     "rank_rrf",
+    "sim_ann_indexed_topk",
 )
 
 # Headline set: the heaviest representative per operator family.
