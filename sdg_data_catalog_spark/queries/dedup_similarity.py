@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.functions.hashing import (
@@ -793,4 +794,90 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((F.col("jac") >= F.col("threshold")).cast("bigint")), F.lit(0)
             ).alias("n_pairs")
         )
+    )
+
+
+@register(
+    "dedup_apply_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_SQL},
+    {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    lens AS (SELECT doc_id, length(text) AS n FROM corpus),
+    canon AS (
+        SELECT component, doc_id AS canonical_id FROM (
+            SELECT c.component, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY l.n DESC, c.doc_id ASC) AS rn
+            FROM comp c JOIN lens l ON l.doc_id = c.doc_id) WHERE rn = 1
+    ),
+    mapped AS (SELECT c.doc_id, canon.canonical_id
+               FROM comp c JOIN canon ON canon.component = c.component),
+    singles AS (SELECT doc_id, doc_id AS canonical_id FROM corpus
+                WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(canonical_id AS BIGINT) AS canonical_id,
+           doc_id = canonical_id AS kept
+    FROM (SELECT * FROM mapped UNION ALL SELECT * FROM singles)
+    """,
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of the near-dup ladder — the operator that turns a
+    cluster decision into a corpus rewrite: every document maps to its
+    cluster's canonical representative (longest text wins, doc_id
+    tie-break — the quality-based survivorship rule curators actually
+    use, vs dedup_components' min-id convention), documents outside any
+    cluster map to themselves, and `kept` marks the survivors. The
+    output IS the dedup: filter kept for the corpus, or join
+    canonical_id to re-point references (the survivorship mapping a
+    warehouse keeps for lineage). Plan shape: the pair graph and
+    components come from the same blocked-Jaccard + min-label
+    propagation as dedup_components; canonical selection is ONE window
+    over the (cluster, member) frame — cluster-sized, not corpus-sized;
+    singleton mapping is a left-anti join. All keys and lengths are
+    integers — no float hashing risk."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = _near_dup_corpus(docs)
+    pairs = D.jaccard_pairs_blocked(corpus, threshold=0.6)
+    labels = D.connected_components(pairs)
+    lens = corpus.select("doc_id", F.length("text").alias("n"))
+    members = labels.join(lens, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("doc_id"))
+    canon = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("canonical_id"))
+    )
+    mapped = labels.join(F.broadcast(canon), "component").select(
+        "doc_id", "canonical_id"
+    )
+    singles = corpus.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("canonical_id")
+    )
+    return mapped.unionByName(singles).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
     )

@@ -192,6 +192,7 @@ _PRIORITY = (
     "ts_cusum_changepoint",
     "sink_ann_index",
     "sim_ann_indexed_topk",
+    "dedup_apply_canonical",
 )
 
 

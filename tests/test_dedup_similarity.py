@@ -340,3 +340,25 @@ def test_quantize_int8_error_bounded_by_half_step(spark, sf_dir):
         F.col("max_abs_err") > F.col("amax") / 254 + 1e-12
     ).count()
     assert bad == 0
+
+
+def test_apply_canonical_is_a_total_survivorship_mapping(spark, sf_dir):
+    """Every corpus doc appears exactly once; canonicals are self-mapped
+    survivors; each cluster keeps exactly one member and the planted
+    near-dup twins collapse (kept < total)."""
+    from sdg_data_catalog_spark.queries.dedup_similarity import (
+        _near_dup_corpus,
+        dedup_apply_canonical,
+    )
+    from sdg_data_catalog_spark.catalog import table
+
+    out = dedup_apply_canonical(spark, sf_dir).collect()
+    corpus_n = _near_dup_corpus(table(spark, sf_dir, "documents")).count()
+    assert len(out) == corpus_n
+    assert len({r.doc_id for r in out}) == corpus_n
+    canon_ids = {r.canonical_id for r in out}
+    kept_ids = {r.doc_id for r in out if r.kept}
+    assert canon_ids == kept_ids  # survivors are exactly the canonicals
+    for r in out:
+        assert r.kept == (r.doc_id == r.canonical_id)
+    assert len(kept_ids) < corpus_n  # planted twins actually collapsed
