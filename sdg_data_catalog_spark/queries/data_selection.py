@@ -806,3 +806,94 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("lift") * 1e6) / 1e6).alias("cusum_stat"),
         )
     )
+
+
+def _kcenter_oracle(k: int = 10) -> str:
+    """Unrolled greedy k-center (farthest-point traversal): like the MMR
+    oracle, the inherently sequential argmax loop becomes k chained
+    MATERIALIZED CTEs. Every distance is the same sequential fold on both
+    engines and the per-candidate distance-to-set is a MIN (order-free
+    comparison), so the selection reproduces bit-for-bit."""
+    dist = """list_sum(list_transform(range(1, 65),
+                 j -> (e.emb[j] - c.emb[j]) * (e.emb[j] - c.emb[j])))"""
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s1 AS MATERIALIZED (SELECT vec_id, emb, CAST(0 AS DOUBLE) AS d FROM e
+      ORDER BY vec_id ASC LIMIT 1),
+ch1 AS MATERIALIZED (SELECT vec_id, emb FROM s1)"""]
+    for i in range(2, k + 1):
+        prev = i - 1
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT vec_id, emb, d FROM (
+    SELECT e.vec_id, e.emb, MIN({dist}) AS d
+    FROM e CROSS JOIN ch{prev} c
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM ch{prev})
+    GROUP BY e.vec_id, e.emb)
+  ORDER BY d DESC, vec_id ASC LIMIT 1
+),
+ch{i} AS MATERIALIZED (SELECT vec_id, emb FROM ch{prev}
+       UNION ALL SELECT vec_id, emb FROM s{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, d FROM s{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"""
+SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(d, 6) AS dist2_to_set
+FROM ({union})""")
+    return "".join(parts)
+
+
+@register("sample_coreset_kcenter", oracle=_kcenter_oracle())
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    Gonzalez 1985 — the 2-approximation every diversity-coverage sampler
+    builds on): start from the lowest-id vector, then repeatedly add the
+    point FARTHEST from the chosen set (max over candidates of min
+    squared-L2 to any chosen). Where rank_mmr trades relevance against
+    redundancy over a retrieved pool, k-center is pure COVERAGE over the
+    whole corpus — the eval-set / annotation-budget sampler. Dataflow:
+    the chosen set stays a ≤k-row broadcast literal; each of the k
+    rounds is ONE map-side pass (codegen'd least-of-folds distance) plus
+    a TakeOrdered(1) — no pairwise matrix, no driver-side pool, so the
+    pattern survives 100 TB (production would run it on a pre-sampled
+    shard exactly like PQ codebook training; the per-round full pass is
+    the honest cost of the exact greedy). Distances are sequential
+    folds; argmax ties break on vec_id; the selection hash-matches an
+    unrolled-CTE SQL replay of the same greedy."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(1, int(seed.vec_id), 0.0, [float(x) for x in seed.emb])]
+    for rank in range(2, 11):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "emb",
+                    F.array(*[F.lit(v) for v in c_emb]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for (_, _, _, c_emb) in chosen
+        ]
+        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        picked = (
+            emb.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .select("vec_id", "emb", d.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]  # 1 row per round — bounded by design
+        )
+        chosen.append(
+            (rank, int(picked.vec_id), float(picked.d), [float(x) for x in picked.emb])
+        )
+    return spark.createDataFrame(
+        [(r, v, round(dd, 6)) for (r, v, dd, _) in chosen],
+        "rank INT, vec_id BIGINT, dist2_to_set DOUBLE",
+    )

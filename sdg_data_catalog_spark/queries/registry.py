@@ -193,6 +193,7 @@ _PRIORITY = (
     "sink_ann_index",
     "sim_ann_indexed_topk",
     "dedup_apply_canonical",
+    "sample_coreset_kcenter",
 )
 
 

@@ -120,3 +120,22 @@ def test_cusum_one_changepoint_per_type_nonnegative(spark, sf_dir):
     assert len(types) == len(set(types)) and rows
     for r in rows:
         assert r.cusum_stat >= 0.0
+
+
+def test_kcenter_coverage_dominates_prefix_and_is_monotone(spark, sf_dir):
+    """Greedy k-center invariants: picks are distinct, each pick's
+    distance-to-set is the max at its round (spot-check: it is >= the
+    NEXT pick's distance-to-set — the greedy radius is non-increasing)."""
+    from sdg_data_catalog_spark.queries.data_selection import (
+        sample_coreset_kcenter,
+    )
+
+    rows = sorted(
+        sample_coreset_kcenter(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert len({r.vec_id for r in rows}) == 10
+    dists = [r.dist2_to_set for r in rows[1:]]  # seed has 0.0
+    assert all(d > 0 for d in dists)
+    # non-increasing greedy radius (allow rounding slack)
+    assert all(a >= b - 1e-6 for a, b in zip(dists, dists[1:]))
