@@ -897,3 +897,74 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, v, round(dd, 6)) for (r, v, dd, _) in chosen],
         "rank INT, vec_id BIGINT, dist2_to_set DOUBLE",
     )
+
+
+@register(
+    "agg_tail_index_hill",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ),
+    thresh AS (SELECT CAST(n_chars AS DOUBLE) AS xk1 FROM ranked WHERE rnk = 101),
+    terms AS (
+      SELECT r.rnk, ln(CAST(r.n_chars AS DOUBLE) / t.xk1) AS term
+      FROM ranked r CROSS JOIN thresh t WHERE r.rnk <= 100
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           CAST((SELECT xk1 FROM thresh) AS BIGINT) AS x_threshold,
+           FLOOR(list_sum(list(term ORDER BY rnk)) / 100 * 1e6) / 1e6
+             AS hill_inv_alpha,
+           FLOOR(100 / list_sum(list(term ORDER BY rnk)) * 1e6) / 1e6
+             AS alpha
+    FROM terms
+    """,
+)
+def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the document-length tail index: over the top
+    k=100 order statistics, 1/α̂ = (1/k)·Σ ln(x_(i)/x_(k+1)) (Hill 1975)
+    — THE number behind every skew decision in this engine: α ≤ 2 means
+    the length distribution has infinite variance and partition-by-doc
+    plans need salting/AQE-skew handling (join_salted,
+    diag_partition_skew); α well above 2 means uniform chunking is safe.
+    Complements text_zipf_slope (vocabulary tail) and
+    agg_gini_concentration (mass concentration) with the extreme-value
+    view. Distributed shape: one TakeOrdered(k+1) over the corpus (no
+    global sort — the window in the oracle is the SQL spelling; Spark
+    runs a top-k heap), then k logs folded in rank order; every input is
+    an integer order statistic, so both engines fold identical doubles."""
+    docs = table(spark, sf_dir, "documents")
+    k = 100
+    top = (
+        docs.select("n_chars", "doc_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = top.select("n_chars", F.row_number().over(w).alias("rnk"))
+    thresh = ranked.filter(F.col("rnk") == k + 1).select(
+        F.col("n_chars").cast("double").alias("xk1")
+    )
+    terms = (
+        ranked.filter(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            "rnk",
+            F.log(F.col("n_chars").cast("double") / F.col("xk1")).alias("term"),
+            "xk1",
+        )
+    )
+    ssum = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("rnk"), F.col("term").alias("t")))),
+            lambda s: s.getField("t"),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return terms.groupBy().agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.any_value("xk1").cast("bigint").alias("x_threshold"),
+        (F.floor(ssum / k * 1e6) / 1e6).alias("hill_inv_alpha"),
+        (F.floor(k / ssum * 1e6) / 1e6).alias("alpha"),
+    )

@@ -194,6 +194,7 @@ _PRIORITY = (
     "sim_ann_indexed_topk",
     "dedup_apply_canonical",
     "sample_coreset_kcenter",
+    "agg_tail_index_hill",
 )
 
 

@@ -139,3 +139,19 @@ def test_kcenter_coverage_dominates_prefix_and_is_monotone(spark, sf_dir):
     assert all(d > 0 for d in dists)
     # non-increasing greedy radius (allow rounding slack)
     assert all(a >= b - 1e-6 for a, b in zip(dists, dists[1:]))
+
+
+def test_hill_matches_numpy_and_is_positive(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.data_selection import agg_tail_index_hill
+
+    row = agg_tail_index_hill(spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    x = np.sort(docs["n_chars"].to_numpy())[::-1].astype("float64")
+    k = 100
+    inv = float(np.log(x[:k] / x[k]).mean())
+    assert row.k == k and row.hill_inv_alpha > 0 and row.alpha > 0
+    assert abs(row.hill_inv_alpha - np.floor(inv * 1e6) / 1e6) < 2e-6
+    assert abs(row.alpha * row.hill_inv_alpha - 1.0) < 1e-3
