@@ -968,3 +968,102 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(ssum / k * 1e6) / 1e6).alias("hill_inv_alpha"),
         (F.floor(k / ssum * 1e6) / 1e6).alias("alpha"),
     )
+
+
+@register(
+    "dq_drift_ks",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+               AS period,
+             value
+      FROM events
+    ),
+    vc AS (
+      SELECT event_type, value,
+             COUNT(CASE WHEN period = 'a' THEN 1 END) AS ca,
+             COUNT(CASE WHEN period = 'b' THEN 1 END) AS cb
+      FROM tagged GROUP BY event_type, value
+    ),
+    tot AS (
+      SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+      FROM vc GROUP BY event_type
+    ),
+    cdf AS (
+      SELECT v.event_type,
+             SUM(v.ca) OVER (PARTITION BY v.event_type ORDER BY v.value
+                 ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(v.cb) OVER (PARTITION BY v.event_type ORDER BY v.value
+                 ROWS UNBOUNDED PRECEDING) AS cum_b,
+             t.na, t.nb
+      FROM vc v JOIN tot t ON t.event_type = v.event_type
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           FLOOR(MAX(abs(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_b AS DOUBLE) / nb)) * 1e6) / 1e6 AS ks_d,
+           MAX(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb))
+             > CAST(1.358 AS DOUBLE)
+               * sqrt((ANY_VALUE(na) + ANY_VALUE(nb))
+                      / (CAST(ANY_VALUE(na) AS DOUBLE) * ANY_VALUE(nb)))
+             AS drift
+    FROM cdf GROUP BY event_type
+    """,
+)
+def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on the event-value
+    distribution between ingest periods (first half of the month vs the
+    rest) — the FULL-distribution monitor beside dq_profile_drift's
+    Welch-z (mean shift only) and dq_divergence_js (categorical): KS
+    catches variance/shape changes that leave the mean untouched.
+    D = max_v |F_a(v) − F_b(v)| computed exactly: per-(type, value)
+    integer counts, two cumulative INTEGER sums over the value order
+    (exact regardless of window-combine strategy), one division per
+    distinct value, and an order-free MAX; the α=0.05 rejection
+    threshold is 1.358·√((n_a+n_b)/(n_a·n_b)). The windowed frame is
+    |types|×|distinct values| — the corpus is touched once by the
+    combinable count."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b").alias("period"),
+        "value",
+    )
+    vc = tagged.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("period") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("period") == "b", 1)).alias("cb"),
+    )
+    tot = vc.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = vc.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        "na", "nb",
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return cdf.groupBy("event_type").agg(
+        F.any_value("na").cast("bigint").alias("n_a"),
+        F.any_value("nb").cast("bigint").alias("n_b"),
+        (F.floor(F.max(diff) * 1e6) / 1e6).alias("ks_d"),
+        (
+            F.max(diff)
+            > F.lit(1.358)
+            * F.sqrt(
+                (F.any_value("na") + F.any_value("nb"))
+                / (F.any_value("na").cast("double") * F.any_value("nb"))
+            )
+        ).alias("drift"),
+    )

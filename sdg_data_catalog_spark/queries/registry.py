@@ -195,6 +195,7 @@ _PRIORITY = (
     "dedup_apply_canonical",
     "sample_coreset_kcenter",
     "agg_tail_index_hill",
+    "dq_drift_ks",
 )
 
 

@@ -155,3 +155,31 @@ def test_hill_matches_numpy_and_is_positive(spark, sf_dir):
     assert row.k == k and row.hill_inv_alpha > 0 and row.alpha > 0
     assert abs(row.hill_inv_alpha - np.floor(inv * 1e6) / 1e6) < 2e-6
     assert abs(row.alpha * row.hill_inv_alpha - 1.0) < 1e-3
+
+
+def test_ks_drift_matches_numpy_twin(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.data_selection import dq_drift_ks
+
+    rows = {r.event_type: r for r in dq_drift_ks(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cut = np.datetime64("2024-01-16")
+    for et, grp in ev.groupby("event_type"):
+        a = np.sort(grp.loc[grp["ts"].to_numpy() < cut, "value"].to_numpy())
+        b = np.sort(grp.loc[grp["ts"].to_numpy() >= cut, "value"].to_numpy())
+        vals = np.unique(np.concatenate([a, b]))
+        d = float(
+            np.max(
+                np.abs(
+                    np.searchsorted(a, vals, side="right") / len(a)
+                    - np.searchsorted(b, vals, side="right") / len(b)
+                )
+            )
+        )
+        r = rows[et]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert abs(r.ks_d - np.floor(d * 1e6) / 1e6) < 2e-6
+        crit = 1.358 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+        assert r.drift == (d > crit)
