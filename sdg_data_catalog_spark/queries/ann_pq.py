@@ -128,11 +128,15 @@ WHERE rnk <= 10
 """
 
 
-def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
     """The deterministic IVF-PQ build: (cents dict, codebooks ndarray,
     encoded DataFrame of (vec_id, cell_id, codes)). Shared by the
-    in-memory query path, the persisted-index sink, and the indexed
-    query path so all three provably compute the same index."""
+    in-memory query path, the persisted-index sink, the indexed query
+    path, and the incremental upsert so all of them provably compute the
+    same index. `subset` (an optional boolean Column over vec_id)
+    restricts WHICH vectors are encoded — the codebook/centroids always
+    derive from the full-corpus convention (vectors 0-31), which is what
+    makes incremental encoding consistent with the batch build."""
     import pandas as pd
 
     unit = _normalized(spark, sf_dir)
@@ -176,7 +180,12 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
                 }
             )
 
-    encoded = assigned.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
+    src = (
+        assigned
+        if subset is None
+        else sim.ivf_assign(unit.filter(subset), N_CELLS, centroids=cents_df)
+    )
+    encoded = src.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
     return cents, books, encoded
 
 
@@ -551,4 +560,63 @@ def sim_rerank_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("s1", 6).alias("stage1_score"),
         F.round("s2", 6).alias("stage2_score"),
+    )
+
+
+_ANN_CENSUS_ORACLE = f"""
+WITH {_NORM_SQL},
+cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+dist AS (
+  SELECT e.vec_id, c.cell_id,
+         list_sum(list_transform(range(1, 65),
+           i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+  FROM e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, cell_id ASC) AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assigned GROUP BY cell_id
+"""
+
+
+@register("etl_ann_index_upsert", oracle=_ANN_CENSUS_ORACLE)
+def etl_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the nightly-batch/streaming
+    story `sink_ann_index` needs to be operable: new vectors are encoded
+    with the FROZEN codebook (centroids + residual codewords derive from
+    vectors 0-31 by the deterministic convention, so they never drift as
+    data arrives) and APPENDED to the cell_id partitions; cells never
+    need rewriting because PQ codes are independent per vector. Here the
+    corpus arrives in two batches (even vec_ids, then odd); the oracle
+    recomputes the per-cell census of the FULL corpus from first
+    principles, so a green row proves incremental == batch exactly —
+    the frozen-quantizer invariant production systems rely on (retrain
+    = version a NEW index directory, exactly like the bucketed-layout
+    versioning). tests/test_ann_pq.py additionally proves per-row code
+    equality between this directory and sink_ann_index's batch build."""
+    import os
+    import shutil
+
+    out = _ann_index_dir(sf_dir) + "_incr"
+    marker = os.path.join(out, f"_ANN_LAYOUT_{_ANN_LAYOUT_VERSION}")
+    codes_path = os.path.join(out, "codes")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        _, _, enc_even = _ivfpq_parts(
+            spark, sf_dir, subset=(F.col("vec_id") % 2 == 0)
+        )
+        enc_even.write.partitionBy("cell_id").mode("overwrite").parquet(codes_path)
+        _, _, enc_odd = _ivfpq_parts(
+            spark, sf_dir, subset=(F.col("vec_id") % 2 == 1)
+        )
+        enc_odd.write.partitionBy("cell_id").mode("append").parquet(codes_path)
+        with open(marker, "w") as fh:
+            fh.write(_ANN_LAYOUT_VERSION)
+    codes = spark.read.parquet(codes_path)
+    return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
     )

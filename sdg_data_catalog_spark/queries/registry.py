@@ -196,6 +196,7 @@ _PRIORITY = (
     "sample_coreset_kcenter",
     "agg_tail_index_hill",
     "dq_drift_ks",
+    "etl_ann_index_upsert",
 )
 
 

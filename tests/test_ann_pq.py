@@ -199,3 +199,30 @@ def test_ann_index_census_matches_assignment(spark, sf_dir):
     want = {int(r.cell_id): int(r["count"]) for r in fresh}
     assert census == want
     assert sum(census.values()) == unit.count()
+
+
+def test_incremental_upsert_equals_batch_build(spark, sf_dir):
+    """Frozen-codebook invariant: the two-batch incremental index holds
+    EXACTLY the batch build's rows (vec_id, cell_id, codes) — not just
+    the same census."""
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ann_index_dir,
+        _ensure_ann_index,
+        etl_ann_index_upsert,
+    )
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    etl_ann_index_upsert(spark, sf_dir).collect()  # builds the _incr dir
+    batch_dir = _ensure_ann_index(spark, sf_dir)
+
+    def rows(path):
+        return sorted(
+            (int(r.vec_id), int(r.cell_id), tuple(r.codes))
+            for r in spark.read.parquet(os.path.join(path, "codes")).collect()
+        )
+
+    incr = rows(_ann_index_dir(sf_dir) + "_incr")
+    batch = rows(batch_dir)
+    assert incr == batch and len(batch) > 0
