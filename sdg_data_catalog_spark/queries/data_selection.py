@@ -1067,3 +1067,67 @@ def dq_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drift"),
     )
+
+
+@register(
+    "agg_top_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+             MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+             MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id
+      HAVING COUNT(*) = 3
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_users
+    FROM (
+      SELECT path, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS rnk
+      FROM paths GROUP BY path)
+    WHERE rnk <= 10
+    """,
+)
+def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening user journeys: each user's first three events (by
+    timestamp, event_id tie-break) concatenated into a path, counted
+    across users — the product-analytics readout `agg_markov_transitions`
+    can't give (full sequences vs pairwise transition rates; 'signup >
+    view > purchase' and 'view > signup > purchase' have identical
+    transition mass but very different funnels). Plan: one per-user rank
+    window, a pivot-style MAX(CASE) per position (deterministic — no
+    array-ordering ambiguity between engines), a combinable path count,
+    TakeOrdered top-10 with a path tie-break. Users with fewer than three
+    events are excluded (no partial paths). All integers and strings —
+    nothing floats."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.concat_ws(
+                ">",
+                F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+                F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+            ).alias("path"),
+        )
+        .filter(F.col("k") == 3)
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        counts.orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+        .select("path", F.col("n_users").cast("bigint").alias("n_users"))
+    )

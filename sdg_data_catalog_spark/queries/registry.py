@@ -197,6 +197,7 @@ _PRIORITY = (
     "agg_tail_index_hill",
     "dq_drift_ks",
     "etl_ann_index_upsert",
+    "agg_top_paths",
 )
 
 
