@@ -432,25 +432,30 @@ def test_fits_broadcast_footer_fast_path_and_memoized_count(spark, sf_dir):
     from sdg_data_catalog_spark.catalog import table
     from sdg_data_catalog_spark.queries import relational as R
 
-    def n_jobs():
+    def job_ids():
+        # Set, not count: the status tracker retains a bounded number of
+        # job ids (spark.ui.retainedJobs) and EVICTS old ones late in a
+        # long suite, so counts are non-monotonic — "did a NEW job run"
+        # must be asked as a set difference (eviction only removes ids
+        # from the before-set, never adds to the difference).
         ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
-        return len(ids or [])
+        return set(ids or [])
 
     orders = table(spark, sf_dir, "orders")
     # (a) footer fast path: orders at test sf is far under the 4M bound
-    before = n_jobs()
+    before = job_ids()
     assert R._fits_broadcast(sf_dir, "test_footer", "orders", orders) is True
-    assert n_jobs() == before  # no job — settled from the parquet footer
+    assert not (job_ids() - before)  # no job — settled from the parquet footer
 
     # (b) force the count path with a tiny bound: first probe runs ONE job,
     # the second is served from the memo
     key = "test_memo_bound"
-    before = n_jobs()
+    before = job_ids()
     assert R._fits_broadcast(sf_dir, key, "orders", orders, bound=1) is False
-    after_first = n_jobs()
-    assert after_first > before  # the count job ran
+    after_first = job_ids()
+    assert after_first - before  # the count job ran
     assert R._fits_broadcast(sf_dir, key, "orders", orders, bound=1) is False
-    assert n_jobs() == after_first  # memoized: no second job
+    assert not (job_ids() - after_first)  # memoized: no second job
     import os
 
     assert (os.path.abspath(sf_dir), key) in R._GATE_COUNTS
