@@ -1131,3 +1131,184 @@ def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("path", F.col("n_users").cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "text_boilerplate_df",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM tri GROUP BY source),
+    dfreq AS (
+      SELECT source, gram, COUNT(*) AS df FROM tri GROUP BY source, gram
+    )
+    SELECT d.source, d.gram, CAST(d.df AS BIGINT) AS df,
+           ROUND(CAST(d.df AS DOUBLE) / n.n_docs, 6) AS df_frac
+    FROM dfreq d JOIN nd n ON n.source = d.source
+    WHERE d.df >= 3
+    """,
+)
+def text_boilerplate_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate phrase detection: 3-grams whose document
+    frequency WITHIN a source crosses a threshold (df ≥ 3) — the CCNet /
+    trafilatura-style signal for nav bars, cookie banners, and template
+    footers that repeat across one domain's pages but are invisible to
+    corpus-wide line dedup (dedup_lines catches global repeats; a phrase
+    on 80% of ONE source's pages can still be globally rare). The report
+    is what feeds a per-domain strip list. Plan: per-doc DISTINCT grams
+    (a phrase counts once per doc), one combinable (source, gram) count,
+    a broadcast per-source doc-count join — the gram table is the only
+    corpus-sized intermediate and it shuffles once. Counts and the
+    df/n_docs fraction are exact integers and one division."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id", "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + F.lit(1)),
+                        F.element_at("t", i + F.lit(2)),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    nd = tri.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tri.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dfreq.filter(F.col("df") >= 3)
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source", "gram", F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 6).alias("df_frac"),
+        )
+    )
+
+
+@register(
+    "agg_dedup_impact_report",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, strpos(text, ' ') + 1) AS text
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.6
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    lens AS (SELECT doc_id, length(text) AS n FROM corpus),
+    canon AS (
+        SELECT component, doc_id AS canonical_id FROM (
+            SELECT c.component, c.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.component
+                       ORDER BY l.n DESC, c.doc_id ASC) AS rn
+            FROM comp c JOIN lens l ON l.doc_id = c.doc_id) WHERE rn = 1
+    ),
+    mapping AS (
+        SELECT c.doc_id, canon.canonical_id
+        FROM comp c JOIN canon ON canon.component = c.component
+        UNION ALL
+        SELECT doc_id, doc_id AS canonical_id FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.doc_id = m.canonical_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(l.n) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN m.doc_id = m.canonical_id THEN l.n ELSE 0 END)
+                AS BIGINT) AS chars_kept,
+           FLOOR(SUM(CASE WHEN m.doc_id = m.canonical_id THEN l.n ELSE 0 END)
+                 / CAST(SUM(l.n) AS DOUBLE) * 1e6) / 1e6 AS frac_chars_kept
+    FROM mapping m
+    JOIN lens l ON l.doc_id = m.doc_id
+    JOIN documents d ON d.doc_id = m.doc_id % 1000000
+    GROUP BY d.source
+    """,
+)
+def agg_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup dedup COSTS each source — the impact audit curators
+    read before shipping a dedup config: per source, documents and
+    characters before/after applying the canonical survivorship mapping
+    (same clusters/canonicals as `dedup_apply_canonical`, so the two
+    outputs reconcile row-for-row). A source whose frac_chars_kept
+    collapses is either a mirror/scrape-twin domain (working as
+    intended) or a false-positive hotspot (threshold too loose) — this
+    report is how you tell before the training run does. Planted twins
+    (doc_id + 1e6) inherit their original's source via doc_id % 1e6.
+    All counts and char sums are integers; one floor-truncated fraction."""
+    from sdg_data_catalog_spark.queries.dedup_similarity import (
+        dedup_apply_canonical,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    mapping = dedup_apply_canonical(spark, sf_dir)
+    corpus_lens = (
+        docs.select("doc_id", F.length("text").alias("n"))
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.length(
+                    F.expr("substr(text, instr(text, ' ') + 1)")
+                ).alias("n"),
+            )
+        )
+    )
+    src = docs.select(F.col("doc_id").alias("base_id"), "source")
+    joined = (
+        mapping.join(corpus_lens, "doc_id")
+        .withColumn("base_id", F.col("doc_id") % 1_000_000)
+        .join(F.broadcast(src), "base_id")
+    )
+    kept_chars = F.sum(F.when(F.col("kept"), F.col("n")).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n").cast("bigint").alias("chars_total"),
+        kept_chars.cast("bigint").alias("chars_kept"),
+        (F.floor(kept_chars / F.sum("n").cast("double") * 1e6) / 1e6)
+        .alias("frac_chars_kept"),
+    )

@@ -198,6 +198,8 @@ _PRIORITY = (
     "dq_drift_ks",
     "etl_ann_index_upsert",
     "agg_top_paths",
+    "text_boilerplate_df",
+    "agg_dedup_impact_report",
 )
 
 

@@ -183,3 +183,35 @@ def test_ks_drift_matches_numpy_twin(spark, sf_dir):
         assert abs(r.ks_d - np.floor(d * 1e6) / 1e6) < 2e-6
         crit = 1.358 * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
         assert r.drift == (d > crit)
+
+
+def test_dedup_impact_reconciles_with_apply_canonical(spark, sf_dir):
+    from sdg_data_catalog_spark.queries.data_selection import (
+        agg_dedup_impact_report,
+    )
+    from sdg_data_catalog_spark.queries.dedup_similarity import (
+        dedup_apply_canonical,
+    )
+
+    report = agg_dedup_impact_report(spark, sf_dir).collect()
+    mapping = dedup_apply_canonical(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in report) == len(mapping)
+    assert sum(r.n_kept for r in report) == sum(1 for m in mapping if m.kept)
+    for r in report:
+        assert 0 < r.n_kept <= r.n_docs
+        assert 0 < r.chars_kept <= r.chars_total
+        assert 0.0 < r.frac_chars_kept <= 1.0
+
+
+def test_boilerplate_df_counts_once_per_doc(spark, sf_dir):
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.data_selection import text_boilerplate_df
+
+    rows = text_boilerplate_df(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_src = docs.groupby("source")["doc_id"].nunique().to_dict()
+    for r in rows:
+        assert r.df >= 3
+        assert r.df <= per_src[r.source]  # distinct-per-doc, never inflated
+        assert abs(r.df_frac - round(r.df / per_src[r.source], 6)) < 1e-9
