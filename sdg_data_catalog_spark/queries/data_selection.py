@@ -1312,3 +1312,74 @@ def agg_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(kept_chars / F.sum("n").cast("double") * 1e6) / 1e6)
         .alias("frac_chars_kept"),
     )
+
+
+@register(
+    "text_novelty_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks WHERE len(t) >= 3
+    ),
+    df AS (SELECT gram, COUNT(*) AS df FROM tri GROUP BY gram)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novelty_rate
+    FROM tri t JOIN df ON df.gram = t.gram
+    GROUP BY t.doc_id
+    """,
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-grams
+    that appear in NO other document — the corpus-global originality
+    signal memorization studies threshold on (a doc whose phrasing is
+    entirely shared with the rest of the corpus adds no new sequences to
+    a training run; `dedup_containment` sees pairwise subset relations,
+    `text_boilerplate_df` sees per-source templates — this is the
+    global per-doc readout). Plan: per-doc DISTINCT grams, one
+    combinable gram document-frequency count, one hash join back, one
+    per-doc aggregation — two shuffles on the gram key total; counts
+    are integers, one exact division. At 100 TB the df table is the
+    shared intermediate a curation pipeline computes ONCE for
+    boilerplate + novelty + containment together."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tri = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + F.lit(1)),
+                        F.element_at("t", i + F.lit(2)),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        tri.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)).cast("double"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )

