@@ -1383,3 +1383,86 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_split_balance_chi2",
+    oracle="""
+    WITH folds AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 AS INTEGER) AS fold,
+             label
+      FROM embeddings
+    ),
+    grid AS (
+      SELECT fold, label, COUNT(*) AS o FROM folds GROUP BY fold, label
+    ),
+    nf AS (SELECT fold, SUM(o) AS n_f FROM grid GROUP BY fold),
+    nl AS (SELECT label, SUM(o) AS n_l FROM grid GROUP BY label),
+    tot AS (SELECT SUM(o) AS n FROM grid),
+    dense AS (
+      SELECT nf.fold, nl.label, COALESCE(g.o, 0) AS o,
+             CAST(nf.n_f AS DOUBLE) * nl.n_l / tot.n AS e
+      FROM nf CROSS JOIN nl CROSS JOIN tot
+      LEFT JOIN grid g ON g.fold = nf.fold AND g.label = nl.label
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_total,
+           CAST((5 - 1) * ((SELECT COUNT(*) FROM nl) - 1) AS BIGINT) AS dof,
+           FLOOR(list_sum(list((o - e) * (o - e) / e ORDER BY fold, label))
+                 * 1e6) / 1e6 AS chi2,
+           FLOOR(MAX(abs(o - e)) * 1e6) / 1e6 AS max_abs_dev
+    FROM dense
+    """,
+)
+def agg_split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence check between fold assignment and class
+    label — the audit that PROVES the hash-based splitter (split_kfold's
+    md5 % 5 convention, applied here to the labeled embeddings) did not
+    accidentally correlate folds with classes (a correlated split makes
+    every cross-validation score a lie). The (fold × label) grid is
+    densified (absent cells contribute their full expected count), the
+    chi2 sum is an ORDERED fold over the bounded grid, and expected
+    counts are exact integer-ratio doubles; max |o−e| rides along as the
+    human-readable worst cell. Everything downstream of ONE combinable
+    count over the corpus is metadata-sized."""
+    emb = table(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    grid = emb.select(fold.alias("fold"), "label").groupBy("fold", "label").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    nf = grid.groupBy("fold").agg(F.sum("o").alias("n_f"))
+    nl = grid.groupBy("label").agg(F.sum("o").alias("n_l"))
+    tot = grid.agg(F.sum("o").alias("n"))
+    dense = (
+        nf.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+        .join(grid, ["fold", "label"], "left")
+        .select(
+            "fold", "label",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("n_f").cast("double") * F.col("n_l") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    chi2 = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("fold"), F.col("label"), term.alias("t")))
+            ),
+            lambda s: s.getField("t"),
+        ),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    n_labels = F.size(F.collect_set("label"))
+    return dense.groupBy().agg(
+        F.any_value("n").cast("bigint").alias("n_total"),
+        ((5 - 1) * (n_labels - 1)).cast("bigint").alias("dof"),
+        (F.floor(chi2 * 1e6) / 1e6).alias("chi2"),
+        (F.floor(F.max(F.abs(F.col("o") - F.col("e"))) * 1e6) / 1e6).alias(
+            "max_abs_dev"
+        ),
+    )

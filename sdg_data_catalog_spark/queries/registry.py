@@ -201,6 +201,7 @@ _PRIORITY = (
     "text_boilerplate_df",
     "agg_dedup_impact_report",
     "text_novelty_rate",
+    "agg_split_balance_chi2",
 )
 
 

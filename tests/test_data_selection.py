@@ -237,3 +237,28 @@ def test_novelty_rate_bounds_and_boilerplate_complement(spark, sf_dir):
     bp = text_boilerplate_df(spark, sf_dir).collect()
     for b in bp:
         assert b.df >= 3
+
+
+def test_chi2_matches_scipy_free_twin(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from sdg_data_catalog_spark.queries.data_selection import (
+        agg_split_balance_chi2,
+    )
+
+    row = agg_split_balance_chi2(spark, sf_dir).collect()[0]
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    fold = emb["vec_id"].map(
+        lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 5
+    )
+    grid = pd.crosstab(fold, emb["label"]).to_numpy().astype("float64")
+    n = grid.sum()
+    e = np.outer(grid.sum(axis=1), grid.sum(axis=0)) / n
+    chi2 = float(((grid - e) ** 2 / e).sum())
+    assert row.n_total == int(n)
+    assert row.dof == (grid.shape[0] - 1) * (grid.shape[1] - 1)
+    assert abs(row.chi2 - np.floor(chi2 * 1e6) / 1e6) < 2e-5
+    assert row.max_abs_dev >= 0
