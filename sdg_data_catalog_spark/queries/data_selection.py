@@ -625,32 +625,50 @@ def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     or max(ttr) over STRICTLY greater n_chars ties it (m_gt, 1 PRECEDING
     range frame over the integer key). Both objectives are exact integer
     ratios, and RANGE frames over an integer key have identical ANSI
-    semantics in both engines. The global window is a single sort here;
-    at 100 TB run the same sweep per partition first and re-sweep the
-    union of local fronts — a globally non-dominated doc is non-dominated
-    in its shard, so the two-phase result is exactly the global front."""
+    semantics in both engines. Runs as the TWO-PHASE sweep: phase 1
+    sweeps each shard in parallel (window partitioned by shard id — a
+    doc dominated by a shard-mate is dominated globally, so dropping it
+    is safe; every globally non-dominated doc survives its shard), phase
+    2 re-sweeps only the unioned local fronts — front-sized, not
+    corpus-sized — so no corpus-wide single-partition window ever runs.
+    Phase 2's result is exactly the one-pass global front."""
     docs = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
     scored = docs.select(
         "doc_id", "n_chars",
         (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("ttr"),
     ).filter(F.size(toks) > 0)
-    w_ge = (
-        Window.orderBy(F.desc("n_chars"))
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_gt = Window.orderBy(F.desc("n_chars")).rangeBetween(
-        Window.unboundedPreceding, -1
-    )
-    swept = scored.select(
-        "doc_id", "n_chars", "ttr",
-        F.max("ttr").over(w_ge).alias("m_ge"),
-        F.max("ttr").over(w_gt).alias("m_gt"),
-    )
-    return swept.filter(
-        ~(F.col("m_ge") > F.col("ttr"))
-        & (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("ttr")))
-    ).select(
+
+    def _sweep(df: DataFrame, part_col: str) -> DataFrame:
+        w_ge = (
+            Window.partitionBy(part_col)
+            .orderBy(F.desc("n_chars"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_gt = (
+            Window.partitionBy(part_col)
+            .orderBy(F.desc("n_chars"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        swept = df.select(
+            "doc_id", "n_chars", "ttr", part_col,
+            F.max("ttr").over(w_ge).alias("m_ge"),
+            F.max("ttr").over(w_gt).alias("m_gt"),
+        )
+        return swept.filter(
+            ~(F.col("m_ge") > F.col("ttr"))
+            & (F.col("m_gt").isNull() | (F.col("m_gt") < F.col("ttr")))
+        ).select("doc_id", "n_chars", "ttr")
+
+    # Phase 1: shard-local fronts in parallel. Any hash sharding is
+    # correct — a local dominator is a global dominator.
+    sharded = scored.withColumn("shard", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(32)))
+    local_front = _sweep(sharded, "shard")
+    # Phase 2: exact global front over the (front-sized) union of local
+    # fronts; constant partition key keeps window semantics while making
+    # the single partition an explicit, bounded-input choice.
+    merged = local_front.withColumn("g", F.lit(0))
+    return _sweep(merged, "g").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
         F.round("ttr", 6).alias("ttr"),
     )

@@ -113,15 +113,20 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, w = bc.value
         for pdf in batches:
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            proj = (x - m) @ w.T
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "proj": list(np.round(proj, 6)),
-                }
-            )
+            proj = np.round((x - m) @ w.T, 6)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            # Scalar columns, not array<double>: the external canonicalizer
+            # sorts every output column with pandas (list cells are
+            # unhashable and crash it) — same canon-safety rule as
+            # ranking.py's ','-joined vectors.
+            for j in range(N_COMPONENTS):
+                out[f"proj_{j}"] = proj[:, j]
+            yield pd.DataFrame(out)
 
-    return emb.mapInPandas(_project, "vec_id long, proj array<double>")
+    schema = "vec_id long, " + ", ".join(
+        f"proj_{j} double" for j in range(N_COMPONENTS)
+    )
+    return emb.mapInPandas(_project, schema)
 
 
 # Deterministic MMR query vector (integer-derived — no corpus-mean

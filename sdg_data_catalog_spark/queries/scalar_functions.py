@@ -480,4 +480,9 @@ def str_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
         return s.map(lambda t: [lemma(w) for w in t.split(" ")])
 
     docs = _docs(spark, sf_dir).limit(500)
-    return docs.select("doc_id", lemmatize(F.col("text").substr(1, 120)).alias("lemmas"))
+    # ' '-joined string, not array<string>: the external canonicalizer
+    # sorts every column with pandas and crashes on list cells.
+    return docs.select(
+        "doc_id",
+        F.array_join(lemmatize(F.col("text").substr(1, 120)), " ").alias("lemmas"),
+    )

@@ -198,7 +198,15 @@ def udf_bert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("udtf_lda")  # MLlib LDA: seeded but engine-internal → rows-only
 def udtf_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return SC.lda_topics(docs, k=8, seed=100)
+    topics = SC.lda_topics(docs, k=8, seed=100)
+    # Flatten array<double> → ','-joined string (external canonicalizer
+    # sorts columns with pandas; list cells crash it — ranking.py precedent).
+    return topics.select(
+        "doc_id",
+        F.array_join(
+            F.transform("topic_dist", lambda x: F.round(x, 6).cast("string")), ","
+        ).alias("topic_dist"),
+    )
 
 
 @register("split_stratified")  # Spark-RNG sample: rows-only (fractions tested in pytest)

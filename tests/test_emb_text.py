@@ -39,9 +39,8 @@ def test_pca_matches_numpy_twin(spark, sf_dir):
     order = np.argsort(vals)[::-1][:8]
     comps = vecs[:, order].T
     expect = (x - mean) @ comps.T
-    got = np.stack(
-        out.set_index("vec_id").loc[emb["vec_id"]]["proj"].to_numpy()
-    )
+    proj_cols = [f"proj_{j}" for j in range(8)]
+    got = out.set_index("vec_id").loc[emb["vec_id"]][proj_cols].to_numpy()
     # components are sign-ambiguous: align each column's sign first
     for j in range(8):
         if np.dot(got[:, j], expect[:, j]) < 0:
