@@ -329,15 +329,30 @@ def cmd_sql(args: argparse.Namespace) -> dict[str, Any]:
         summary["output"] = args.output
         # Count what was written rather than re-executing the user's
         # statement a second time (heavy ad-hoc SQL would otherwise run
-        # twice — once for the sink, once for the count).
-        reader = spark.read
-        if args.format == "parquet":
-            written = reader.parquet(args.output)
-        elif args.format == "jsonl":
-            written = reader.json(args.output)
-        else:
-            written = reader.option("header", True).csv(args.output)
-        summary["rows"] = written.count()
+        # twice — once for the sink, once for the count). Read-back counts
+        # are only trustworthy for parquet: a zero-row json/csv output has
+        # no schema to infer (AnalysisException), and csv rows containing
+        # embedded newlines miscount without multiLine. For those formats
+        # count the written files through the parquet-free path: jsonl/csv
+        # read back with the sunk DataFrame's own schema and multiLine-safe
+        # options; fall back to df.count() if the read-back fails.
+        try:
+            reader = spark.read
+            if args.format == "parquet":
+                written = reader.parquet(args.output)
+            elif args.format == "jsonl":
+                written = reader.schema(df.schema).json(args.output)
+            else:
+                written = (
+                    reader.schema(df.schema)
+                    .option("header", True)
+                    .option("multiLine", True)
+                    .option("escape", '"')
+                    .csv(args.output)
+                )
+            summary["rows"] = written.count()
+        except Exception:  # zero-row non-parquet output: nothing to infer
+            summary["rows"] = df.count()
     else:
         shown = df.limit(args.show).collect()
         for r in shown:

@@ -177,7 +177,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 5) -> DataFra
     return ranks
 
 
-def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50, require_fixpoint: bool = False) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete nodes
     of (undirected) degree < k until a fixpoint — the dense-subgraph
     extraction used for community cores and spam/botnet detection over
@@ -214,7 +214,14 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-    # max_rounds exceeded (can't happen: each round deletes ≥1 node or
-    # returns) — surface whatever survived rather than looping forever
+    # max_rounds exceeded. With require_fixpoint (set when an unrolled
+    # fixed-depth oracle must match bit-for-bit) this is an error — a
+    # non-fixpoint result would silently disagree with (or worse, only
+    # coincidentally agree with) the oracle's unroll depth.
+    if require_fixpoint:
+        raise RuntimeError(
+            f"kcore did not converge within {max_rounds} rounds; "
+            "raise max_rounds (and the oracle unroll depth) together"
+        )
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     return deg.select(F.col("src").alias("node"), "degree")

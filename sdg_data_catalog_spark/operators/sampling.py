@@ -29,3 +29,29 @@ def stratified_split(
 def sample_fraction(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Plain Bernoulli sample (data_transformation.py:119-125 seed pool)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def stratified_split_hash(
+    df: DataFrame, stratum_col: str, train_fraction: float, key_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) by deterministic hash ranking — the reproducible twin
+    of `stratified_split`: within each stratum, rank rows by
+    md5(key) (tie-broken by the key itself) and take the first
+    floor(train_fraction·n_s) as train. Engine- and run-independent
+    (no RNG, no partitioning sensitivity), so the same split can be
+    recomputed anywhere — the property a training pipeline actually needs
+    from a split. One hash-partitioned window per stratum; the per-stratum
+    size rides the same window as a COUNT frame (no second scan)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    w_n = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_ns", F.count(F.lit(1)).over(w_n)
+    )
+    cut = F.floor(F.lit(train_fraction) * F.col("_ns"))
+    train = ranked.filter(F.col("_rn") <= cut).drop("_rn", "_ns")
+    test = ranked.filter(F.col("_rn") > cut).drop("_rn", "_ns")
+    return train, test

@@ -13,12 +13,22 @@ Replaces/extends SURVEY.md §4.3 item 2 (embedding ANN top-k).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DIM = 64
 N_PLANES = 8
+
+
+def round6(x: float) -> float:
+    """Half-away-from-zero rounding to 6 dp — the repo's cross-engine
+    convention (DuckDB ROUND and Spark F.round are both HALF_UP/away).
+    Python's built-in round() is banker's (half-even): a value landing
+    exactly on a 1e-6 half-boundary would hash-mismatch the oracle."""
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -186,7 +196,7 @@ def cosine_neardup_pairs(
                     if c >= threshold:
                         out_a.append(lo)
                         out_b.append(hi)
-                        out_s.append(round(c, 6))
+                        out_s.append(round6(c))
             yield pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                                 "id_b": pd.Series(out_b, dtype="int64"),
                                 "cos_sim": pd.Series(out_s, dtype="float64")})
@@ -420,7 +430,7 @@ def mmr_select(
         remaining.remove(best_i)
     spark = embeddings.sparkSession
     out = [
-        (r + 1, int(ids[i]), round(float(rel[i]), 6), round(float(scores[r]), 6))
+        (r + 1, int(ids[i]), round6(float(rel[i])), round6(float(scores[r])))
         for r, i in enumerate(chosen)
     ]
     return spark.createDataFrame(
@@ -493,7 +503,7 @@ def mmr_select_exact(
         remaining.remove(best_i)
     spark = embeddings.sparkSession
     out = [
-        (r + 1, ids[i], round(rel[i], 6), round(scores[r], 6))
+        (r + 1, ids[i], round6(rel[i]), round6(scores[r]))
         for r, i in enumerate(chosen)
     ]
     return spark.createDataFrame(

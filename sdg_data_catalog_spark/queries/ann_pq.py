@@ -153,7 +153,11 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
         key=lambda r: int(r.vec_id),
     )
     m, k, dsub = 16, 16, 4
-    books = np.empty((m, k, dsub), dtype=np.float64)
+    if len(book_rows) != k:
+        raise ValueError(
+            f"IVF-PQ codebook init needs vec_ids 16..31 present; got {len(book_rows)}"
+        )
+    books = np.zeros((m, k, dsub), dtype=np.float64)
     for r in book_rows:
         j = int(r.vec_id) - 16
         res_j = np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
@@ -404,7 +408,10 @@ def sim_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.kind == "centroid"
     }
     m, k, dsub = 16, 16, 4
-    books = np.empty((m, k, dsub), dtype=np.float64)
+    n_cw = sum(1 for r in meta if r.kind == "codebook")
+    if n_cw != m * k:
+        raise ValueError(f"ANN index meta holds {n_cw} codewords, expected {m * k}")
+    books = np.zeros((m, k, dsub), dtype=np.float64)
     for r in meta:
         if r.kind == "codebook":
             books[int(r.idx) // k][int(r.idx) % k] = np.asarray(
@@ -471,7 +478,11 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: int(r.vec_id),
     )
     m, k, dsub = 16, 16, 4
-    books = np.empty((m, k, dsub), dtype=np.float64)
+    if len(cw_rows) != k:
+        raise ValueError(
+            f"PQ codebook init needs vec_ids 0..15 present; got {len(cw_rows)}"
+        )
+    books = np.zeros((m, k, dsub), dtype=np.float64)
     for r in cw_rows:
         vec = np.asarray(r.embedding, dtype=np.float64)
         for s in range(m):

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators.similarity import round6
 from sdg_data_catalog_spark.queries.registry import register
 
 # Deterministic 64-dim query vector (the udf_bert_classify integer-derived
@@ -912,7 +913,7 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rank, int(picked.vec_id), float(picked.d), [float(x) for x in picked.emb])
         )
     return spark.createDataFrame(
-        [(r, v, round(dd, 6)) for (r, v, dd, _) in chosen],
+        [(r, v, round6(dd)) for (r, v, dd, _) in chosen],
         "rank INT, vec_id BIGINT, dist2_to_set DOUBLE",
     )
 

@@ -159,6 +159,7 @@ _PRIORITY = (
     "cluster_kmeans",
     "graph_pagerank",
     "graph_kcore",
+    "split_stratified",  # promoted to a full oracle in r6 (md5-ranked split)
     # round-6 registrations are appended here as they land (oracle-verified
     # plain-session before staging)
     # rows-only names (no oracle — a driver visit records only spark_rows);
@@ -167,7 +168,6 @@ _PRIORITY = (
     "diag_rowgroup_stats",
     "etl_column_crypto",
     "udtf_lda",
-    "split_stratified",
 )
 
 

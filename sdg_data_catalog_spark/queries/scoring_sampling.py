@@ -209,15 +209,41 @@ def udtf_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("split_stratified")  # Spark-RNG sample: rows-only (fractions tested in pytest)
+@register(
+    "split_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS ns
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rn <= CAST(floor(0.85 * ns) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
 def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/test split, promoted to a full oracle in round 6:
+    re-implemented on the md5-ranked per-stratum window
+    (operators/sampling.py::stratified_split_hash — the deterministic
+    mechanism sample_stratified_exact already proved driver-green) with a
+    FRACTION per stratum instead of an exact n. Exactly
+    floor(0.85·n_s) docs per language land in train, the rest in test —
+    reproducible across engines, runs, and partitionings, which is the
+    property a training pipeline needs from a split (the RNG
+    `stratified_split` remains for API parity and is property-tested)."""
     docs = table(spark, sf_dir, "documents")
-    train, test = SM.stratified_split(docs, "lang", 0.85, key_cols=["doc_id"])
+    train, test = SM.stratified_split_hash(docs, "lang", 0.85, key_col="doc_id")
     return (
         train.select("lang", F.lit("train").alias("split"))
         .unionByName(test.select("lang", F.lit("test").alias("split")))
         .groupBy("lang", "split")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 

@@ -394,7 +394,9 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality constraint suite — what a catalog runs per ingest batch
     before publishing a snapshot (reference analog: the ad-hoc sanity
     queries around utils/db_connection.py; the engine makes them one
-    declarative job). Six checks in three jobs, each scale-shaped:
+    declarative job). Six checks, one aggregate pass per table (PK/domain
+    checks fold into a single agg and unpivot via stack) plus the two
+    anti-join FK probes, each scale-shaped:
 
       - PK uniqueness = COUNT(*) − COUNT(DISTINCT pk) per table, folded
         into ONE aggregate per table (no self-join);
@@ -410,42 +412,39 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
-    o_stats = orders.agg(
+    # ONE aggregate per table, then unpivot with stack — each table's check
+    # family rides a single scan (selecting two columns of the same agg as
+    # separate union branches would re-execute the scan+agg subtree).
+    o_checks = orders.agg(
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("bigint").alias("pk_dup"),
         F.count(F.when(F.col("o_orderdate").isNull(), 1)).cast("bigint").alias("null_date"),
+    ).selectExpr(
+        "stack(2, 'orders_pk_unique', pk_dup, 'orders_date_not_null', null_date)"
+        " as (check_name, violations)"
     )
-    c_stats = customer.agg(
+    c_checks = customer.agg(
         (F.count(F.lit(1)) - F.count_distinct("c_custkey")).cast("bigint").alias("pk_dup")
-    )
-    li_stats = li.agg(
+    ).select(F.lit("customer_pk_unique").alias("check_name"), F.col("pk_dup").alias("violations"))
+    li_checks = li.agg(
         F.count(
             F.when(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1)
         ).cast("bigint").alias("bad_qty")
-    )
+    ).select(F.lit("lineitem_qty_positive").alias("check_name"), F.col("bad_qty").alias("violations"))
     li_orphans = (
         li.select("l_orderkey")
         .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("lineitem_fk_orders").alias("check_name"), "violations")
     )
     o_orphans = (
         orders.select("o_custkey")
         .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("orders_fk_customer").alias("check_name"), "violations")
     )
-    rows = [
-        ("orders_pk_unique", o_stats.select("pk_dup")),
-        ("customer_pk_unique", c_stats.select("pk_dup")),
-        ("lineitem_fk_orders", li_orphans),
-        ("orders_fk_customer", o_orphans),
-        ("lineitem_qty_positive", li_stats),
-        ("orders_date_not_null", o_stats.select("null_date")),
-    ]
-    out = None
-    for name, df in rows:
-        piece = df.select(
-            F.lit(name).alias("check_name"), F.col(df.columns[0]).alias("violations")
-        )
-        out = piece if out is None else out.unionByName(piece)
+    out = o_checks
+    for piece in (c_checks, li_checks, li_orphans, o_orphans):
+        out = out.unionByName(piece)
     return out.orderBy("check_name")
 
 

@@ -424,7 +424,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return kcore(edges, k=3).orderBy("node")
+    # max_rounds pinned to the oracle's unroll depth + require_fixpoint:
+    # if the graph ever needed more peel rounds than the oracle encodes,
+    # this errors loudly instead of hash-mismatching (or silently agreeing
+    # on a shared non-fixpoint).
+    return kcore(edges, k=3, max_rounds=20, require_fixpoint=True).orderBy("node")
 
 
 # --- keyword extraction ------------------------------------------------
