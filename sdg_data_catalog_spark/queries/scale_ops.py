@@ -499,7 +499,22 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     2026-08-14): join-then-agg 1.35-1.42 s vs pre-agg 1.75-1.99 s,
     identical results. Contrast q18_bucketed, where the per-orderkey
     agg IS the query and stays. This is the plan a warehouse runs daily
-    at 100 TB: every orderkey join rides the ingest-time layout."""
+    at 100 TB: every orderkey join rides the ingest-time layout.
+
+    Component-floor profile at sf10 (r6, interleaved min-of-5 with GC
+    barriers): build leg (orders scan → broadcast-cust probe → project)
+    0.51 s; probe leg (shipdate-filtered lineitem scan + bare agg)
+    0.21 s; full plan 1.69 s — so ~1.0 s is the 6M-build/18M-probe
+    bucket-local hash join itself. Join-strategy A/B at sf10 (min-of-4
+    interleaved): shuffle_hash 1.83 s, sort-merge 2.00 s, broadcast-ordn
+    5.35 s (a 6M-row broadcast build dwarfs the join it removes) —
+    shuffle_hash on the bucketed layout IS the winning physical plan;
+    the residual vs DuckDB (~0.6 s total) is the single-JVM columnar
+    hash-join constant, not a plan defect. The same interleaved run also
+    re-measured adhoc-vs-bucketed at BOTH tiers: bucketed wins at sf0.1
+    too (0.40 vs 0.51 s) — the r5 bench's contrary reading (headline
+    0.75 vs adhoc 0.49) was run-order noise (headline ran first/cold),
+    so the layout routing stays tier-independent."""
     _ensure_bucketed_tables(spark, sf_dir)
     sfn = _sf_name(sf_dir)
     li = spark.table(f"li_bkt_{sfn}")
