@@ -6,16 +6,22 @@ JPEG payloads previously dead-ended in ``NotImplementedError``
 sequential DCT process of ITU-T T.81 — enough to decode real-world
 baseline JFIF files and to emit spec-conformant files other decoders read:
 
-* **decode**: SOF0/SOF1 (baseline + extended sequential, 8-bit), arbitrary
-  1-2× chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 / grey), Huffman tables
-  from the stream's own DHT segments, restart markers (DRI/RSTn), byte
-  stuffing, JFIF/EXIF APPn skipping. Progressive (SOF2) and arithmetic
-  coding are rejected with a clear error (Pillow remains the runtime
-  fallback for those, when present).
-* **encode**: baseline 4:4:4 (or single-component grey), Annex-K example
-  quantization tables scaled by an IJG-style quality knob, Annex-K typical
-  Huffman tables. Deterministic bytes — differential tests can recompute
-  payloads exactly on any host.
+* **decode**: SOF0/SOF1/SOF2 (baseline + extended sequential +
+  progressive, 8-bit), arbitrary 1-2× chroma subsampling (4:4:4 / 4:2:2 /
+  4:2:0 / grey), Huffman tables from the stream's own DHT segments,
+  restart markers (DRI/RSTn), byte stuffing, JFIF/EXIF APPn skipping.
+  Progressive scans (spectral selection + successive approximation,
+  T.81 G.2 — added round 6, closing the codec tail) accumulate into
+  coefficient stores and reconstruct at EOI. Only arithmetic coding and
+  hierarchical/lossless processes remain rejected with a clear error.
+* **encode**: baseline 4:4:4 (or single-component grey) via
+  ``jpeg_encode``; progressive SOF2 via ``jpeg_encode_progressive`` (the
+  standard DC/AC successive-approximation ladder, per-block EOB flush so
+  the Annex-K typical tables suffice). Annex-K example quantization
+  tables scaled by an IJG-style quality knob. Deterministic bytes —
+  differential tests can recompute payloads exactly on any host, and the
+  progressive and baseline encodings of the same array must decode to
+  IDENTICAL pixels.
 
 All table constants below are from the public spec (ITU-T T.81 Annex K).
 DCT is the orthonormal 8×8 DCT-II as two matrix products — vectorized
@@ -247,7 +253,10 @@ def _extend(value: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential JFIF to uint8 (H, W[, 3]) RGB."""
+    """Decode a baseline / extended-sequential / progressive (SOF0/1/2)
+    Huffman JFIF to uint8 (H, W[, 3]) RGB. Progressive scans (spectral
+    selection + successive approximation, ITU-T T.81 G.2) accumulate into
+    per-component coefficient stores and reconstruct at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -255,6 +264,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
     frame = None  # (h, w, components)
     restart_interval = 0
+    progressive = False
+    coefs = None  # per-component zigzag coefficient stores (progressive)
+    geom = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -290,7 +302,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)] = _build_huffman_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            progressive = marker == 0xC2
             depth, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if depth != 8:
                 raise ValueError(f"unsupported JPEG bit depth {depth}")
@@ -299,11 +312,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF marker 0xFF{marker:02X}); "
-                "this codec reads baseline/extended sequential Huffman only"
+                "this codec reads baseline/extended-sequential/progressive "
+                "Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -311,15 +325,214 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = {}
+            if not progressive:
+                scan = {}
+                for i in range(ns):
+                    cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan[cs] = (tables >> 4, tables & 0xF)
+                return _decode_scan(
+                    data, pos + seglen, frame, qt, huff, scan, restart_interval
+                )
+            scomps = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan[cs] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                data, pos + seglen, frame, qt, huff, scan, restart_interval
+                scomps.append((cs, tables >> 4, tables & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs, geom = _alloc_coef_stores(frame)
+            pos = _progressive_scan(
+                data, pos + seglen, frame, huff, scomps,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval, coefs, geom,
             )
+            continue
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_coefs(frame, qt, coefs, geom)
     raise ValueError("JPEG contained no scan")
+
+
+def _alloc_coef_stores(frame):
+    """Per-component zigzag coefficient arrays sized to the interleaved
+    MCU grid (padding blocks included, so interleaved DC scans can write
+    them), plus the shared geometry tuple."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32) for c in comps
+    ]
+    return coefs, (hmax, vmax, mcus_x, mcus_y)
+
+
+def _ac_first(reader, tbl, coef, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block's band (T.81 G.1.2.2 /
+    classic decode_mcu_AC_first shape). Returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(tbl)
+        r, s = sym >> 4, sym & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC index overflow")
+            coef[k] = _extend(reader.read_bits(s), s) << al
+        elif r == 15:
+            k += 15  # ZRL: 16 zeros with the loop increment
+        else:
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.read_bits(r)
+            return eobrun - 1  # this block is a member of the EOB run
+        k += 1
+    return 0
+
+
+def _ac_refine(reader, tbl, coef, ss, se, al, eobrun):
+    """Progressive AC refinement for one block's band (T.81 G.1.2.3 /
+    classic decode_mcu_AC_refine shape): newly nonzero coefficients
+    arrive as ±1<<al; already-nonzero ones receive a correction bit.
+    Returns the updated EOB run."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode_symbol(tbl)
+            r, s = sym >> 4, sym & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("bad progressive AC refinement symbol")
+                s = p1 if reader.read_bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                break  # rest of the band is EOB-run territory below
+            # advance over r still-zero coefs, correcting nonzero ones
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bits(1) and (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                coef[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits through the rest of the band
+            if coef[k] != 0:
+                if reader.read_bits(1) and (int(coef[k]) & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(data, pos, frame, huff, scomps, ss, se, ah, al,
+                      restart_interval, coefs, geom):
+    """Decode one progressive scan into the coefficient stores; returns
+    the stream position of the marker that ended the scan. Interleaved
+    scans (ns > 1) are DC-only per T.81; AC scans are single-component
+    and traverse that component's own block raster."""
+    h, w, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    if len(scomps) == 1:
+        cid, td, ta = scomps[0]
+        ci = idx[cid]
+        c = comps[ci]
+        # non-interleaved geometry: ceil(ceil(dim·samp/max)/8)
+        nb_w = -(-(-(-w * c["h"] // hmax)) // 8)
+        nb_h = -(-(-(-h * c["v"] // vmax)) // 8)
+        tbl = huff.get((0, td)) if ss == 0 else huff.get((1, ta))
+        if tbl is None and not (ss == 0 and ah > 0):
+            raise ValueError("JPEG scan references a missing Huffman table")
+        dc_pred = 0
+        n = 0
+        for by in range(nb_h):
+            for bx in range(nb_w):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    dc_pred, eobrun = 0, 0
+                coef = coefs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        size = reader.decode_symbol(tbl)
+                        dc_pred += _extend(reader.read_bits(size), size)
+                        coef[0] = dc_pred << al
+                    elif reader.read_bits(1):
+                        coef[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(reader, tbl, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(reader, tbl, coef, ss, se, al, eobrun)
+                n += 1
+    else:
+        if ss != 0:
+            raise ValueError("interleaved progressive scans must be DC-only")
+        dc_pred = {cid: 0 for cid, _, _ in scomps}
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    reader.restart()
+                    dc_pred = {cid: 0 for cid, _, _ in scomps}
+                for cid, td, _ta in scomps:
+                    ci = idx[cid]
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                tbl = huff[(0, td)]
+                                size = reader.decode_symbol(tbl)
+                                dc_pred[cid] += _extend(
+                                    reader.read_bits(size), size
+                                )
+                                coef[0] = dc_pred[cid] << al
+                            elif reader.read_bits(1):
+                                coef[0] |= 1 << al
+                n += 1
+    return reader.pos
+
+
+def _reconstruct_coefs(frame, qt, coefs, geom):
+    """Dequantize + IDCT the accumulated coefficient stores and assemble
+    the image — the progressive twin of _decode_scan's per-block tail,
+    vectorized over all blocks at once."""
+    h, w, comps = frame
+    hmax, vmax, _mx, _my = geom
+    full = []
+    for ci, c in enumerate(comps):
+        zz = coefs[ci].astype(np.float64)  # (by, bx, 64)
+        by, bx = zz.shape[:2]
+        blocks = np.zeros((by, bx, 8, 8), np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = zz
+        blocks *= qt[c["tq"]]
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
@@ -591,4 +804,206 @@ def jpeg_encode(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder ------------------------------------------------
+
+
+def _enc_dc_first(writer, dc_enc, dc, pred, al):
+    """DC initial scan: encode (dc >> al) - pred; returns the new pred."""
+    t = int(dc) >> al  # arithmetic shift — the spec's DC point transform
+    size, raw = _magnitude(t - pred)
+    length, code = dc_enc[size]
+    writer.write(code, length)
+    if size:
+        writer.write(raw, size)
+    return t
+
+
+def _enc_ac_first(writer, ac_enc, zz, ss, se, al):
+    """AC initial scan for one block's band. EOB runs are flushed per
+    block (EOB0 only), so the Annex-K typical tables — which carry no
+    EOBn>0 codes — suffice."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]
+            writer.write(code, length)
+            run -= 16
+        size, raw = _magnitude(t if v >= 0 else -t)
+        length, code = ac_enc[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(raw, size)
+        run = 0
+    if run > 0:
+        length, code = ac_enc[0x00]  # EOB0
+        writer.write(code, length)
+
+
+def _enc_ac_refine(writer, ac_enc, zz, ss, se, al):
+    """AC refinement scan for one block's band (T.81 G.2 / classic
+    encode_mcu_AC_refine shape): newly nonzero coefficients emit a
+    (run,1) symbol + sign bit; already-nonzero ones buffer a correction
+    bit appended after the next emitted symbol. Per-block EOB0 flush."""
+    absv = []
+    eob = ss - 1  # position of the last newly-nonzero coefficient
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (-v if v < 0 else v) >> al
+        absv.append(t)
+        if t == 1:
+            eob = k
+    run = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            length, code = ac_enc[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:  # already nonzero at the prior precision
+            br.append(t & 1)
+            continue
+        length, code = ac_enc[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(0 if int(zz[k]) < 0 else 1, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        length, code = ac_enc[0x00]  # EOB0 + trailing correction bits
+        writer.write(code, length)
+        for bit in br:
+            writer.write(bit, 1)
+
+
+def jpeg_encode_progressive(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a uint8 (H, W) grey or (H, W, 3) RGB array as PROGRESSIVE
+    JFIF (SOF2), 4:4:4 / single-component only. Scan script (the standard
+    two-level successive-approximation ladder):
+
+      1. DC initial, all components interleaved, Al=1
+      2. DC refinement, interleaved, Ah=1 Al=0
+      3. per component: AC initial   Ss=1 Se=63 Al=1
+      4. per component: AC refinement Ss=1 Se=63 Ah=1 Al=0
+
+    Coefficients are identical to the baseline encoder's at the same
+    quality, so `jpeg_decode(jpeg_encode_progressive(x))` must equal
+    `jpeg_decode(jpeg_encode(x))` EXACTLY — the differential contract
+    tests/test_jpegcodec.py pins."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg_encode_progressive expects uint8")
+    grey = arr.ndim == 2
+    if not grey and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    ql = _scale_quant(QUANT_LUMA, quality)
+    qc = _scale_quant(QUANT_CHROMA, quality)
+    if grey:
+        planes, qtabs = [arr.astype(np.float64)], [ql]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [ql, qc, qc]
+    ncomp = len(planes)
+    nb_x, nb_y = -(-w // 8), -(-h // 8)
+    # quantized zigzag coefficients for every block of every component
+    zz_all = []
+    for p, q in zip(planes, qtabs):
+        p = np.pad(p, ((0, nb_y * 8 - h), (0, nb_x * 8 - w)), mode="edge")
+        zz = np.empty((nb_y, nb_x, 64), np.int64)
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeff = _DCT @ (block - 128.0) @ _DCT.T
+                zz[by, bx] = np.round(coeff / q)[_ZZ_ROWS, _ZZ_COLS]
+        zz_all.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, tbl in ((0, ql),) if grey else ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(tbl[r, c]) for r, c in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+    tables = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (1, 0, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not grey:
+        tables += [
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, th, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    dc_enc = [_build_huffman_encode(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_enc = [_build_huffman_encode(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not grey:
+        dc_enc += [_build_huffman_encode(DC_CHROMA_BITS, DC_CHROMA_VALS)] * 2
+        ac_enc += [_build_huffman_encode(AC_CHROMA_BITS, AC_CHROMA_VALS)] * 2
+
+    def sos_header(comps_spec, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps_spec), len(comps_spec))
+        for cid, td, ta in comps_spec:
+            hdr += bytes([cid, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC initial, interleaved, Al=1
+    out += sos_header([(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(nb_y):
+        for bx in range(nb_x):
+            for ci in range(ncomp):
+                pred[ci] = _enc_dc_first(wtr, dc_enc[ci], zz_all[ci][by, bx, 0], pred[ci], 1)
+    wtr.flush()
+    out += wtr.out
+    # scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits, no tables)
+    out += sos_header([(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(nb_y):
+        for bx in range(nb_x):
+            for ci in range(ncomp):
+                wtr.write(int(zz_all[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # scans 3/4 per component: AC initial (Al=1) then AC refinement (Ah=1 Al=0)
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        out += sos_header([(ci + 1, 0, ta)], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                _enc_ac_first(wtr, ac_enc[ci], zz_all[ci][by, bx], 1, 63, 1)
+        wtr.flush()
+        out += wtr.out
+        out += sos_header([(ci + 1, 0, ta)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                _enc_ac_refine(wtr, ac_enc[ci], zz_all[ci][by, bx], 1, 63, 0)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

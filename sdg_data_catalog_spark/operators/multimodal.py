@@ -142,10 +142,12 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     environment-dependent). Baseline JPEG payloads likewise decode through
     the self-contained codec (operators/jpegcodec.py) and re-encode as PNG
     (lossless output side — resizing shouldn't add a second generation
-    loss). Remaining formats (WebP, progressive JPEG, ...) fall back to
-    Pillow when importable; otherwise NotImplementedError naming the
-    missing codec. Errors are raised lazily per batch — plan construction
-    never fails."""
+    loss); since round 6 that includes PROGRESSIVE (SOF2) JPEG — the
+    codec ladder no longer has an environment-dependent branch for any
+    Huffman JPEG process. Remaining formats (WebP, arithmetic-coded
+    JPEG, ...) fall back to Pillow when importable; otherwise
+    NotImplementedError naming the missing codec. Errors are raised
+    lazily per batch — plan construction never fails."""
     data = bytes(payload)
     from sdg_data_catalog_spark.operators import imagecodec
 
@@ -160,7 +162,7 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         try:
             arr = jpegcodec.jpeg_decode(data)
         except ValueError:
-            arr = None  # e.g. progressive — try Pillow below
+            arr = None  # e.g. arithmetic-coded — try Pillow below
         if arr is not None:
             return imagecodec.png_encode(
                 imagecodec.resize_nearest(arr, width, height)

@@ -79,15 +79,50 @@ def test_encode_deterministic():
     assert jc.jpeg_encode(img, 90) == jc.jpeg_encode(img, 90)
 
 
-def test_decode_rejects_progressive_and_garbage():
+def test_decode_rejects_arithmetic_and_garbage():
     with pytest.raises(ValueError, match="SOI"):
         jc.jpeg_decode(b"\x00\x01\x02")
     data = jc.jpeg_encode(synthetic_image(1, 16), 90)
-    # flip SOF0 -> SOF2 (progressive); marker bytes can't occur in the
-    # entropy segment (0xFF is stuffed) and q90 quant values stay < 0xC0
+    # flip SOF0 -> SOF9 (arithmetic-coded sequential); marker bytes can't
+    # occur in the entropy segment (0xFF is stuffed) and q90 quant values
+    # stay < 0xC0
     assert data.count(b"\xff\xc0") == 1
-    with pytest.raises(ValueError, match="baseline"):
-        jc.jpeg_decode(data.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError, match="Huffman"):
+        jc.jpeg_decode(data.replace(b"\xff\xc0", b"\xff\xc9"))
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (24, 40, 3), (13, 17, 3), (8, 8), (64, 64, 3)]
+)
+def test_progressive_decodes_identical_to_baseline(shape):
+    """The progressive encoding quantizes to the SAME coefficients as the
+    baseline encoding, so both streams must reconstruct IDENTICAL pixels —
+    an exact differential between two completely different entropy paths
+    (interleaved sequential vs spectral-selection + successive
+    approximation with EOB runs and refinement bits)."""
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    img = (img.astype(np.int32) // 2 + 64).astype(np.uint8)  # tame sizes
+    prog_bytes = jc.jpeg_encode_progressive(img, quality=85)
+    assert b"\xff\xc2" in prog_bytes[:256]  # SOF2 frame header
+    base = jc.jpeg_decode(jc.jpeg_encode(img, quality=85))
+    prog = jc.jpeg_decode(prog_bytes)
+    assert base.shape == prog.shape
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_synthetic_image_roundtrip():
+    """End-to-end on the repo's synthetic corpus image + codec-ladder
+    integration: a progressive payload resizes through _resize_payload
+    without Pillow (the branch is no longer environment-dependent)."""
+    img = synthetic_image(42, 24)
+    prog_bytes = jc.jpeg_encode_progressive(img, quality=90)
+    assert _err(jc.jpeg_decode(prog_bytes), img) < 4.0
+    png = MM._resize_payload(prog_bytes, 16, 16)
+    expect = imagecodec.png_encode(
+        imagecodec.resize_nearest(jc.jpeg_decode(prog_bytes), 16, 16)
+    )
+    assert png == expect
 
 
 def test_noise_roundtrip_high_quality():
