@@ -546,7 +546,8 @@ def etl_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard warehouse dim-build."""
     docs = table(spark, sf_dir, "documents")
     dim = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.orderBy("source")
+    # bounded input (distinct dimension); explicit constant partition
+    w = Window.partitionBy(F.lit(0)).orderBy("source")
     return dim.select(
         "source",
         F.row_number().over(w).cast("bigint").alias("source_sk"),

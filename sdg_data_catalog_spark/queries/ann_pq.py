@@ -565,7 +565,8 @@ def sim_rerank_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("embedding"), t_lit).alias("s2"),
     )
     top = scored.orderBy(F.col("s1").desc(), F.col("vec_id").asc()).limit(20)
-    w = Window.orderBy(F.col("s2").desc(), F.col("vec_id").asc())
+    # bounded input (top-20); explicit constant partition
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("s2").desc(), F.col("vec_id").asc())
     return top.select(
         F.row_number().over(w).cast("int").alias("rerank"),
         "vec_id",

@@ -191,7 +191,7 @@ def etl_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("source").distinct()
     # Tiny dimension (distinct domains): a single-partition window here is
     # bounded by domain cardinality, never by corpus size.
-    sw = Window.orderBy("source")
+    sw = Window.partitionBy(F.lit(0)).orderBy("source")
     src = src.select(
         "source",
         (F.row_number().over(sw) - 1).alias("sidx"),

@@ -62,6 +62,9 @@ def _dot64(col, weights):
     )
 
 
+_RRF_TOP_C = 1000  # per-retriever candidate-list truncation
+
+
 @register(
     "rank_rrf",
     oracle=f"""
@@ -73,18 +76,31 @@ def _dot64(col, weights):
                  i -> CAST(e.embedding[i] AS DOUBLE) * ({_QVEC_SQL})[i])) AS sem
       FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     ),
-    ranked AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY lex_tf DESC, doc_id ASC) AS lex_rank,
-             ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id ASC) AS sem_rank
-      FROM joined
+    lex AS (
+      SELECT doc_id, rn AS lex_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY lex_tf DESC, doc_id ASC) AS rn
+        FROM joined) WHERE rn <= {_RRF_TOP_C}
+    ),
+    sem AS (
+      SELECT doc_id, rn AS sem_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id ASC) AS rn
+        FROM joined) WHERE rn <= {_RRF_TOP_C}
+    ),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(1.0 / (60 + lex.lex_rank), 0)
+               + COALESCE(1.0 / (60 + sem.sem_rank), 0) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
     )
     SELECT doc_id,
            CAST(lex_rank AS INTEGER) AS lex_rank,
            CAST(sem_rank AS INTEGER) AS sem_rank,
-           ROUND(1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank), 6) AS rrf
-    FROM ranked
-    ORDER BY 1.0 / (60 + lex_rank) + 1.0 / (60 + sem_rank) DESC, doc_id ASC
+           ROUND(rrf, 6) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id ASC
     LIMIT 20
     """,
 )
@@ -92,12 +108,16 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval rankings — lexical (term
     frequency of the query term, map-side token filter) and semantic
     (embedding dot product with the fixed query vector) — rrf(d) =
-    Σ 1/(k + rank_i(d)), k=60, the parameter-free fusion that wins when
-    score SCALES are incomparable but rank orders both carry signal.
-    Plan shape: one doc⋈emb equi-join, two global rank windows over the
-    candidate set (at 100 TB the windows run over each retriever's
-    ALREADY-truncated top-k, thousands of rows, never the corpus — here
-    the full set IS the candidate set), TakeOrdered top-20. Both ranks
+    Σ 1/(k + rank_i(d)), k=60, over each retriever's TOP-C candidate
+    list (C=1000), the parameter-free fusion that wins when score SCALES
+    are incomparable but rank orders both carry signal. The truncation
+    is enforced BY CONSTRUCTION (r6): each list is cut with
+    TakeOrderedAndProject (per-partition local top-C, then a C-row
+    driver-side merge — never a corpus-wide window), ranks are assigned
+    on the ≤C survivors with an explicit bounded-input single-partition
+    window, and the lists fuse by full outer join with absent ranks
+    contributing 0 — the standard truncated-RRF semantics. At 100 TB
+    nothing in this plan grows past C rows after the scans. Both ranks
     carry unique tie-breaks, so the fused order is total."""
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
@@ -107,17 +127,29 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: t == F.lit("data"))).alias("lex_tf"),
         _dot64(F.col("embedding"), _QVEC).alias("sem"),
     )
-    ranked = joined.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(F.desc("lex_tf"), F.asc("doc_id")))
-        .cast("int").alias("lex_rank"),
-        F.row_number().over(Window.orderBy(F.desc("sem"), F.asc("doc_id")))
-        .cast("int").alias("sem_rank"),
+
+    def _toplist(score_col: str, rank_name: str) -> DataFrame:
+        top = (
+            joined.select("doc_id", score_col)
+            .orderBy(F.desc(score_col), F.asc("doc_id"))
+            .limit(_RRF_TOP_C)  # TakeOrderedAndProject — no global window
+        )
+        w = (
+            Window.partitionBy(F.lit(0))  # explicit bounded single partition
+            .orderBy(F.desc(score_col), F.asc("doc_id"))
+        )
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias(rank_name)
+        )
+
+    lex = _toplist("lex_tf", "lex_rank")
+    sem = _toplist("sem", "sem_rank")
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("sem_rank")), F.lit(0.0)
     )
-    rrf = 1.0 / (60 + F.col("lex_rank")) + 1.0 / (60 + F.col("sem_rank"))
     return (
-        ranked.select("doc_id", "lex_rank", "sem_rank",
-                      F.round(rrf, 6).alias("rrf"))
+        fused.select("doc_id", "lex_rank", "sem_rank", F.round(rrf, 6).alias("rrf"))
         .orderBy(rrf.desc(), F.asc("doc_id"))
         .limit(20)
     )
@@ -960,7 +992,8 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(k + 1)
     )
-    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    # bounded input (k+1 rows); explicit constant partition
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_chars"), F.asc("doc_id"))
     ranked = top.select("n_chars", F.row_number().over(w).alias("rnk"))
     thresh = ranked.filter(F.col("rnk") == k + 1).select(
         F.col("n_chars").cast("double").alias("xk1")
