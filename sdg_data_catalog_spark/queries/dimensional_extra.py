@@ -1,0 +1,376 @@
+"""Round-6 operator batch: dimensional-warehouse and rule-mining surface.
+
+Four operators a catalog/warehouse engine is expected to carry that the
+registry did not yet: a Type-2 slowly-changing dimension build
+(`etl_scd2_dimension`), a binned interval-overlap range join
+(`join_interval_overlap` — the "range join" custom-operator class Spark
+has no native operator for), association rules with confidence/lift on
+top of the frequent-pair miner (`fpm_assoc_rules`), and a per-language
+tokenizer-fertility audit (`agg_tokenizer_fertility` — the
+tokens-per-word statistic multilingual LLM data work sizes corpora by).
+
+All four carry full DuckDB oracles. Conventions: timestamps surface as
+epoch MICROSECONDS (`unix_micros` ≡ `epoch_us`, the repo-wide rule for
+cross-engine timestamp hashing), ratios are exact integer-count ratios
+rounded to 6 dp on both sides, and every output is scalar-typed (driver
+canonicalization is scalar-only).
+
+Reference analog: none direct — the reference is a flat pandas/SQLite
+pipeline; this is new-engine surface in the SURVEY §2.11 north-star
+class (warehouse dimension maintenance, range joins, rule mining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+
+@register(
+    "etl_scd2_dimension",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE user_id % 3 = 0
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts_us,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id) AS prev_type
+      FROM ev
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id,
+           event_type AS status,
+           CAST(ts_us AS BIGINT) AS valid_from_us,
+           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                AS BIGINT) AS valid_to_us,
+           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                IS NULL AS INTEGER) AS is_current
+    FROM changes
+    """,
+)
+def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build from a change stream: each
+    user's event_type sequence becomes versioned dimension rows with
+    [valid_from, valid_to) validity — consecutive identical states
+    collapse, the open row carries is_current=1. THE dimensional-
+    warehouse maintenance pattern (Kimball SCD2) expressed as two
+    per-user windows: a LAG to detect state changes and a LEAD to close
+    each version's interval. Both windows are hash-partitioned by
+    user_id — at 100 TB this is one shuffle by the dimension key, no
+    global ordering anywhere. Validity bounds surface as epoch
+    microseconds (the repo's cross-engine timestamp convention); the
+    user_id % 3 filter bounds the driver comparison, the operator itself
+    is corpus-wide. Ties broken by event_id so the version order is
+    total."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", ts_us.alias("ts_us"), "event_id"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    valid_to = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts_us").cast("bigint").alias("valid_from_us"),
+        valid_to.cast("bigint").alias("valid_to_us"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+_PAD_US = 600_000_000  # ±10 min interval pad
+_GAP_US = 1_800_000_000  # 30-min session gap
+_BUCKET_US = 3_600_000_000  # 1-hour bin for the range join
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                    OR ts_us - LAG(ts_us) OVER w > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WHERE user_id % 7 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             SUM(new_s) OVER (PARTITION BY user_id
+                 ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, MIN(ts_us) - {_PAD_US} AS lo, MAX(ts_us) + {_PAD_US} AS hi
+      FROM sess GROUP BY user_id, sid
+    ),
+    ivb AS (
+      SELECT user_id, lo, hi, UNNEST(range(lo // {_BUCKET_US},
+                                           hi // {_BUCKET_US} + 1)) AS bkt
+      FROM iv
+    ),
+    err AS (
+      SELECT ts_us, ts_us // {_BUCKET_US} AS bkt FROM ev
+      WHERE event_type = 'error'
+    )
+    SELECT i.user_id,
+           CAST(i.lo AS BIGINT) AS lo_us,
+           CAST(i.hi AS BIGINT) AS hi_us,
+           CAST(COUNT(e.ts_us) AS BIGINT) AS n_err
+    FROM ivb i LEFT JOIN err e
+      ON e.bkt = i.bkt AND e.ts_us BETWEEN i.lo AND i.hi
+    GROUP BY i.user_id, i.lo, i.hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap RANGE JOIN, the custom-operator class Spark has
+    no native operator for: per-user activity sessions (30-min gap,
+    padded ±10 min) probed against the corpus-wide error stream — "how
+    many errors landed inside each user's active window". A naive
+    theta-join (ts BETWEEN lo AND hi) is a broadcast-nested-loop — a
+    corpus × corpus disaster at scale. The scalable shape is BINNING:
+    each interval explodes into its covered 1-hour buckets
+    (intervals are gap-bounded, so the fan-out per interval is small and
+    bounded by interval length / bucket width), each point maps to
+    exactly ONE bucket, and the join becomes a hash equi-join on bucket
+    followed by the exact containment filter. No point can match an
+    interval twice (one bucket per point), so counts need no dedup.
+    Sessionization is the standard gap-flag + running-sum pair of
+    per-user windows. LEFT join keeps zero-overlap intervals — the
+    monitoring answer needs them."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    mine = ev.filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = mine.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("sid", F.sum("new_s").over(w_run))
+    iv = sess.groupBy("user_id", "sid").agg(
+        (F.min("ts_us") - _PAD_US).alias("lo"),
+        (F.max("ts_us") + _PAD_US).alias("hi"),
+    )
+    ivb = iv.select(
+        "user_id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_US),
+                F.floor(F.col("hi") / _BUCKET_US),
+            )
+        ).alias("bkt"),
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts_us").alias("err_ts_us"),
+            F.floor(F.col("ts_us") / _BUCKET_US).alias("err_bkt"),
+        )
+    )
+    joined = ivb.join(
+        err,
+        (F.col("bkt") == F.col("err_bkt"))
+        & F.col("err_ts_us").between(F.col("lo"), F.col("hi")),
+        "left",
+    )
+    return joined.groupBy("user_id", "lo", "hi").agg(
+        F.count("err_ts_us").cast("bigint").alias("n_err")
+    ).select(
+        "user_id",
+        F.col("lo").cast("bigint").alias("lo_us"),
+        F.col("hi").cast("bigint").alias("hi_us"),
+        "n_err",
+    )
+
+
+_MIN_SUPPORT = 0.002
+
+
+@register(
+    "fpm_assoc_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+    singles AS (
+      SELECT l_suppkey AS item, COUNT(*) AS freq FROM b GROUP BY l_suppkey
+    ),
+    pairs AS (
+      SELECT a.l_suppkey AS ia, c.l_suppkey AS ib, COUNT(*) AS fab
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_suppkey < c.l_suppkey
+      GROUP BY a.l_suppkey, c.l_suppkey
+    ),
+    freq_pairs AS (
+      SELECT ia, ib, fab FROM pairs, nb
+      WHERE fab >= CEIL({_MIN_SUPPORT} * n)
+    ),
+    rules AS (
+      SELECT ia AS ante, ib AS cons, fab FROM freq_pairs
+      UNION ALL
+      SELECT ib AS ante, ia AS cons, fab FROM freq_pairs
+    )
+    SELECT CAST(r.ante AS VARCHAR) AS antecedent,
+           CAST(r.cons AS VARCHAR) AS consequent,
+           CAST(r.fab AS BIGINT) AS pair_freq,
+           ROUND(CAST(r.fab AS DOUBLE) / sa.freq, 6) AS confidence,
+           ROUND((CAST(r.fab AS DOUBLE) * nb.n)
+                 / (CAST(sa.freq AS DOUBLE) * sb.freq), 6) AS lift
+    FROM rules r
+    JOIN singles sa ON sa.item = r.ante
+    JOIN singles sb ON sb.item = r.cons
+    CROSS JOIN nb
+    """,
+)
+def fpm_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with confidence and lift over the supplier
+    baskets — the decision layer on top of `fpm_frequent_pairs`: each
+    frequent pair (a,b) yields both directed rules with
+    confidence(a→b) = supp(ab)/supp(a) and lift = supp(ab)·n /
+    (supp(a)·supp(b)). Everything derives from exact integer counts, so
+    both engines compute identical doubles (one product, one division —
+    no fold-order sensitivity). Scale shape: distinct (basket, item)
+    projection, one map-side-combined singles count, pair counting as a
+    self equi-join on the basket key restricted to FREQUENT items first
+    (Apriori monotonicity: an infrequent item cannot appear in a
+    frequent pair, so the pre-filter provably changes nothing while
+    bounding the join width by the frequent-item universe), then two
+    broadcast joins against the metadata-sized singles table. MLlib's
+    FPGrowth associationRules is the model-driven twin; this is the
+    hash-verifiable closed form."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_suppkey").distinct()
+    n_orders = b.select(F.count_distinct("l_orderkey").alias("n"))
+    singles = b.groupBy(F.col("l_suppkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    thresh = F.ceil(F.lit(_MIN_SUPPORT) * F.col("n"))
+    # Apriori pre-filter: both members of a frequent pair are frequent
+    freq_items = singles.crossJoin(F.broadcast(n_orders)).filter(
+        F.col("freq") >= thresh
+    ).select("item")
+    bf = b.join(
+        F.broadcast(freq_items), b.l_suppkey == freq_items.item
+    ).select("l_orderkey", "l_suppkey")
+    a, c = bf.alias("a"), bf.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("c.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("ia"), F.col("c.l_suppkey").alias("ib")
+        )
+        .agg(F.count(F.lit(1)).alias("fab"))
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("fab") >= thresh)
+    )
+    rules = pairs.select(
+        F.col("ia").alias("ante"), F.col("ib").alias("cons"), "fab", "n"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("ante"), F.col("ia").alias("cons"), "fab", "n"
+        )
+    )
+    sa = singles.select(F.col("item").alias("ante"), F.col("freq").alias("fa"))
+    sb = singles.select(F.col("item").alias("cons"), F.col("freq").alias("fb"))
+    out = rules.join(F.broadcast(sa), "ante").join(F.broadcast(sb), "cons")
+    return out.select(
+        F.col("ante").cast("string").alias("antecedent"),
+        F.col("cons").cast("string").alias("consequent"),
+        F.col("fab").cast("bigint").alias("pair_freq"),
+        F.round(F.col("fab").cast("double") / F.col("fa"), 6).alias("confidence"),
+        F.round(
+            (F.col("fab").cast("double") * F.col("n"))
+            / (F.col("fa").cast("double") * F.col("fb")),
+            6,
+        ).alias("lift"),
+    )
+
+
+_TOK_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+@register(
+    "agg_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(lower(text), '{_TOK_RE}')) AS toks,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(toks) AS DOUBLE) / SUM(words), 6) AS fertility,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(toks), 6)
+             AS chars_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def agg_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit — tokens-per-word and
+    chars-per-token under a BPE-ish word-piece proxy (lowercase letter
+    runs, single digits, single punctuation marks — the pre-tokenizer
+    split every BPE/WordPiece vocabulary starts from). Fertility is THE
+    statistic multilingual LLM data work sizes corpora by: a language
+    with fertility 2× the corpus mean pays 2× the context budget per
+    word, which drives per-language sampling quotas
+    (sample_domain_quota) and token-budget planning (plan_token_budget).
+    Entirely map-side (regexp count per row, no explode — the token
+    ARRAY never materializes in the shuffle) into a |languages|-row
+    aggregate; all ratios are exact integer-count ratios rounded on both
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("words"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{_TOK_RE}', 0)")
+        ).alias("toks"),
+        "n_chars",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("toks").cast("double") / F.sum("words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("toks"), 6
+        ).alias("chars_per_token"),
+    )

@@ -59,6 +59,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.ml_eval_extra",
     "sdg_data_catalog_spark.queries.analytics_extra",
     "sdg_data_catalog_spark.queries.data_selection",
+    "sdg_data_catalog_spark.queries.dimensional_extra",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -160,8 +161,12 @@ _PRIORITY = (
     "graph_pagerank",
     "graph_kcore",
     "split_stratified",  # promoted to a full oracle in r6 (md5-ranked split)
-    # round-6 registrations are appended here as they land (oracle-verified
-    # plain-session before staging)
+    # round-6 registrations (dimensional_extra.py) — oracle-verified at
+    # sf0.001/0.01/0.1 before staging
+    "etl_scd2_dimension",
+    "join_interval_overlap",
+    "fpm_assoc_rules",
+    "agg_tokenizer_fertility",
     # rows-only names (no oracle — a driver visit records only spark_rows);
     # staged after every oracle-backed name has an official row
     "mm_phash_neardup",
