@@ -79,6 +79,13 @@ EXTENDED = (
     "curation_dsir",
     "rank_rrf",
     "sim_ann_indexed_topk",
+    # round-6 additions (all ≤1.3 s steady at sf0.1, measured; pareto is
+    # the two-phase sweep, dq_constraints above is the single-pass form)
+    "etl_scd2_dimension",
+    "join_interval_overlap",
+    "fpm_assoc_rules",
+    "agg_tokenizer_fertility",
+    "curation_pareto_front",
 )
 
 # Headline set: the heaviest representative per operator family.
