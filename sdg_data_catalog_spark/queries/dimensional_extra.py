@@ -22,6 +22,8 @@ class (warehouse dimension maintenance, range joins, rule mining).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -257,50 +259,78 @@ def fpm_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence(a→b) = supp(ab)/supp(a) and lift = supp(ab)·n /
     (supp(a)·supp(b)). Everything derives from exact integer counts, so
     both engines compute identical doubles (one product, one division —
-    no fold-order sensitivity). Scale shape: distinct (basket, item)
-    projection, one map-side-combined singles count, pair counting as a
-    self equi-join on the basket key restricted to FREQUENT items first
-    (Apriori monotonicity: an infrequent item cannot appear in a
-    frequent pair, so the pre-filter provably changes nothing while
-    bounding the join width by the frequent-item universe), then two
-    broadcast joins against the metadata-sized singles table. MLlib's
-    FPGrowth associationRules is the model-driven twin; this is the
+    no fold-order sensitivity). Scale shape: ONE basket aggregate
+    (collect_set per order — the oracle's DISTINCT projection), items
+    pruned to the FREQUENT universe first (Apriori monotonicity: an
+    infrequent item cannot appear in a frequent pair, so the pre-filter
+    provably changes nothing; the frequent-item list is bounded by
+    avg_basket/minSupport regardless of corpus size — the
+    fpm_frequent_pairs bound), then pairs generated IN-ROW from each
+    basket's sorted item array (map-side combinatorics, bounded by
+    basket size² — no self shuffle join anywhere) into one
+    map-side-combined pair count. Rule stats come from two broadcast
+    joins against the metadata-sized singles table. MLlib's FPGrowth
+    associationRules is the model-driven twin; this is the
     hash-verifiable closed form."""
     li = table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_suppkey").distinct()
-    n_orders = b.select(F.count_distinct("l_orderkey").alias("n"))
-    singles = b.groupBy(F.col("l_suppkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("freq")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("all_items")
     )
-    thresh = F.ceil(F.lit(_MIN_SUPPORT) * F.col("n"))
-    # Apriori pre-filter: both members of a frequent pair are frequent
-    freq_items = singles.crossJoin(F.broadcast(n_orders)).filter(
-        F.col("freq") >= thresh
-    ).select("item")
-    bf = b.join(
-        F.broadcast(freq_items), b.l_suppkey == freq_items.item
-    ).select("l_orderkey", "l_suppkey")
-    a, c = bf.alias("a"), bf.alias("c")
-    pairs = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("c.l_suppkey")),
+    # The basket table feeds FOUR consumers (n, singles, the frequent-item
+    # collect, pair expansion) — persist around them, then localCheckpoint
+    # the two SMALL derived tables (result-sized: frequent pairs and the
+    # item census) so the returned plan never re-runs the heavy lineage
+    # (the FPGrowthModel.freqItemsets lesson from fpm_frequent_pairs).
+    baskets = baskets.persist()
+    try:
+        n_val = baskets.count()
+        thresh_val = math.ceil(_MIN_SUPPORT * n_val)
+        singles = (
+            baskets.select(F.explode("all_items").alias("item"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .localCheckpoint(eager=True)
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("ia"), F.col("c.l_suppkey").alias("ib")
+        # Bounded driver read (≤ avg_basket/minSupport items at any scale —
+        # the same bounded-scalar class as the fpm_frequent_pairs collect)
+        flist = sorted(
+            r.item for r in singles.filter(F.col("freq") >= thresh_val).collect()
         )
-        .agg(F.count(F.lit(1)).alias("fab"))
-        .crossJoin(F.broadcast(n_orders))
-        .filter(F.col("fab") >= thresh)
-    )
+        fl_arr = (
+            F.array(*[F.lit(x) for x in flist])
+            if flist
+            else F.array(F.lit(-1).cast("bigint"))
+        )
+        items = F.sort_array(F.array_intersect("all_items", fl_arr))
+        pair_structs = (
+            "flatten(transform(items, (x, i) ->"
+            " transform(slice(items, i + 2, size(items)),"
+            " y -> struct(x AS ia, y AS ib))))"
+        )
+        pairs = (
+            baskets.select(items.alias("items"))
+            .select(F.explode(F.expr(pair_structs)).alias("p"))
+            .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+            .agg(F.count(F.lit(1)).alias("fab"))
+            .filter(F.col("fab") >= thresh_val)
+            .withColumn("n", F.lit(n_val))
+            .localCheckpoint(eager=True)  # result-sized: frequent pairs only
+        )
+    finally:
+        baskets.unpersist()
+    # Both rule directions via ONE explode — a union of two selects over
+    # `pairs` would execute the pair-counting self-join subtree twice
+    # (the dq_constraints r5 lesson).
     rules = pairs.select(
-        F.col("ia").alias("ante"), F.col("ib").alias("cons"), "fab", "n"
-    ).unionByName(
-        pairs.select(
-            F.col("ib").alias("ante"), F.col("ia").alias("cons"), "fab", "n"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("ia").alias("ante"), F.col("ib").alias("cons")),
+                F.struct(F.col("ib").alias("ante"), F.col("ia").alias("cons")),
+            )
+        ).alias("r"),
+        "fab",
+        "n",
+    ).select("r.ante", "r.cons", "fab", "n")
     sa = singles.select(F.col("item").alias("ante"), F.col("freq").alias("fa"))
     sb = singles.select(F.col("item").alias("cons"), F.col("freq").alias("fb"))
     out = rules.join(F.broadcast(sa), "ante").join(F.broadcast(sb), "cons")
