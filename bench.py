@@ -81,7 +81,7 @@ EXTENDED = (
     "sim_ann_indexed_topk",
     # round-6 additions (all ≤1.3 s steady at sf0.1, measured; pareto is
     # the two-phase sweep, dq_constraints above is the single-pass form)
-    "etl_scd2_dimension",
+    "etl_scd2_merge",
     "join_interval_overlap",
     "fpm_assoc_rules",
     "agg_tokenizer_fertility",

@@ -1,8 +1,9 @@
 """Round-6 operator batch: dimensional-warehouse and rule-mining surface.
 
 Four operators a catalog/warehouse engine is expected to carry that the
-registry did not yet: a Type-2 slowly-changing dimension build
-(`etl_scd2_dimension`), a binned interval-overlap range join
+registry did not yet: incremental Type-2 SCD maintenance
+(`etl_scd2_merge` — the nightly merge, vs the existing from-scratch
+`etl_scd2` build), a binned interval-overlap range join
 (`join_interval_overlap` — the "range join" custom-operator class Spark
 has no native operator for), association rules with confidence/lift on
 top of the frequent-pair miner (`fpm_assoc_rules`), and a per-language
@@ -32,8 +33,11 @@ from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import register
 
 
+_SCD2_CUTOFF = "2024-01-24 00:00:00"  # ~77% of the 30-day event span
+
+
 @register(
-    "etl_scd2_dimension",
+    "etl_scd2_merge",
     oracle="""
     WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
@@ -59,38 +63,79 @@ from sdg_data_catalog_spark.queries.registry import register
     FROM changes
     """,
 )
-def etl_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 slowly-changing dimension build from a change stream: each
-    user's event_type sequence becomes versioned dimension rows with
-    [valid_from, valid_to) validity — consecutive identical states
-    collapse, the open row carries is_current=1. THE dimensional-
-    warehouse maintenance pattern (Kimball SCD2) expressed as two
-    per-user windows: a LAG to detect state changes and a LEAD to close
-    each version's interval. Both windows are hash-partitioned by
-    user_id — at 100 TB this is one shuffle by the dimension key, no
-    global ordering anywhere. Validity bounds surface as epoch
-    microseconds (the repo's cross-engine timestamp convention); the
-    user_id % 3 filter bounds the driver comparison, the operator itself
-    is corpus-wide. Ties broken by event_id so the version order is
-    total."""
+def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Type-2 SCD maintenance — the merge pattern a warehouse
+    runs nightly, distinct from the from-scratch build (`etl_scd2`): an
+    existing dimension (built from events before the cutoff) absorbs a
+    new change batch WITHOUT reprocessing history. The apply is exactly
+    the dimension-side twin of `etl_cdc_apply`'s fact merge:
+
+      1. compress the batch per user, SEEDED with the user's current open
+         status (a broadcast join against the open-row sliver) — a batch
+         event equal to the current state creates no version;
+      2. close each affected open row at its user's first new version
+         timestamp (left join + coalesce — untouched users pass through);
+      3. union closed history + updated opens + new versions.
+
+    Work is proportional to the BATCH (plus the open-row sliver, one row
+    per dimension key), never to history — the property that makes SCD2
+    maintainable at 100 TB. The oracle is the full-stream rebuild:
+    incremental == batch-rebuild is the correctness contract, proven by
+    hash (the etl_ann_index_upsert pattern). Validity bounds in epoch
+    µs; user_id % 3 bounds the driver comparison."""
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    ordered = ev.select(
-        "user_id", "event_type", ts_us.alias("ts_us"), "event_id"
-    ).withColumn("prev_type", F.lag("event_type").over(w))
-    changes = ordered.filter(
-        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    cutoff = F.unix_micros(F.lit(_SCD2_CUTOFF).cast("timestamp"))
+    base = ev.select(
+        "user_id", "event_type", ts_us.alias("ts_us"), "event_id",
+        (ts_us < cutoff).alias("is_hist"),
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_us")
-    valid_to = F.lead("ts_us").over(w2)
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("status"),
-        F.col("ts_us").cast("bigint").alias("valid_from_us"),
-        valid_to.cast("bigint").alias("valid_to_us"),
-        valid_to.isNull().cast("int").alias("is_current"),
+
+    def _compress(df: DataFrame, seed: DataFrame | None) -> DataFrame:
+        """State-change compression per user: keep rows whose type differs
+        from the previous one; `seed` (user_id, seed_status) pre-seeds the
+        fold so a batch can continue an existing dimension's state."""
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        out = df.withColumn("prev_type", F.lag("event_type").over(w))
+        if seed is not None:
+            out = out.join(F.broadcast(seed), "user_id", "left").withColumn(
+                "prev_type", F.coalesce("prev_type", "seed_status")
+            ).drop("seed_status")
+        return out.filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        ).select("user_id", F.col("event_type").alias("status"), "ts_us")
+
+    def _interval(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts_us")
+        valid_to = F.lead("ts_us").over(w)
+        return df.select(
+            "user_id", "status",
+            F.col("ts_us").cast("bigint").alias("valid_from_us"),
+            valid_to.cast("bigint").alias("valid_to_us"),
+            valid_to.isNull().cast("int").alias("is_current"),
+        )
+
+    # Existing dimension: from-scratch build over pre-cutoff history.
+    dim = _interval(_compress(base.filter("is_hist"), None))
+    opens = dim.filter(F.col("is_current") == 1)
+    closed = dim.filter(F.col("is_current") == 0)
+    # Batch compression seeded with each user's current open status.
+    seed = opens.select("user_id", F.col("status").alias("seed_status"))
+    new_versions = _interval(_compress(base.filter(~F.col("is_hist")), seed))
+    # Close affected open rows at the user's first new version timestamp.
+    first_new = new_versions.groupBy("user_id").agg(
+        F.min("valid_from_us").alias("first_new_us")
     )
+    updated_opens = (
+        opens.join(F.broadcast(first_new), "user_id", "left")
+        .select(
+            "user_id", "status", "valid_from_us",
+            F.coalesce("first_new_us", "valid_to_us").alias("valid_to_us"),
+            F.col("first_new_us").isNull().cast("int").alias("is_current"),
+        )
+    )
+    return closed.unionByName(updated_opens).unionByName(new_versions)
 
 
 _PAD_US = 600_000_000  # ±10 min interval pad

@@ -163,7 +163,7 @@ _PRIORITY = (
     "split_stratified",  # promoted to a full oracle in r6 (md5-ranked split)
     # round-6 registrations (dimensional_extra.py) — oracle-verified at
     # sf0.001/0.01/0.1 before staging
-    "etl_scd2_dimension",
+    "etl_scd2_merge",
     "join_interval_overlap",
     "fpm_assoc_rules",
     "agg_tokenizer_fertility",

@@ -15,8 +15,8 @@ from sdg_data_catalog_spark.catalog import table
 from sdg_data_catalog_spark.queries.registry import all_queries
 
 
-def test_scd2_interval_algebra(spark, sf_dir):
-    rows = all_queries()["etl_scd2_dimension"](spark, sf_dir).collect()
+def test_scd2_merge_interval_algebra_and_rebuild_equality(spark, sf_dir):
+    rows = all_queries()["etl_scd2_merge"](spark, sf_dir).collect()
     assert rows
     by_user: dict[int, list] = {}
     for r in rows:
@@ -33,6 +33,32 @@ def test_scd2_interval_algebra(spark, sf_dir):
             assert prev.valid_from_us < prev.valid_to_us
             # consecutive versions actually change state
             assert prev.status != nxt.status
+    # incremental apply == full-stream rebuild (pandas twin)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter("user_id % 3 = 0")
+        .selectExpr(
+            "user_id", "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    expect = set()
+    for uid, grp in ev.groupby("user_id"):
+        prev, starts = None, []
+        for r in grp.itertuples():
+            if r.event_type != prev:
+                starts.append((r.event_type, r.ts_us))
+                prev = r.event_type
+        for k, (st, fr) in enumerate(starts):
+            to = starts[k + 1][1] if k + 1 < len(starts) else None
+            expect.add((uid, st, fr, to, int(to is None)))
+    got = {
+        (r.user_id, r.status, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in rows
+    }
+    assert got == expect
 
 
 def test_interval_overlap_matches_bruteforce(spark, sf_dir):
