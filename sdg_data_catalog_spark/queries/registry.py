@@ -161,6 +161,8 @@ _PRIORITY = (
     "graph_pagerank",
     "graph_kcore",
     "split_stratified",  # promoted to a full oracle in r6 (md5-ranked split)
+    "str_spellfix",  # promoted r6 (deterministic dict fallback oracle)
+    "str_lemma",  # promoted r6 (suffix-rule fallback oracle)
     # round-6 registrations (dimensional_extra.py) — oracle-verified at
     # sf0.001/0.01/0.1 before staging
     "etl_scd2_merge",

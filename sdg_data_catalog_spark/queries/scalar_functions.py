@@ -439,12 +439,27 @@ def arr_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Non-expressible text ops — gated UDF stubs, rows-only
 # ---------------------------------------------------------------------------
-@register("str_spellfix")
+@register(
+    "str_spellfix",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(
+             string_split('teh start adn ' || substr(text, 1, 40), ' '),
+             w -> CASE WHEN w = 'teh' THEN 'the'
+                       WHEN w = 'adn' THEN 'and'
+                       WHEN w = 'wiht' THEN 'with'
+                       ELSE w END), ' ') AS fixed
+    FROM documents WHERE doc_id < 500
+    """,
+)
 def str_spellfix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cell 12 (TextBlob .correct()). TextBlob is not in this
     container; the correction table is a deterministic dict UDF with the
     same signature — swap the lambda body for TextBlob where available.
-    Arrow-batched pandas UDF, never per-row Python."""
+    Arrow-batched pandas UDF, never per-row Python. Promoted to a full
+    oracle in round 6: the dict fallback is a pure word map, so DuckDB
+    reproduces it exactly (the doc_id < 500 filter replaces the old
+    unordered limit — deterministic subset on both engines)."""
     from pyspark.sql.functions import pandas_udf
 
     fixes = {"teh": "the", "adn": "and", "wiht": "with"}
@@ -453,16 +468,40 @@ def str_spellfix(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fix(s: pd.Series) -> pd.Series:
         return s.map(lambda t: " ".join(fixes.get(w, w) for w in t.split(" ")))
 
-    docs = _docs(spark, sf_dir).limit(500)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     noisy = F.concat(F.lit("teh start adn "), F.col("text").substr(1, 40))
     return docs.select("doc_id", fix(noisy).alias("fixed"))
 
 
-@register("str_lemma")
+@register(
+    "str_lemma",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(
+             string_split(substr(text, 1, 120), ' '),
+             w -> CASE WHEN w = 'ran' THEN 'run'
+                       WHEN w = 'went' THEN 'go'
+                       WHEN w = 'better' THEN 'good'
+                       WHEN w LIKE '%ies' AND len(w) > 5
+                         THEN substr(w, 1, len(w) - 3) || 'y'
+                       WHEN w LIKE '%ing' AND len(w) > 5
+                         THEN substr(w, 1, len(w) - 3)
+                       WHEN w LIKE '%ed' AND len(w) > 4
+                         THEN substr(w, 1, len(w) - 2)
+                       WHEN w LIKE '%s' AND len(w) > 3
+                         THEN substr(w, 1, len(w) - 1)
+                       ELSE w END), ' ') AS lemmas
+    FROM documents WHERE doc_id < 500
+    """,
+)
 def str_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cell 17 / TM_2 cells 10-12 (WordNet / spaCy lemmatizer). The
     model libs are absent; a deterministic suffix-rule lemmatizer keeps the
-    dataflow (Arrow batch in, token array out) real and testable."""
+    dataflow (Arrow batch in, token array out) real and testable. Promoted
+    to a full oracle in round 6: the fallback is a pure ordered rule chain
+    (irregular map, then ies→y / ing / ed / s suffix strips gated on word
+    length), mirrored exactly by the oracle's CASE ladder; the doc_id <
+    500 filter replaces the old unordered limit."""
     from pyspark.sql.functions import pandas_udf
 
     irregular = {"ran": "run", "went": "go", "better": "good"}
@@ -479,7 +518,7 @@ def str_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
     def lemmatize(s: pd.Series) -> pd.Series:
         return s.map(lambda t: [lemma(w) for w in t.split(" ")])
 
-    docs = _docs(spark, sf_dir).limit(500)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     # ' '-joined string, not array<string>: the external canonicalizer
     # sorts every column with pandas and crashes on list cells.
     return docs.select(
