@@ -448,7 +448,62 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check_name")
 
 
-@register("bpe_train_merges")  # iterative merge loop: rows-only, pytest twin
+
+
+def _bpe_oracle(n_rounds: int = 20) -> str:
+    """Generate the FULL BPE-trainer oracle: the 20-round merge loop is
+    inherently sequential (each round's pair counts depend on the prior
+    merge), so it is UNROLLED into chained MATERIALIZED CTEs — the same
+    promotion trick as rank_mmr / graph_kcore / sample_coreset_kcenter.
+    Per round: w{k} holds the symbol table as ' '-joined symbol strings
+    (symbols never contain spaces — words come from a space split),
+    pc{k} counts adjacent pairs via UNNEST(range), m{k} is the argmax
+    with the trainer's exact tie-break (cnt DESC, a ASC, b ASC — binary
+    string order in both engines) and the trainer's cnt >= 2 stop rule.
+    The merge APPLY uses the double-space trick: doubling separators
+    makes adjacent occurrences stop sharing boundary spaces, so a single
+    left-to-right string replace reproduces the trainer's non-overlapping
+    greedy scan exactly (verified against the pure-Python twin)."""
+    parts = ["""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), ' ') || '</w>' AS syms, n
+  FROM (
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word)
+)"""]
+    for k in range(n_rounds):
+        parts.append(f"""pc{k} AS MATERIALIZED (
+  SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
+  FROM (SELECT string_split(syms, ' ') AS s, n FROM w{k}),
+       UNNEST(range(1, len(s))) AS t(i)
+  GROUP BY s[i], s[i+1]
+)""")
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT a, b FROM pc{k} WHERE cnt >= 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        if k < n_rounds - 1:
+            parts.append(f"""w{k + 1} AS MATERIALIZED (
+  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM m{k}) THEN syms
+    ELSE trim(replace(replace(
+      ' ' || replace(syms, ' ', '  ') || ' ',
+      ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+      ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' '), '  ', ' '))
+    END AS syms, n
+  FROM w{k}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, a AS left_sym, b AS right_sym, a || b AS merged"
+        f" FROM m{k}"
+        for k in range(n_rounds)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged"
+        + " FROM (\n" + union + "\n) ORDER BY rank"
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (operators/bpe.py::bpe_train): 20 merge
     rounds over the documents word histogram — the iterative closure of
@@ -458,7 +513,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is localCheckpointed per round. Deterministic tie-break (count DESC,
     pair ASC) ⇒ stable output; the differential pytest twin retrains in
     pure Python and must produce the identical merge list
-    (tests/test_bpe.py)."""
+    (tests/test_bpe.py). Promoted from rows-only in round 6: the whole
+    20-round trainer is reproduced by an unrolled MATERIALIZED-CTE oracle
+    (_bpe_oracle — the rank_mmr/graph_kcore promotion trick, plus a
+    double-space replace that makes SQL's left-to-right replace equal the
+    trainer's non-overlapping greedy merge scan)."""
     from sdg_data_catalog_spark.operators.bpe import bpe_train
 
     docs = table(spark, sf_dir, "documents")
