@@ -164,6 +164,7 @@ _PRIORITY = (
     "str_spellfix",  # promoted r6 (deterministic dict fallback oracle)
     "str_lemma",  # promoted r6 (suffix-rule fallback oracle)
     "bpe_train_merges",  # promoted r6 (20-round unrolled MATERIALIZED-CTE oracle)
+    "bpe_encode_tokens",  # promoted r6 (trainer chain + encode join oracle)
     # round-6 registrations (dimensional_extra.py) — oracle-verified at
     # sf0.001/0.01/0.1 before staging
     "etl_scd2_merge",

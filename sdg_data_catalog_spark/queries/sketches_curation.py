@@ -450,7 +450,7 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _bpe_oracle(n_rounds: int = 20) -> str:
+def _bpe_oracle(n_rounds: int = 20, encode: bool = False) -> str:
     """Generate the FULL BPE-trainer oracle: the 20-round merge loop is
     inherently sequential (each round's pair counts depend on the prior
     merge), so it is UNROLLED into chained MATERIALIZED CTEs — the same
@@ -463,14 +463,30 @@ def _bpe_oracle(n_rounds: int = 20) -> str:
     The merge APPLY uses the double-space trick: doubling separators
     makes adjacent occurrences stop sharing boundary spaces, so a single
     left-to-right string replace reproduces the trainer's non-overlapping
-    greedy scan exactly (verified against the pure-Python twin)."""
+    greedy scan exactly (verified against the pure-Python twin).
+
+    With ``encode=True`` the chain carries the original word through all
+    rounds plus one final apply, then joins the encoded per-word token
+    counts back onto every document — the bpe_encode_tokens oracle."""
     parts = ["""w0 AS MATERIALIZED (
-  SELECT array_to_string(string_split(word, ''), ' ') || '</w>' AS syms, n
+  SELECT word, array_to_string(string_split(word, ''), ' ') || '</w>' AS syms, n
   FROM (
     SELECT word, COUNT(*) AS n FROM (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE word <> '' GROUP BY word)
 )"""]
+
+    def apply_cte(k: int) -> str:
+        return f"""w{k + 1} AS MATERIALIZED (
+  SELECT word, CASE WHEN NOT EXISTS (SELECT 1 FROM m{k}) THEN syms
+    ELSE trim(replace(replace(
+      ' ' || replace(syms, ' ', '  ') || ' ',
+      ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+      ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' '), '  ', ' '))
+    END AS syms, n
+  FROM w{k}
+)"""
+
     for k in range(n_rounds):
         parts.append(f"""pc{k} AS MATERIALIZED (
   SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS cnt
@@ -481,16 +497,22 @@ def _bpe_oracle(n_rounds: int = 20) -> str:
         parts.append(f"""m{k} AS MATERIALIZED (
   SELECT a, b FROM pc{k} WHERE cnt >= 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 )""")
-        if k < n_rounds - 1:
-            parts.append(f"""w{k + 1} AS MATERIALIZED (
-  SELECT CASE WHEN NOT EXISTS (SELECT 1 FROM m{k}) THEN syms
-    ELSE trim(replace(replace(
-      ' ' || replace(syms, ' ', '  ') || ' ',
-      ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
-      ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' '), '  ', ' '))
-    END AS syms, n
-  FROM w{k}
-)""")
+        if k < n_rounds - 1 or encode:
+            parts.append(apply_cte(k))
+    if encode:
+        final = f"""enc AS MATERIALIZED (
+  SELECT word, len(string_split(syms, ' ')) AS toks FROM w{n_rounds}
+),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.toks) AS BIGINT) AS n_tokens
+FROM docw d JOIN enc e USING (word)
+WHERE d.word <> ''
+GROUP BY d.doc_id"""
+        return "WITH " + ",\n".join(parts) + ",\n" + final
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, a AS left_sym, b AS right_sym, a || b AS merged"
         f" FROM m{k}"
@@ -528,14 +550,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_tokens")  # learned-tokenizer budget: rows-only, pytest twin
+@register("bpe_encode_tokens", oracle=_bpe_oracle(encode=True))
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budget under the LEARNED BPE tokenizer: train 20 merges on
     the corpus word histogram (operators/bpe.py::bpe_train), then encode
     every document distributed (encode_corpus, Arrow batches with a
     per-batch word memo). Invariants (tested): n_tokens ≤ total chars,
     n_tokens ≥ n_words (a word is ≥1 token), and more merges never
-    increase a document's token count."""
+    increase a document's token count. Promoted from rows-only in
+    round 6: the oracle extends the unrolled trainer chain
+    (_bpe_oracle(encode=True)) with one final merge apply and a
+    word→token-count join back onto every document."""
     from sdg_data_catalog_spark.operators.bpe import bpe_train, encode_corpus
 
     docs = table(spark, sf_dir, "documents")
