@@ -88,6 +88,29 @@ EXTENDED = (
     "curation_pareto_front",
 )
 
+# Curation-scale tier: LLM-pipeline operators measured at the 100×
+# replica (500k docs / 200k embeddings / 10M events) next to their sf0.1
+# times — the direct "would this hold at 1000×?" evidence for the
+# non-relational families. Only ops whose cost is honestly data-linear
+# belong here: replica documents are word-ROTATED per copy (identical
+# unigram statistics, distinct shingles), so near-dup pair generation is
+# excluded by construction (pair counts are a property of the data, not
+# the engine).
+CURATION_SCALE = (
+    "curation_dsir",
+    "lm_bigram_score",
+    "text_langid",
+    "agg_tokenizer_fertility",
+    "filter_gopher_rules",
+    "sketch_topk_vocab",
+    "bpe_pair_counts",
+    "dedup_exact",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivfpq_topk",
+    "etl_sessionize",
+    "agg_rolling_active_users",
+)
+
 # Headline set: the heaviest representative per operator family.
 # q5_revenue_by_nation / q18_large_orders are layout-aware: with the
 # bucketed tables on disk (true after the first bench run per tier) they
@@ -284,6 +307,66 @@ def _ensure_replica(mult: int, out_dir: str) -> str | None:
         return None
 
 
+EXTRA_TABLES = ("documents", "embeddings", "events")
+
+
+def _ensure_replica_extra(mult: int, out_dir: str) -> bool:
+    """Add documents/embeddings/events to an existing replica dir (own
+    marker, so pre-existing TPC-H replicas upgrade in place). Documents
+    are key-offset + word-ROTATED per copy: identical unigram/vocabulary
+    statistics (so linear text ops scale honestly) but distinct shingle
+    sets (so the tier cannot manufacture quadratic near-dup pair blowups
+    that say nothing about the engine). Embeddings/events are plain
+    key-offset copies (copy 0 preserves vec_ids 0-31 — the deterministic
+    ANN codebook convention still holds)."""
+    marker = os.path.join(out_dir, "_EXTRA_COMPLETE")
+    if os.path.isfile(marker):
+        return True
+    if not os.path.isdir(out_dir):
+        return False
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+        for t in EXTRA_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF1_SRC}/{t}.parquet')"
+            )
+        off = {
+            "doc": con.execute("SELECT max(doc_id) + 1 FROM documents").fetchone()[0],
+            "vec": con.execute("SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0],
+            "usr": con.execute("SELECT max(user_id) + 1 FROM events").fetchone()[0],
+            "evt": con.execute("SELECT max(event_id) + 1 FROM events").fetchone()[0],
+        }
+        rep = f"CROSS JOIN range({mult}) r(i)"
+        jobs = {
+            "documents": (
+                "SELECT doc_id + i*{od} AS doc_id, "
+                " array_to_string(list_concat("
+                "   list_slice(l, (i % greatest(len(l), 1)) + 1, len(l)),"
+                "   list_slice(l, 1, i % greatest(len(l), 1))), ' ') AS text,"
+                " lang, source, n_chars "
+                "FROM (SELECT *, string_split(text, ' ') AS l FROM documents) {rep}"
+            ).format(od=off["doc"], rep=rep),
+            "embeddings": (
+                f"SELECT * REPLACE (vec_id + i*{off['vec']} AS vec_id)"
+                f" FROM embeddings {rep}"
+            ),
+            "events": (
+                f"SELECT * REPLACE (event_id + i*{off['evt']} AS event_id,"
+                f" user_id + i*{off['usr']} AS user_id) FROM events {rep}"
+            ),
+        }
+        for t, q in jobs.items():
+            con.execute(f"COPY ({q}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        return True
+    except Exception:
+        return False
+
+
 def _ensure_sf1() -> str | None:
     """The sf1 tier (10× sf0.1) — on by default, SPARK_GRAFT_SF1=0 disables."""
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
@@ -444,6 +527,33 @@ def main() -> None:
             "baseline_total": round(sum(sf10_base.values()), 4),
         }
 
+    if sf10_dir and _ensure_replica_extra(100, sf10_dir):
+        # Curation-scale tier: same op, 1× vs 100× text/embedding/event
+        # data, steady min-of-2 with a GC barrier per side. The headline
+        # number is the RATIO: data grew 100×, wall time should grow far
+        # less on 32 cores (fixed overhead amortizes, scans parallelize).
+        cur = {}
+        for name in (n for n in CURATION_SCALE if n in qs):
+            row = {}
+            for tier_key, tier_dir in (("sf0.1", sf_dir), ("sf10", sf10_dir)):
+                _gc_barrier(spark)
+                try:
+                    df = qs[name](spark, tier_dir)
+                    _execute(df)  # warm
+                    row[tier_key] = round(min(_execute(df) for _ in range(2)), 4)
+                except Exception as e:  # noqa: BLE001
+                    row[tier_key] = None
+                    row["error"] = str(e).splitlines()[0][:160]
+            if row.get("sf0.1") and row.get("sf10"):
+                row["ratio_100x"] = round(row["sf10"] / max(row["sf0.1"], 1e-9), 1)
+            cur[name] = row
+        result["curation_scale"] = {
+            "docs": "500k rotated",
+            "embeddings": "200k",
+            "events": "10M",
+            "queries": cur,
+        }
+
     # Full detail goes to a file; stdout gets ONE compact line (the driver's
     # tail capture is ~2 KB — r2/r3 records were truncated to `parsed: null`
     # when the detail tables lived on the stdout line).
@@ -464,6 +574,13 @@ def main() -> None:
         if tier in result:
             compact[f"{tier}_total"] = round(result[tier]["value"], 3)
             compact[f"{tier}_duckdb"] = round(result[tier]["baseline_total"], 3)
+    if "curation_scale" in result:
+        rows = result["curation_scale"]["queries"].values()
+        ok = [r for r in rows if r.get("sf10") is not None]
+        compact["cur100x_total"] = round(sum(r["sf10"] for r in ok), 3)
+        ratios = sorted(r["ratio_100x"] for r in ok if "ratio_100x" in r)
+        if ratios:
+            compact["cur100x_med_ratio"] = ratios[len(ratios) // 2]
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB budget"
     print(line)
