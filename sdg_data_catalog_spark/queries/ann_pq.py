@@ -33,16 +33,42 @@ N_QUERIES = 10
 TOPK = 10
 
 
-def _normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings L2-normalized map-side, so PQ's L2 ADC ranks like the
-    cosine the brute-force baseline uses (||a-b||² = 2-2·cos on unit
-    vectors). float→double casts BEFORE the multiply and a sequential
-    0.0-init fold, bit-matching DuckDB's
-    sqrt(list_sum(list_transform(raw, y -> y*y)))."""
+def _normalized(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+    """Embeddings L2-normalized in one Arrow-batched map pass, so PQ's L2
+    ADC ranks like the cosine the brute-force baseline uses
+    (||a-b||² = 2-2·cos on unit vectors). float→double widening happens
+    BEFORE the multiply and the squared-norm accumulates per-dimension —
+    vectorized across rows, sequential across dims — bit-matching DuckDB's
+    sqrt(list_sum(list_transform(raw, y -> y*y))) left fold exactly. The
+    previous interpreted-HOF projection cost ~1000 lambda evals per row
+    and, being an expression, still let Catalyst push filters — mapInPandas
+    does not, so callers that want a slice pass `where` and the filter is
+    applied BEFORE the Python barrier (vec_id predicates reach the parquet
+    scan)."""
+    import pandas as pd
+
     emb = table(spark, sf_dir, "embeddings")
-    nrm = sim.norm(F.col("embedding"))
-    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
-    return emb.select("vec_id", unit.alias("embedding"))
+    if where is not None:
+        emb = emb.filter(where)
+
+    def _norm(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                acc += mat[:, d] * mat[:, d]
+            unit = mat / np.sqrt(acc)[:, None]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "embedding": list(unit)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _norm, "vec_id long, embedding array<double>"
+    )
 
 
 N_CELLS = 16
@@ -140,16 +166,29 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
     import pandas as pd
 
     unit = _normalized(spark, sf_dir)
-    cents_df = sim.ivf_centroids(unit, N_CELLS)
+    # centroid convention: the first N_CELLS vectors (dense vec_ids from 0 —
+    # enforced below by the 16..31 presence check), so the slice reads
+    # N_CELLS rows off the pushed-down scan instead of normalizing the
+    # whole corpus just to TakeOrdered 16 rows
+    cents_df = _normalized(spark, sf_dir, where=F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
     cents = {
         int(r.cell_id): np.asarray(r.centroid, dtype=np.float64)
         for r in cents_df.collect()  # N_CELLS rows — bounded by design
     }
     assigned = sim.ivf_assign(unit, N_CELLS, centroids=cents_df)
     book_rows = sorted(
-        assigned.filter(
-            (F.col("vec_id") >= 16) & (F.col("vec_id") < 32)
-        ).collect(),  # 16 rows — bounded by design
+        sim.ivf_assign(
+            _normalized(
+                spark, sf_dir,
+                where=(F.col("vec_id") >= 16) & (F.col("vec_id") < 32),
+            ),
+            N_CELLS,
+            centroids=cents_df,
+        ).collect(),  # 16 rows — bounded by design (filter BEFORE the
+        # Python barrier; filtering the full `assigned` would re-run the
+        # whole-corpus assignment just to keep 16 rows)
         key=lambda r: int(r.vec_id),
     )
     m, k, dsub = 16, 16, 4
@@ -187,7 +226,9 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
     src = (
         assigned
         if subset is None
-        else sim.ivf_assign(unit.filter(subset), N_CELLS, centroids=cents_df)
+        else sim.ivf_assign(
+            _normalized(spark, sf_dir, where=subset), N_CELLS, centroids=cents_df
+        )
     )
     encoded = src.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
     return cents, books, encoded
@@ -197,13 +238,12 @@ def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, cents, books):
     """Per-(query, probe-cell) ADC lookup tables + probe list — bounded
     (N_QUERIES × N_PROBE rows) driver state, broadcast to executors."""
     m, k, dsub = books.shape
-    unit = _normalized(spark, sf_dir)
     cents_df = spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
         "cell_id long, centroid array<double>",
     )
     q_assigned = sim.ivf_assign(
-        unit.filter(F.col("vec_id") < N_QUERIES),
+        _normalized(spark, sf_dir, where=F.col("vec_id") < N_QUERIES),
         N_CELLS,
         n_probe=N_PROBE,
         centroids=cents_df,
@@ -474,7 +514,7 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential-tested in tests/test_ann_pq.py)."""
     unit = _normalized(spark, sf_dir)
     cw_rows = sorted(
-        unit.filter(F.col("vec_id") < 16).collect(),  # 16 rows — bounded
+        _normalized(spark, sf_dir, where=F.col("vec_id") < 16).collect(),  # 16 rows
         key=lambda r: int(r.vec_id),
     )
     m, k, dsub = 16, 16, 4
@@ -490,7 +530,9 @@ def sim_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded = pq.encode(unit, "embedding", books)
     queries = [
         (int(r.vec_id), np.asarray(r.embedding, dtype=np.float64))
-        for r in unit.filter(F.col("vec_id") < N_QUERIES).collect()
+        for r in _normalized(
+            spark, sf_dir, where=F.col("vec_id") < N_QUERIES
+        ).collect()
     ]
     return pq.adc_topk(encoded, "vec_id", queries, books, topk=TOPK)
 

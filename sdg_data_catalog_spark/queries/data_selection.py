@@ -426,33 +426,39 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_B
     ).alias("bucket")
     tb = toks.select("doc_id", "lang", bucket)
-    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ca"))
-    tgt = tb.filter(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
+    # ONE pass over the exploded tokens: everything downstream (bucket
+    # marginals, totals, per-doc terms) derives from the (doc, bucket)
+    # count table, which is persisted — the previous form consumed the
+    # explode+md5 subtree four times (raw/tgt/tot/per_doc), which at the
+    # 100× tier meant four passes over 100M hashed tokens (35 s+; this
+    # form is one pass). Counts are exact integers, so re-deriving the
+    # marginals from cnt is bit-identical to counting the tokens directly.
+    from pyspark import StorageLevel
+
+    cnt = (
+        tb.groupBy("doc_id", "bucket")
+        .agg(F.any_value("lang").alias("lang"), F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tot = tb.agg(
-        F.count(F.lit(1)).alias("ta"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+    is_en = F.col("lang") == "en"
+    bstats = cnt.groupBy("bucket").agg(
+        F.sum("n").alias("ca"),
+        F.sum(F.when(is_en, F.col("n")).otherwise(F.lit(0))).alias("ct"),
     )
+    tot = bstats.agg(F.sum("ca").alias("ta"), F.sum("ct").alias("tt"))
     lr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        bstats.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                      / (F.col("tt") + _DSIR_B))
+                F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + _DSIR_B))
                 - F.log((F.col("ca") + 1).cast("double") / (F.col("ta") + _DSIR_B))
             ).alias("logratio"),
         )
     )
     per_doc = (
-        tb.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id", "bucket")
-        .agg(
-            F.any_value("lang").alias("lang"),
-            (F.count(F.lit(1)) * F.any_value("logratio")).alias("term"),
-        )
+        cnt.join(F.broadcast(lr), "bucket")
+        .select("doc_id", "bucket", "lang", (F.col("n") * F.col("logratio")).alias("term"))
     )
     wts = per_doc.groupBy("doc_id").agg(
         F.any_value("lang").alias("lang"),
