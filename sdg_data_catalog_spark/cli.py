@@ -246,7 +246,10 @@ def cmd_query(args: argparse.Namespace) -> dict[str, Any]:
         elif args.format == "jsonl":
             writer.json(args.output)
         else:
-            writer.option("header", True).csv(args.output)
+            # escape='"' matches the read-back options below (and RFC 4180);
+            # Spark's default escape '\\' would mis-parse quoted fields on
+            # read-back and inflate the row count
+            writer.option("header", True).option("escape", '"').csv(args.output)
         summary["output"] = args.output
     else:
         for r in df.limit(args.show).collect():
@@ -325,7 +328,10 @@ def cmd_sql(args: argparse.Namespace) -> dict[str, Any]:
         elif args.format == "jsonl":
             writer.json(args.output)
         else:
-            writer.option("header", True).csv(args.output)
+            # escape='"' matches the read-back options below (and RFC 4180);
+            # Spark's default escape '\\' would mis-parse quoted fields on
+            # read-back and inflate the row count
+            writer.option("header", True).option("escape", '"').csv(args.output)
         summary["output"] = args.output
         # Count what was written rather than re-executing the user's
         # statement a second time (heavy ad-hoc SQL would otherwise run

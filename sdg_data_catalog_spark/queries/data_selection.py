@@ -98,9 +98,13 @@ _RRF_TOP_C = 1000  # per-retriever candidate-list truncation
     SELECT doc_id,
            CAST(lex_rank AS INTEGER) AS lex_rank,
            CAST(sem_rank AS INTEGER) AS sem_rank,
-           ROUND(rrf, 6) AS rrf
+           ROUND(fused.rrf, 6) AS rrf
     FROM fused
-    ORDER BY rrf DESC, doc_id ASC
+    -- qualified fused.rrf: the bare name would bind to the ROUND(...) output
+    -- alias, ordering by the ROUNDED score while the Spark plan orders by
+    -- the unrounded one — a <1e-6 gap at the top-20 boundary could then
+    -- select different rows
+    ORDER BY fused.rrf DESC, doc_id ASC
     LIMIT 20
     """,
 )

@@ -44,21 +44,24 @@ _SCD2_CUTOFF = "2024-01-24 00:00:00"  # ~77% of the 30-day event span
       FROM events WHERE user_id % 3 = 0
     ),
     ordered AS (
-      SELECT user_id, event_type, ts_us,
+      SELECT user_id, event_type, ts_us, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
                  ORDER BY ts_us, event_id) AS prev_type
       FROM ev
     ),
     changes AS (
-      SELECT user_id, event_type, ts_us FROM ordered
+      SELECT user_id, event_type, ts_us, event_id FROM ordered
       WHERE prev_type IS NULL OR prev_type <> event_type
     )
+    -- event_id tie-break: two same-microsecond change rows for one user
+    -- would otherwise make the LEAD (valid_to/is_current) nondeterministic
+    -- and free to diverge between engines
     SELECT user_id,
            event_type AS status,
            CAST(ts_us AS BIGINT) AS valid_from_us,
-           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
                 AS BIGINT) AS valid_to_us,
-           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           CAST(LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
                 IS NULL AS INTEGER) AS is_current
     FROM changes
     """,
@@ -104,10 +107,14 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.filter(
             F.col("prev_type").isNull()
             | (F.col("prev_type") != F.col("event_type"))
-        ).select("user_id", F.col("event_type").alias("status"), "ts_us")
+        ).select(
+            "user_id", F.col("event_type").alias("status"), "ts_us", "event_id"
+        )
 
     def _interval(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy("ts_us")
+        # event_id tie-break (ADVICE r6): same-microsecond change rows would
+        # otherwise make valid_to/is_current order-dependent across engines
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         valid_to = F.lead("ts_us").over(w)
         return df.select(
             "user_id", "status",
@@ -150,7 +157,7 @@ _BUCKET_US = 3_600_000_000  # 1-hour bin for the range join
       SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
     ),
     marked AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, ts_us, event_id,
              CASE WHEN LAG(ts_us) OVER w IS NULL
                     OR ts_us - LAG(ts_us) OVER w > {_GAP_US}
                   THEN 1 ELSE 0 END AS new_s
@@ -158,9 +165,11 @@ _BUCKET_US = 3_600_000_000  # 1-hour bin for the range join
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     sess AS (
+      -- event_id tie-break: same-microsecond events would otherwise leave
+      -- the running-sum frame (hence session bounds) nondeterministic
       SELECT user_id, ts_us,
              SUM(new_s) OVER (PARTITION BY user_id
-                 ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+                 ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ),
     iv AS (
@@ -219,7 +228,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")  # tie-break — see oracle comment
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("sid", F.sum("new_s").over(w_run))

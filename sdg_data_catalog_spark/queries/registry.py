@@ -60,6 +60,8 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.analytics_extra",
     "sdg_data_catalog_spark.queries.data_selection",
     "sdg_data_catalog_spark.queries.dimensional_extra",
+    "sdg_data_catalog_spark.queries.timeseries_extra",
+    "sdg_data_catalog_spark.queries.curation_quality",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -85,59 +87,16 @@ _loaded = False
 # driver-checked names — follows in registration order. Alias IDs whose
 # targets are driver-green are deliberately absent: a green row on the
 # target is a green row on the ID.
+# Round-7 window (positions 1-50): the full remaining oracle-backed
+# never-checked backlog — r5/r6 staging continuation (31 names, all green
+# in plain-session pre-validation), then the SURVEY §2 alias IDs whose
+# targets are driver-green (scan_sqlite … stream_watermark — a green row on
+# the target already counts for the ID, but an official row on the ID
+# itself closes the book); round-7 NEW registrations replace aliases from
+# position 32 as they land. Positions 51+ stage round 8: rows-only names
+# (a driver visit records only spark_rows) last, per the r5 lesson.
 _PRIORITY = (
-    # --- round-6 driver window (positions 1-50) ---
-    "emb_pca_project",
-    "scan_fixedwidth",
-    "rank_mmr",
-    "ts_resample_locf",
-    "ts_ewma",
-    "agg_dp_count",
-    "fpm_frequent_pairs",
-    "join_geo_radius",
-    "dedup_containment",
-    "graph_bfs_hops",
-    "etl_surrogate_key",
-    "text_zipf_slope",
-    "agg_hourly_seasonality",
-    "sim_rerank_bilinear",
-    "sample_stratified_exact",
-    "stream_table_changes",
-    "sink_datasource_api",
-    "stream_sink_datasource",
-    "win_percent_cume",
-    "pipeline_medallion",
-    "udf_ner_score",
-    "mm_decode_features",
-    "dq_freshness",
-    "funnel_time_to_convert",
-    "scan_multiline_json",
-    "plan_token_budget",
-    "dedup_threshold_sweep",
-    "etl_pit_features",
-    "agg_calibration_bins",
-    "agg_roc_auc",
-    "agg_pr_curve",
-    "sample_balanced_classes",
-    "etl_gdpr_erasure",
-    "dq_divergence_js",
-    "agg_gini_concentration",
-    "ts_autocorr_lag1",
-    "graph_degree_distribution",
-    "scan_warc",
-    "dedup_url_canonical",
-    "sample_temperature",
-    "sketch_quantiles",
-    "text_keywords_tfidf",
-    "agg_corr_matrix",
-    "agg_dataset_card",
-    "sink_dynamic_overwrite",
-    "scan_nested_pruning",
-    "join_federated",
-    "rank_rrf",
-    "agg_ndcg",
-    "emb_matryoshka_recall",
-    # --- driver window boundary (50); below stages the round-7 window ---
+    # --- round-7 driver window (positions 1-50) ---
     "curation_dsir",
     "lm_watermark_greenlist",
     "ts_anomaly_mad",
@@ -171,12 +130,45 @@ _PRIORITY = (
     "join_interval_overlap",
     "fpm_assoc_rules",
     "agg_tokenizer_fertility",
-    # rows-only names (no oracle — a driver visit records only spark_rows);
-    # staged after every oracle-backed name has an official row
+    # round-7 registrations (timeseries_extra.py, curation_quality.py) —
+    # oracle-verified at sf0.001/0.01 before staging
+    "ts_forecast_ols",
+    "ts_rolling_median",
+    "ts_decompose_ma",
+    "lm_kneser_ney_score",
+    "agg_vocab_coverage",
+    "curation_contamination_report",
+    "curation_fasttext_quality",
+    "graph_clustering_coeff",
+    "etl_scd3_prev",
+    "agg_conversion_attribution",
+    # SURVEY §2 alias IDs (same callable + oracle as their driver-green
+    # targets) — an official row on the ID itself closes the book
+    "scan_sqlite",
+    "sink_sqlite",
+    "filter_range",
+    "join_broadcast_vocab",
+    "join_anti_stopwords",
+    "join_theta_semi",
+    "topk_partial",
+    "setop_minus",
+    "dedup",
+    # --- driver window boundary (50); below stages the round-8 window ---
+    "scalar_uuid",
+    "arr_pad",
+    "arr_ngram",
+    "json_parse",
+    "stream_watermark",
+    # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",
     "etl_column_crypto",
     "udtf_lda",
+    "gazetteer_spans",
+    "sample_frac",
+    "udf_coherence",
+    "mm_resize_jpeg",
+    "mm_resize",
 )
 
 

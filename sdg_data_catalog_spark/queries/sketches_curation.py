@@ -505,13 +505,23 @@ def _bpe_oracle(n_rounds: int = 20, encode: bool = False) -> str:
 ),
 docw AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+wcnt AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(e.toks) AS BIGINT) AS n_tokens
+  FROM docw d JOIN enc e USING (word)
+  WHERE d.word <> ''
+  GROUP BY d.doc_id
 )
-SELECT d.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_words,
-       CAST(SUM(e.toks) AS BIGINT) AS n_tokens
-FROM docw d JOIN enc e USING (word)
-WHERE d.word <> ''
-GROUP BY d.doc_id"""
+SELECT doc.doc_id,
+       COALESCE(w.n_words, 0) AS n_words,
+       COALESCE(w.n_tokens, 0) AS n_tokens
+FROM documents doc LEFT JOIN wcnt w USING (doc_id)"""
+        # LEFT JOIN from documents (ADVICE r6): an empty/whitespace-only/
+        # null-text document produces no docw rows and would vanish from an
+        # inner-join aggregate, while encode_corpus emits its (doc_id, 0, 0)
+        # row — a hash mismatch waiting for the first such document.
         return "WITH " + ",\n".join(parts) + ",\n" + final
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, a AS left_sym, b AS right_sym, a || b AS merged"
