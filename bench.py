@@ -86,6 +86,12 @@ EXTENDED = (
     "fpm_assoc_rules",
     "agg_tokenizer_fertility",
     "curation_pareto_front",
+    # round-7 additions (measured ≤2 s steady at sf0.1 before inclusion)
+    "lm_kneser_ney_score",
+    "agg_vocab_coverage",
+    "curation_contamination_report",
+    "curation_fasttext_quality",
+    "graph_clustering_coeff",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -62,6 +62,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.dimensional_extra",
     "sdg_data_catalog_spark.queries.timeseries_extra",
     "sdg_data_catalog_spark.queries.curation_quality",
+    "sdg_data_catalog_spark.queries.round7_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -142,6 +143,10 @@ _PRIORITY = (
     "graph_clustering_coeff",
     "etl_scd3_prev",
     "agg_conversion_attribution",
+    "curation_ppl_band_select",
+    "ts_xcorr_lagged",
+    "join_scd2_pit",
+    "join_geo_gridded",
     # SURVEY §2 alias IDs (same callable + oracle as their driver-green
     # targets) — an official row on the ID itself closes the book
     "scan_sqlite",
@@ -149,11 +154,11 @@ _PRIORITY = (
     "filter_range",
     "join_broadcast_vocab",
     "join_anti_stopwords",
+    # --- driver window boundary (50); below stages the round-8 window ---
     "join_theta_semi",
     "topk_partial",
     "setop_minus",
     "dedup",
-    # --- driver window boundary (50); below stages the round-8 window ---
     "scalar_uuid",
     "arr_pad",
     "arr_ngram",
