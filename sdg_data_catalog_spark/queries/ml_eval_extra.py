@@ -533,7 +533,12 @@ def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, {_BERT_P_SQL} AS p, label % 2 AS y FROM embeddings
     ),
     ranked AS (
-        SELECT y, ROW_NUMBER() OVER (ORDER BY p, vec_id) AS r FROM scored
+        -- rank the FLOORED atto-fixed-point image of p (multiplication by
+        -- a positive constant and floor are both monotone, so the order
+        -- is p's order) — the same integer key the Spark side's two-phase
+        -- distributed rank sorts, pinning both engines to one total order
+        SELECT y, ROW_NUMBER() OVER (ORDER BY FLOOR(p * 1e18), vec_id) AS r
+        FROM scored
     )
     SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
            CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
@@ -546,26 +551,29 @@ def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC as a dataflow: the Mann-Whitney rank-sum identity
     AUC = (Σ ranks(positives) − n₊(n₊+1)/2) / (n₊·n₋) — one global rank
-    (a single total-order window; at 100 TB this becomes the two-pass
-    distributed ranking: per-partition sort + offset by partition
-    prefix counts, exactly how TPC-style global ranks scale) and one
-    aggregate, no quadratic pair comparison. The (p, vec_id) tie-break
-    makes the rank total, so the statistic is exactly reproducible in
-    both engines — classifier evaluation with a hash-checked AUC."""
-    from pyspark.sql.window import Window as W
-
+    and one aggregate, no quadratic pair comparison. The rank runs
+    through `operators/curation.py::running_total` (range-repartition +
+    per-partition window + broadcast prefix offsets — was a
+    single-partition ORDER BY window until round 7; predictions are
+    corpus-sized, so that window was this module's one real scale
+    hazard). Both engines rank the floored atto-fixed-point image of p
+    with a vec_id tie-break — one pinned total order, exactly
+    reproducible — classifier evaluation with a hash-checked AUC."""
     from sdg_data_catalog_spark.operators import scoring as SC
+    from sdg_data_catalog_spark.operators.curation import running_total
 
     emb = table(spark, sf_dir, "embeddings")
     scored = SC.classify_embeddings(emb).join(
         emb.select("vec_id", (F.col("label") % 2).alias("y")), "vec_id"
     )
-    ranked = scored.select(
-        "y",
-        F.row_number()
-        .over(W.orderBy(F.col("p_positive"), F.col("vec_id")))
-        .alias("r"),
+    key = F.format_string(
+        "%020d:%012d",
+        F.floor(F.col("p_positive") * 1e18).cast("long"),
+        F.col("vec_id"),
     )
+    ranked = running_total(
+        scored.withColumn("__key", key), "__key", F.lit(1), "r"
+    ).select("y", "r")
     n_pos = F.sum("y")
     n = F.count(F.lit(1))
     rank_sum = F.sum(F.when(F.col("y") == 1, F.col("r")))
