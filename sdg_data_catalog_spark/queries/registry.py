@@ -63,6 +63,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.timeseries_extra",
     "sdg_data_catalog_spark.queries.curation_quality",
     "sdg_data_catalog_spark.queries.round7_batch2",
+    "sdg_data_catalog_spark.queries.round7_batch3",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -147,14 +148,17 @@ _PRIORITY = (
     "ts_xcorr_lagged",
     "join_scd2_pit",
     "join_geo_gridded",
+    "etl_bitemporal_snapshot",
+    "dq_reconcile_rollup",
+    "catalog_equiheight_hist",
     # SURVEY §2 alias IDs (same callable + oracle as their driver-green
     # targets) — an official row on the ID itself closes the book
     "scan_sqlite",
     "sink_sqlite",
+    # --- driver window boundary (50); below stages the round-8 window ---
     "filter_range",
     "join_broadcast_vocab",
     "join_anti_stopwords",
-    # --- driver window boundary (50); below stages the round-8 window ---
     "join_theta_semi",
     "topk_partial",
     "setop_minus",

@@ -406,3 +406,71 @@ def test_ppl_band_selects_middle_half(spark, sf_dir):
     # every selected id is a real doc and sources partition the selection
     assert out["n_selected"].gt(0).all()
     assert set(out["source"]).issubset(set(docs["source"]))
+
+
+def test_bitemporal_belief_revision(spark, sf_dir):
+    """Wave w's census equals an independent SCD2 rebuild over events
+    with arrival <= w; waves only ever ADD versions (more history can
+    split runs, never merge compressed ones... it CAN merge — assert
+    instead per-wave census equality and monotone event coverage)."""
+    out = all_queries()["etl_bitemporal_snapshot"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir)
+    ev = ev[ev["user_id"] % 4 == 1].copy()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["arrival"] = ev["event_id"] % 3
+    for wave in range(3):
+        sub = ev[ev["arrival"] <= wave]
+        census: Counter = Counter()
+        opens: Counter = Counter()
+        for _, g in sub.groupby("user_id"):
+            g = g.sort_values(["ts_us", "event_id"])
+            runs = []
+            prev = None
+            for r in g.itertuples():
+                if prev is None or r.event_type != prev:
+                    runs.append(r.event_type)
+                prev = r.event_type
+            for s in runs:
+                census[s] += 1
+            opens[runs[-1]] += 1
+        got = out[out["wave"] == wave]
+        assert {r.status: r.n_versions for r in got.itertuples()} == dict(census), wave
+        assert {
+            r.status: r.n_current for r in got.itertuples() if r.n_current
+        } == dict(opens), wave
+    # the transaction-time axis matters: at least one status census
+    # changes across waves (late arrivals revise belief)
+    w0 = out[out["wave"] == 0].set_index("status")["n_versions"]
+    w2 = out[out["wave"] == 2].set_index("status")["n_versions"]
+    assert not w0.equals(w2)
+
+
+def test_reconcile_rollup_all_green_and_exact(spark, sf_dir):
+    out = all_queries()["dq_reconcile_rollup"](spark, sf_dir).toPandas()
+    ev = _events(sf_dir).copy()
+    ev["day"] = ev["ts"].astype("datetime64[us]").astype("int64") // _DAY_US
+    ev["micro"] = (ev["value"] * 1e6).apply(math.floor).astype("int64")
+    g = ev.groupby("event_type")
+    assert (out["reconciled"] == 1).all()
+    got = out.set_index("event_type")
+    for et, gg in g:
+        assert got.loc[et, "src_rows"] == len(gg)
+        assert got.loc[et, "src_value_micro"] == gg["micro"].sum()
+        assert got.loc[et, "src_days"] == gg["day"].nunique()
+        assert got.loc[et, "tgt_rows"] == got.loc[et, "src_rows"]
+
+
+def test_equiheight_hist_properties(spark, sf_dir):
+    out = all_queries()["catalog_equiheight_hist"](spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n = len(orders)
+    assert out["n_rows"].sum() == n
+    o = out.sort_values("bucket").reset_index(drop=True)
+    assert list(o["bucket"]) == list(range(8))
+    # equi-height: bucket sizes differ by at most 1 from n/8 (floor split)
+    assert o["n_rows"].max() - o["n_rows"].min() <= 1
+    # boundaries are non-decreasing across buckets and bracket the data
+    for i in range(1, 8):
+        assert o["lo"].iloc[i] >= o["hi"].iloc[i - 1] - 0.011  # cent ties
+    assert abs(o["lo"].iloc[0] - round(orders["o_totalprice"].min(), 2)) < 0.02
+    assert abs(o["hi"].iloc[7] - round(orders["o_totalprice"].max(), 2)) < 0.02
