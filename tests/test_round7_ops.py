@@ -203,17 +203,15 @@ def test_fasttext_quality_differential(spark, sf_dir):
         t = _tokens(r.text)
         if len(t) < 2:
             continue
-        buckets: Counter = Counter()
+        swint = 0
+        n = 0
         for w1, w2 in zip(t, t[1:]):
             h = int(hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:8], 16)
-            buckets[h % 256] += 1
-        n = sum(buckets.values())
-        z0 = sum(
-            c * (((b * 2654435761) % 1000003 % 197 - 98) / 98.0)
-            for b, c in sorted(buckets.items())
-        )
-        z = z0 / n - 0.25
-        scores[r.doc_id] = (z0 / n, 1.0 / (1.0 + math.exp(-z)), n)
+            swint += ((h % 256) * 2654435761) % 1000003 % 197 - 98
+            n += 1
+        z_key = swint / 98.0 / n  # the engines' exact expression order
+        z = z_key - 0.25
+        scores[r.doc_id] = (z_key, 1.0 / (1.0 + math.exp(-z)), n)
     want = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:25]
     assert list(out["doc_id"]) == [d for d, _ in want]
     for r in out.itertuples():
