@@ -100,8 +100,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, lang): word-count bounds [8, 512], mean word length in
     [2, 10], stopword evidence (>=2 distinct stopwords AND >=5% stopword
     tokens), duplicate-word fraction <=50%, symbol ratio <=10%. The
-    MassiveText filtering stage every pretraining pipeline runs before
-    dedup. Every rule is evaluated as an integer cross-multiplication
+    corpus-slice AUDIT twin of `filter_gopher_rules` (curation_rules.py),
+    which emits per-document verdicts on its three base rules; this adds
+    the duplicate-word and symbol-ratio families and rolls pass rates up
+    to the (source, lang) grain a curation dashboard tracks. Every rule is evaluated as an integer cross-multiplication
     (``2*nw <= total_chars`` not ``tc/nw >= 2.0``) so there is no float
     anywhere in the report. One narrow projection computes all per-doc
     stats from a single token array; the rollup is a partially-aggregated
