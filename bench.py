@@ -95,6 +95,17 @@ EXTENDED = (
     "curation_ppl_band_select",
     "join_scd2_pit",
     "join_geo_gridded",
+    # round-7 batch-4/5 additions (all ≤2.4 s steady at sf0.1, measured;
+    # graph_label_prop excluded — 3.7 s steady, tracked with the other
+    # iterative graph ops outside the tier)
+    "text_gopher_rules",
+    "agg_avg_precision",
+    "sketch_kmv_jaccard",
+    "curation_domain_mix",
+    "agg_winsorized_mean",
+    "win_event_sequence",
+    "agg_welch_ttest",
+    "dq_benford_digits",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -381,7 +381,9 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e2 = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e2 = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # 3 rounds × (join + vote) consume it
     nodes = e2.select("src").distinct().withColumnRenamed("src", "node")
     labels = nodes.select(
         "node",
