@@ -545,9 +545,10 @@ def etl_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; facts then join on the natural key to pick up the surrogate —
     the standard warehouse dim-build."""
     docs = table(spark, sf_dir, "documents")
-    dim = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    # bounded input (distinct dimension); explicit constant partition
-    w = Window.partitionBy(F.lit(0)).orderBy("source")
+    dim = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).coalesce(1)
+    # bounded input (distinct dimension, one partition); partition on the
+    # constant physical partition id — no WindowExec warning
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("source")
     return dim.select(
         "source",
         F.row_number().over(w).cast("bigint").alias("source_sk"),

@@ -606,9 +606,12 @@ def sim_rerank_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("embedding"), q_lit).alias("s1"),
         dot(F.col("embedding"), t_lit).alias("s2"),
     )
-    top = scored.orderBy(F.col("s1").desc(), F.col("vec_id").asc()).limit(20)
-    # bounded input (top-20); explicit constant partition
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("s2").desc(), F.col("vec_id").asc())
+    top = scored.orderBy(F.col("s1").desc(), F.col("vec_id").asc()).limit(20).coalesce(1)
+    # bounded input (top-20, one partition); partition on the constant
+    # physical partition id — no WindowExec warning
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("s2").desc(), F.col("vec_id").asc()
+    )
     return top.select(
         F.row_number().over(w).cast("int").alias("rerank"),
         "vec_id",

@@ -188,14 +188,17 @@ def etl_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     via broadcast. Contrast `shuffle_shards` (hash-random order): this is
     the stratified-order twin."""
     docs = table(spark, sf_dir, "documents")
-    src = docs.select("source").distinct()
-    # Tiny dimension (distinct domains): a single-partition window here is
-    # bounded by domain cardinality, never by corpus size.
-    sw = Window.partitionBy(F.lit(0)).orderBy("source")
+    src = docs.select("source").distinct().coalesce(1)
+    # Tiny dimension (distinct domains, one partition): partition both
+    # windows on the constant physical partition id — bounded by domain
+    # cardinality, never by corpus size, and no WindowExec warning.
+    sw = Window.partitionBy(F.spark_partition_id()).orderBy("source")
     src = src.select(
         "source",
         (F.row_number().over(sw) - 1).alias("sidx"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_src"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.spark_partition_id()))
+        .alias("n_src"),
     )
     rw = Window.partitionBy("source").orderBy("doc_id")
     ranked = docs.select(
@@ -374,10 +377,10 @@ def plan_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
     )
-    w_all = Window.partitionBy()
-    weight = F.pow(F.col("tokens"), 0.7) / F.sum(F.pow(F.col("tokens"), 0.7)).over(
-        w_all
-    )
+    # broadcast the 1-row denominator instead of an unpartitioned window
+    denom = s.agg(F.sum(F.pow(F.col("tokens"), 0.7)).alias("denom"))
+    s = s.crossJoin(F.broadcast(denom))
+    weight = F.pow(F.col("tokens"), 0.7) / F.col("denom")
     budget = 500000
     return s.select(
         "source",

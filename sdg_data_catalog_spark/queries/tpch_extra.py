@@ -266,8 +266,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    # broadcast the 1-row max instead of an unpartitioned window — revenue
+    # is supplier-grained (grows with SF)
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (

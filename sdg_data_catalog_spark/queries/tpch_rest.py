@@ -304,9 +304,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_dec("l_extendedprice") * F.col("l_quantity").cast("decimal(18,0)")).alias("val"))
     )
-    w = Window.partitionBy()
+    # broadcast the 1-row grand total instead of an unpartitioned window —
+    # v is partkey-grained (grows with SF), so the window's single-partition
+    # pass is the avoidable scale hazard here
+    tot = v.agg(F.sum("val").alias("tot"))
     return (
-        v.withColumn("threshold", F.sum("val").over(w) * F.lit(0.002).cast("decimal(4,3)"))
+        v.crossJoin(F.broadcast(tot))
+        .withColumn("threshold", F.col("tot") * F.lit(0.002).cast("decimal(4,3)"))
         .filter(F.col("val") > F.col("threshold"))
         .select("l_partkey", F.round(F.col("val").cast("double"), 2).alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")

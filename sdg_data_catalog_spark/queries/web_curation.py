@@ -290,17 +290,15 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure map-side filter — no row-proportional shuffle at any scale."""
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()  # the frame is |sources| rows — tiny
-    rates = counts.select(
+    # broadcast the 1-row totals instead of an unpartitioned window
+    tots = counts.agg(
+        F.sum(F.pow("c", 0.5)).alias("sum_sqrt"), F.sum("c").alias("sum_c")
+    )
+    rates = counts.crossJoin(F.broadcast(tots)).select(
         "source",
         F.least(
             F.lit(1.0),
-            (F.pow("c", 0.5) / F.sum(F.pow("c", 0.5)).over(w))
-            * 0.25
-            * F.sum("c").over(w)
-            / F.col("c"),
+            (F.pow("c", 0.5) / F.col("sum_sqrt")) * 0.25 * F.col("sum_c") / F.col("c"),
         ).alias("keep_rate"),
     )
     unit = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
@@ -578,12 +576,13 @@ def agg_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
         F.percentile(F.col("n_chars").cast("double"), 0.5).alias("p50_raw"),
     )
-    w = Window.partitionBy()  # |langs| rows — tiny
-    return per_lang.select(
+    # broadcast the 1-row total instead of an unpartitioned window
+    tot = per_lang.agg(F.sum("n_docs").alias("tot_docs"))
+    return per_lang.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
         "n_sources",
-        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+        F.round(F.col("n_docs").cast("double") / F.col("tot_docs"), 6).alias(
             "doc_share"
         ),
         "total_chars",
