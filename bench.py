@@ -106,6 +106,11 @@ EXTENDED = (
     "win_event_sequence",
     "agg_welch_ttest",
     "dq_benford_digits",
+    # round-7 batch-6 additions (all ≤1.3 s steady at sf0.1, measured)
+    "sketch_mg_heavy_hitters",
+    "win_cumulative_distinct",
+    "agg_mann_whitney",
+    "agg_hdr_percentiles",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
