@@ -171,6 +171,22 @@ _PRIORITY = (
     "arr_ngram",
     "json_parse",
     "stream_watermark",
+    # round-7 batch-4/5/6 registrations (oracle-verified at
+    # sf0.001/0.01/0.1 before staging) — never driver-checked, so they
+    # outrank the rows-only tail in the round-8 window
+    "text_gopher_rules",
+    "agg_avg_precision",
+    "sketch_kmv_jaccard",
+    "curation_domain_mix",
+    "agg_winsorized_mean",
+    "win_event_sequence",
+    "agg_welch_ttest",
+    "dq_benford_digits",
+    "graph_label_prop",
+    "sketch_mg_heavy_hitters",
+    "win_cumulative_distinct",
+    "agg_mann_whitney",
+    "agg_hdr_percentiles",
     # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",
