@@ -67,6 +67,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch4",
     "sdg_data_catalog_spark.queries.round7_batch5",
     "sdg_data_catalog_spark.queries.round7_batch6",
+    "sdg_data_catalog_spark.queries.round7_batch7",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -187,6 +188,9 @@ _PRIORITY = (
     "win_cumulative_distinct",
     "agg_mann_whitney",
     "agg_hdr_percentiles",
+    "emb_triplet_mining",
+    "ts_backtest_smape",
+    "agg_chisq_independence",
     # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",
