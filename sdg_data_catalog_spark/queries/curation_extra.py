@@ -377,7 +377,11 @@ def plan_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens")
     )
-    # broadcast the 1-row denominator instead of an unpartitioned window
+    # broadcast the 1-row denominator instead of an unpartitioned window;
+    # persisted so the denominator reuses the aggregate (one docs scan)
+    from pyspark import StorageLevel
+
+    s = s.persist(StorageLevel.MEMORY_AND_DISK)
     denom = s.agg(F.sum(F.pow(F.col("tokens"), 0.7)).alias("denom"))
     s = s.crossJoin(F.broadcast(denom))
     weight = F.pow(F.col("tokens"), 0.7) / F.col("denom")

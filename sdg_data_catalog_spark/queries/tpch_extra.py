@@ -267,7 +267,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # broadcast the 1-row max instead of an unpartitioned window — revenue
-    # is supplier-grained (grows with SF)
+    # is supplier-grained (grows with SF); persisted so the max reuses the
+    # aggregate (one lineitem scan)
+    from pyspark import StorageLevel
+
+    revenue = revenue.persist(StorageLevel.MEMORY_AND_DISK)
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     top = revenue.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")

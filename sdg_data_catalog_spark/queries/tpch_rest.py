@@ -306,7 +306,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # broadcast the 1-row grand total instead of an unpartitioned window —
     # v is partkey-grained (grows with SF), so the window's single-partition
-    # pass is the avoidable scale hazard here
+    # pass is the avoidable scale hazard here; v persists so the total
+    # reuses the aggregate (ONE lineitem scan, tests/test_plans.py)
+    from pyspark import StorageLevel
+
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
     tot = v.agg(F.sum("val").alias("tot"))
     return (
         v.crossJoin(F.broadcast(tot))

@@ -290,7 +290,11 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure map-side filter — no row-proportional shuffle at any scale."""
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    # broadcast the 1-row totals instead of an unpartitioned window
+    # broadcast the 1-row totals instead of an unpartitioned window;
+    # persisted so the totals reuse the aggregate (one docs scan)
+    from pyspark import StorageLevel
+
+    counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
     tots = counts.agg(
         F.sum(F.pow("c", 0.5)).alias("sum_sqrt"), F.sum("c").alias("sum_c")
     )
@@ -576,7 +580,11 @@ def agg_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
         F.percentile(F.col("n_chars").cast("double"), 0.5).alias("p50_raw"),
     )
-    # broadcast the 1-row total instead of an unpartitioned window
+    # broadcast the 1-row total instead of an unpartitioned window;
+    # persisted so the total reuses the aggregate (one docs scan)
+    from pyspark import StorageLevel
+
+    per_lang = per_lang.persist(StorageLevel.MEMORY_AND_DISK)
     tot = per_lang.agg(F.sum("n_docs").alias("tot_docs"))
     return per_lang.crossJoin(F.broadcast(tot)).select(
         "lang",
