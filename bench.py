@@ -106,11 +106,14 @@ EXTENDED = (
     "win_event_sequence",
     "agg_welch_ttest",
     "dq_benford_digits",
-    # round-7 batch-6 additions (all ≤1.3 s steady at sf0.1, measured)
+    # round-7 batch-6/7 additions (all ≤1.4 s steady at sf0.1, measured)
     "sketch_mg_heavy_hitters",
     "win_cumulative_distinct",
     "agg_mann_whitney",
     "agg_hdr_percentiles",
+    "emb_triplet_mining",
+    "ts_backtest_smape",
+    "agg_chisq_independence",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
@@ -144,6 +147,11 @@ CURATION_SCALE = (
     # passes, well inside the 120 s per-op cap)
     "lm_kneser_ney_score",
     "curation_fasttext_quality",
+    # round-7 session-2 additions (sf10 steady measured before inclusion:
+    # gopher 0.7 s, MG heavy hitters 8.8 s — the MG pass is the
+    # constant-memory raw-token mapInPandas path, ~6.5x for 100x data)
+    "text_gopher_rules",
+    "sketch_mg_heavy_hitters",
     "curation_contamination_report",
 )
 
