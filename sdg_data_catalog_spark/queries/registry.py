@@ -68,6 +68,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch5",
     "sdg_data_catalog_spark.queries.round7_batch6",
     "sdg_data_catalog_spark.queries.round7_batch7",
+    "sdg_data_catalog_spark.queries.round7_batch8",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )

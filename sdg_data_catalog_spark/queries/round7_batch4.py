@@ -111,21 +111,33 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine into ~100 output rows, no corpus-sized shuffle."""
     docs = table(spark, sf_dir, "documents")
     text = F.coalesce(F.col("text"), F.lit(""))
-    t = _toks(text)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     low = F.lower(text)
+    # Every stat is a CODEGEN-NATIVE expression — regexp_extract_all /
+    # array_distinct / array_intersect / regexp_replace, no lambda HOFs.
+    # The interpreted aggregate/filter form ran outside whole-stage
+    # codegen and cost 25 s at the 100x replica; this form is ~12x
+    # faster and value-identical (tokens are exactly the [a-z]+ runs,
+    # so total token chars = count of a-z chars, and a stopword TOKEN is
+    # a stopword delimited by non-letters or string edges).
+    t = F.regexp_extract_all(low, F.lit("[a-z]+"), 0)
+    stop_tok = (
+        "(?:^|[^a-z])(" + "|".join(STOPWORDS) + ")(?=[^a-z]|$)"
+    )
     m = docs.select(
         "source",
         "lang",
         F.size(t).alias("nw"),
-        F.aggregate(
-            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-        ).alias("tc"),
+        F.length(F.regexp_replace(low, "[^a-z]", "")).alias("tc"),
         F.size(F.array_distinct(t)).alias("nd"),
-        F.size(F.filter(t, lambda x: F.array_contains(stop, x))).alias("ns"),
-        F.size(F.array_intersect(t, stop)).alias("nsd"),
-        (
-            F.length(low) - F.length(F.regexp_replace(low, "[^a-z0-9 ]", ""))
+        F.size(F.regexp_extract_all(low, F.lit(stop_tok), 1)).alias("ns"),
+        F.size(F.array_intersect(F.array_distinct(t), stop)).alias("nsd"),
+        # symbol count via translate-DELETE of the keep-set: identical to
+        # the oracle's length - length(regexp_replace(low,'[^a-z0-9 ]',''))
+        # but 20x faster — Spark's regexp_replace with a mostly-non-matching
+        # negated class measured 24 s at the 100x replica vs 1.3 s here
+        F.length(
+            F.translate(low, "abcdefghijklmnopqrstuvwxyz0123456789 ", "")
         ).alias("sym"),
         F.length(text).alias("nc"),
     )
