@@ -192,6 +192,8 @@ _PRIORITY = (
     "emb_triplet_mining",
     "ts_backtest_smape",
     "agg_chisq_independence",
+    "agg_survival_km",
+    "ml_split_stump",
     # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",

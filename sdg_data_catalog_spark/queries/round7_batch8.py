@@ -81,11 +81,15 @@ _DAY_US = 86_400_000_000
       FROM per_day
     )
     SELECT CAST(day AS BIGINT) AS day, n_risk, n_death, n_censored,
-           ROUND(exp(SUM(CASE WHEN n_death > 0
-                              THEN ln(1.0 - CAST(n_death AS DOUBLE) / n_risk)
-                              ELSE 0.0 END)
-                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
-             AS survival
+           CASE WHEN MAX(CASE WHEN n_death >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+                THEN 0.0
+                ELSE ROUND(exp(SUM(CASE WHEN n_death > 0 AND n_death < n_risk
+                                        THEN ln(1.0 - CAST(n_death AS DOUBLE)
+                                                      / n_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+                           6) END AS survival
     FROM risk ORDER BY day
     """,
 )
@@ -162,16 +166,23 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint"),
     )
+    # the day everyone at-risk dies sends S to an absorbing 0 — handled as
+    # an explicit cumulative flag so the log fold never sees ln(0)
     logterm = F.when(
-        F.col("n_death") > 0,
+        (F.col("n_death") > 0) & (F.col("n_death") < F.col("n_risk")),
         F.log(1.0 - F.col("n_death").cast("double") / F.col("n_risk")),
     ).otherwise(F.lit(0.0))
+    zeroed = F.max(
+        F.when(F.col("n_death") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
     return risk.select(
         F.col("day").cast("bigint").alias("day"),
         "n_risk",
         "n_death",
         "n_censored",
-        F.round(F.exp(F.sum(logterm).over(w_cum)), 6).alias("survival"),
+        F.when(zeroed == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(logterm).over(w_cum)), 6))
+        .alias("survival"),
     ).orderBy("day")
 
 
