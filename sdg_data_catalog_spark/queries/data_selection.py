@@ -678,7 +678,7 @@ def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized — so no corpus-wide single-partition window ever runs.
     Phase 2's result is exactly the one-pass global front."""
     docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit(""))
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
     scored = docs.select(
         "doc_id", "n_chars",
         (F.size(F.array_distinct(toks)) / F.size(toks).cast("double")).alias("ttr"),

@@ -109,9 +109,7 @@ def curation_ppl_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "source",
-        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != F.lit("")).alias(
-            "t"
-        ),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("t"),
     ).filter(F.size("t") >= 2)
     n = F.size("t")
     bigs = F.zip_with(

@@ -45,8 +45,9 @@ _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
 def _toks(col: Column) -> Column:
     """Lowercased [a-z]+ tokens, empties removed — the corpus-wide
-    tokenization convention (curation_quality._tok_array)."""
-    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda t: t != F.lit(""))
+    tokenization convention (curation_quality._tok_array), in the
+    codegen-native regexp_extract_all form."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), 0)
 
 
 # --------------------------------------------------------------------------
