@@ -114,9 +114,11 @@ EXTENDED = (
     "emb_triplet_mining",
     "ts_backtest_smape",
     "agg_chisq_independence",
-    # round-7 batch-8 additions (≤1.7 s steady at sf0.1, measured)
+    # round-7 batch-8/9 additions (≤1.7 s steady at sf0.1, measured)
     "agg_survival_km",
     "ml_split_stump",
+    "agg_diff_in_diff",
+    "join_point_in_polygon",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

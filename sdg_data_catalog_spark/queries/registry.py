@@ -69,6 +69,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch6",
     "sdg_data_catalog_spark.queries.round7_batch7",
     "sdg_data_catalog_spark.queries.round7_batch8",
+    "sdg_data_catalog_spark.queries.round7_batch9",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -194,6 +195,8 @@ _PRIORITY = (
     "agg_chisq_independence",
     "agg_survival_km",
     "ml_split_stump",
+    "agg_diff_in_diff",
+    "join_point_in_polygon",
     # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",
