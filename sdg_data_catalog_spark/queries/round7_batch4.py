@@ -464,9 +464,13 @@ def curation_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "source", F.size(_toks(F.coalesce(F.col("text"), F.lit("")))).alias("nw")
     )
-    g = d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("nw").cast("bigint").alias("tokens"),
+    g = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("tokens"),
+        )
+        .localCheckpoint(eager=True)  # |sources| rows; total + output consume it
     )
     t = g.agg(
         F.sum("tokens").cast("bigint").alias("total"),

@@ -164,12 +164,18 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("img")
     )
-    g = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("img").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
-        F.sum((F.col("img") * F.col("img")).cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("s2"),
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("img").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s1"),
+            F.sum((F.col("img") * F.col("img")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+        .localCheckpoint(eager=True)  # |types| rows; total + cells consume it
     )
     t = g.agg(
         F.sum("n").cast("bigint").alias("tn"),
@@ -269,8 +275,12 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit"),
         )
     )
-    obs = ev.groupBy("event_type", "digit").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    obs = (
+        ev.groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+        .localCheckpoint(eager=True)  # <= 9·|types| rows; three consumers
+        # (types grid, the left join, group totals) — without this the
+        # corpus scan re-executes per consumer (the shared-subtree rule)
     )
     types = obs.select("event_type").distinct()
     digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))

@@ -98,7 +98,9 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which is the only property phase 2 needs. C-speed throughout
         # (value_counts + vectorized prune), no per-token Python loop.
         counters: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for tok, c in pdf["token"].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > _MG_CAP:
@@ -107,29 +109,24 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 counters = {
                     t: c - thresh for t, c in counters.items() if c > thresh
                 }
-        yield pd.DataFrame({"token": list(counters.keys())})
+        # the '' sentinel row carries the partition's exact token total —
+        # '' can never be a token of the [a-z]+ tokenization, and folding
+        # the total into this pass saves a whole extra corpus scan
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [""],
+                "c": [0] * len(counters) + [n_part],
+            }
+        )
 
-    cand = toks.mapInPandas(mg_partition, "token string").distinct()
+    summary = toks.mapInPandas(mg_partition, "token string, c long")
+    summary = summary.localCheckpoint(eager=True)  # partitions × cap rows
+    cand = summary.filter(F.col("token") != "").select("token").distinct()
+    total = summary.agg(F.sum("c").cast("bigint").alias("n"))
     counts = (
         toks.join(F.broadcast(cand), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    # grand total WITHOUT a third explode of the token stream: sum of
-    # per-doc token-array sizes, one vectorized scan
-    total = docs.agg(
-        F.sum(
-            F.size(
-                F.filter(
-                    F.split(
-                        F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"
-                    ),
-                    lambda t: t != F.lit(""),
-                )
-            )
-        )
-        .cast("bigint")
-        .alias("n")
     )
     return (
         counts.crossJoin(F.broadcast(total))
@@ -275,8 +272,14 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 1e6).cast("long").alias("img")
     )
-    pv = ev.groupBy("img", "event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    from pyspark import StorageLevel
+
+    pv = (
+        ev.groupBy("img", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        # distinct-value-grained; both the value totals and the per-group
+        # rank-sum join consume it — unpersisted, each rescans events
     )
     vals = pv.groupBy("img").agg(F.sum("cnt").cast("bigint").alias("tot"))
     pref = running_total(vals, "img", F.col("tot"), "run").select(

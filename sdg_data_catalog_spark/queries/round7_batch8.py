@@ -114,19 +114,25 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t0"))
+        .localCheckpoint(eager=True)  # user-grained; joined once below
     )
-    death = (
-        ev.join(signup, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t0")))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("tp"))
-    )
-    last = ev.join(signup.select("user_id"), "user_id").groupBy("user_id").agg(
-        F.max("ts_us").alias("tl")
-    )
+    # ONE join + ONE conditional aggregate carries both the first
+    # post-signup purchase (tp) and the last observed event (tl) — the
+    # unfused form re-scanned events per statistic (8 scans in the plan)
     subj = (
-        signup.join(last, "user_id")
-        .join(death, "user_id", "left")
+        ev.join(signup, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t0").alias("t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t0")),
+                    F.col("ts_us"),
+                )
+            ).alias("tp"),
+            F.max("ts_us").alias("tl"),
+        )
         .select(
             F.when(
                 F.col("tp").isNotNull(),
@@ -144,8 +150,12 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("died")).cast("bigint").alias("n_censored"),
         )
         .coalesce(1)  # observation-window-sized; one partition for the folds
+        .localCheckpoint(eager=True)  # two consumers (totals + risk walk)
     )
-    n_subj = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n_subj"))
+    # subject total from the day census — not a second pass over subj
+    n_subj = per_day.agg(
+        F.sum(F.col("n_death") + F.col("n_censored")).cast("bigint").alias("n_subj")
+    )
     w_prev = (
         Window.partitionBy(F.spark_partition_id())
         .orderBy("day")
