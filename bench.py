@@ -119,6 +119,8 @@ EXTENDED = (
     "ml_split_stump",
     "agg_diff_in_diff",
     "join_point_in_polygon",
+    "agg_cuped_adjust",
+    "dq_srm_check",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -70,6 +70,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch7",
     "sdg_data_catalog_spark.queries.round7_batch8",
     "sdg_data_catalog_spark.queries.round7_batch9",
+    "sdg_data_catalog_spark.queries.round7_batch10",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -197,6 +198,8 @@ _PRIORITY = (
     "ml_split_stump",
     "agg_diff_in_diff",
     "join_point_in_polygon",
+    "agg_cuped_adjust",
+    "dq_srm_check",
     # rows-only names (no oracle — a driver visit records only spark_rows)
     "mm_phash_neardup",
     "diag_rowgroup_stats",
