@@ -487,6 +487,10 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        # edge list materializes ONCE: degree + orientation both consume
+        # it, and the three wedge-join branches re-expanded the whole
+        # lineitem self-join per alias (30+ scans in the formatted plan)
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -501,7 +505,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by all three join aliases
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(

@@ -57,12 +57,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    # each stage frame is user-grained and consumed twice (next stage +
+    # its own count) — checkpointed so the chain is three filtered event
+    # scans, not six re-expansions
+    v = v.localCheckpoint(eager=True)
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -331,6 +336,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        # edge list materializes ONCE: degree + orientation both consume
+        # it, and the three wedge-join branches re-expanded the whole
+        # lineitem self-join per alias (30+ scans in the formatted plan)
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -345,7 +354,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by all three join aliases
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(
