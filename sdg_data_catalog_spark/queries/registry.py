@@ -96,73 +96,18 @@ _loaded = False
 # driver-checked names — follows in registration order. Alias IDs whose
 # targets are driver-green are deliberately absent: a green row on the
 # target is a green row on the ID.
-# Round-7 window (positions 1-50): the full remaining oracle-backed
-# never-checked backlog — r5/r6 staging continuation (31 names, all green
-# in plain-session pre-validation), then the SURVEY §2 alias IDs whose
-# targets are driver-green (scan_sqlite … stream_watermark — a green row on
-# the target already counts for the ID, but an official row on the ID
-# itself closes the book); round-7 NEW registrations replace aliases from
-# position 32 as they land. Positions 51+ stage round 8: rows-only names
-# (a driver visit records only spark_rows) last, per the r5 lesson.
+# Round-8 window (positions 1-50): closes the evidence book. 34
+# oracle-backed never-checked names first — the 12 SURVEY §2 alias IDs whose
+# targets are driver-green (an official row on the ID itself closes the
+# book) then the 22 round-7 batch-4..10 operators (all 22 green in the
+# judge's independent sf0.01 re-check AND in plain-session pre-validation).
+# Round-8 NEW registrations slot in after position 34 as they land. The 13
+# rows-only names (no oracle — a driver visit records only spark_rows) take
+# the tail of the window so every one of the 390 registered names holds an
+# official driver row after this round. Everything unlisted — including all
+# previously driver-checked names — follows in registration order.
 _PRIORITY = (
-    # --- round-7 driver window (positions 1-50) ---
-    "curation_dsir",
-    "lm_watermark_greenlist",
-    "ts_anomaly_mad",
-    "curation_pareto_front",
-    "agg_source_vocab_jaccard",
-    "ts_cusum_changepoint",
-    "sink_ann_index",
-    "sim_ann_indexed_topk",
-    "dedup_apply_canonical",
-    "sample_coreset_kcenter",
-    "agg_tail_index_hill",
-    "dq_drift_ks",
-    "etl_ann_index_upsert",
-    "agg_top_paths",
-    "text_boilerplate_df",
-    "agg_dedup_impact_report",
-    "text_novelty_rate",
-    "agg_split_balance_chi2",
-    "sim_ann_ivf_topk",
-    "cluster_kmeans",
-    "graph_pagerank",
-    "graph_kcore",
-    "split_stratified",  # promoted to a full oracle in r6 (md5-ranked split)
-    "str_spellfix",  # promoted r6 (deterministic dict fallback oracle)
-    "str_lemma",  # promoted r6 (suffix-rule fallback oracle)
-    "bpe_train_merges",  # promoted r6 (20-round unrolled MATERIALIZED-CTE oracle)
-    "bpe_encode_tokens",  # promoted r6 (trainer chain + encode join oracle)
-    # round-6 registrations (dimensional_extra.py) — oracle-verified at
-    # sf0.001/0.01/0.1 before staging
-    "etl_scd2_merge",
-    "join_interval_overlap",
-    "fpm_assoc_rules",
-    "agg_tokenizer_fertility",
-    # round-7 registrations (timeseries_extra.py, curation_quality.py) —
-    # oracle-verified at sf0.001/0.01 before staging
-    "ts_forecast_ols",
-    "ts_rolling_median",
-    "ts_decompose_ma",
-    "lm_kneser_ney_score",
-    "agg_vocab_coverage",
-    "curation_contamination_report",
-    "curation_fasttext_quality",
-    "graph_clustering_coeff",
-    "etl_scd3_prev",
-    "agg_conversion_attribution",
-    "curation_ppl_band_select",
-    "ts_xcorr_lagged",
-    "join_scd2_pit",
-    "join_geo_gridded",
-    "etl_bitemporal_snapshot",
-    "dq_reconcile_rollup",
-    "catalog_equiheight_hist",
-    # SURVEY §2 alias IDs (same callable + oracle as their driver-green
-    # targets) — an official row on the ID itself closes the book
-    "scan_sqlite",
-    "sink_sqlite",
-    # --- driver window boundary (50); below stages the round-8 window ---
+    # --- round-8 driver window: SURVEY §2 alias IDs (targets driver-green) ---
     "filter_range",
     "join_broadcast_vocab",
     "join_anti_stopwords",
@@ -175,9 +120,9 @@ _PRIORITY = (
     "arr_ngram",
     "json_parse",
     "stream_watermark",
-    # round-7 batch-4/5/6 registrations (oracle-verified at
-    # sf0.001/0.01/0.1 before staging) — never driver-checked, so they
-    # outrank the rows-only tail in the round-8 window
+    # round-7 batch-4..10 registrations (oracle-verified at
+    # sf0.001/0.01/0.1 before staging; 22/22 green in the judge's
+    # independent re-check) — never driver-checked
     "text_gopher_rules",
     "agg_avg_precision",
     "sketch_kmv_jaccard",
@@ -200,7 +145,10 @@ _PRIORITY = (
     "join_point_in_polygon",
     "agg_cuped_adjust",
     "dq_srm_check",
-    # rows-only names (no oracle — a driver visit records only spark_rows)
+    # --- round-8 NEW oracle-backed registrations slot in here (<=3) ---
+    # rows-only names (no oracle — the driver records spark_rows + schema;
+    # each carries a property/differential twin in tests/). Staged last per
+    # the r5 lesson; after this window all 390 names hold a driver row.
     "mm_phash_neardup",
     "diag_rowgroup_stats",
     "etl_column_crypto",
@@ -210,6 +158,10 @@ _PRIORITY = (
     "udf_coherence",
     "mm_resize_jpeg",
     "mm_resize",
+    "src_http",
+    "src_scrape",
+    "sink_pdf",
+    "udf_trie_match",
 )
 
 
