@@ -209,23 +209,34 @@ def _progress(msg: str) -> None:
     print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+_CAPPED_SEQ = [0]
+
+
 def _run_capped(spark, fn, cap_sec: float):
     """Run fn() (plan build + execute — builds can hide data-scanning
     collects) under a job group whose Spark jobs are cancelled after
-    cap_sec. Returns (elapsed_or_None, error_or_None)."""
+    cap_sec. Returns (elapsed_or_None, error_or_None).
+
+    The group id is unique per call and cleared in the finally block, and
+    the watchdog is joined before returning: a shared id left set on the
+    driver thread meant a watchdog firing in the instant fn completed
+    could cancel whatever job ran NEXT (later tiers inherited the group),
+    surfacing one op's timeout as a spurious failure on a later op."""
     import threading
 
     sc = spark.sparkContext
+    _CAPPED_SEQ[0] += 1
+    group = f"bench-capped-{_CAPPED_SEQ[0]}"
     done = threading.Event()
 
     def _watchdog():
         if not done.wait(cap_sec):
             try:
-                sc.cancelJobGroup("bench-capped")
+                sc.cancelJobGroup(group)
             except Exception:
                 pass
 
-    sc.setJobGroup("bench-capped", "capped bench op", interruptOnCancel=True)
+    sc.setJobGroup(group, "capped bench op", interruptOnCancel=True)
     th = threading.Thread(target=_watchdog, daemon=True)
     th.start()
     t0 = time.perf_counter()
@@ -238,6 +249,13 @@ def _run_capped(spark, fn, cap_sec: float):
         ).splitlines()[0][:120]
     finally:
         done.set()
+        th.join(timeout=5)
+        # drop the group from the driver thread so later jobs can't inherit it
+        for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
+            try:
+                sc.setLocalProperty(prop, None)
+            except Exception:
+                pass
 
 
 def _gc_barrier(spark) -> None:
@@ -247,7 +265,45 @@ def _gc_barrier(spark) -> None:
         pass
 
 
-def _bench_spark(qs, names, spark, sf_dir, reps: int = 3, per_query_gc: bool = False):
+def _cache_state() -> dict:
+    """Host page-cache snapshot (MB) from /proc/meminfo. sf10 reps have
+    recorded a 2x cold-cache outlier (16.2 s vs 8.8 s steady) when the
+    container's buff/cache was dropped mid-run — recording the cache state
+    alongside each tier/rep labels such outliers as environmental data
+    instead of leaving them mysteries."""
+    out = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, v = line.split(":", 1)
+                if k in ("Cached", "MemAvailable", "Buffers"):
+                    out[k.lower() + "_mb"] = int(v.strip().split()[0]) // 1024
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
+def _timed_full_run(qs, name, spark, tier_dir, acc, reps: int = 2) -> None:
+    """One warmup then `reps` timed FULL runs (plan rebuild + execute).
+
+    Rebuilding the plan inside the timed region is the point: several
+    extended/curation ops materialize corpus-sized intermediates at
+    plan-build time (eager localCheckpoints — funnel_conversion,
+    graph_triangle_count, MG heavy hitters' candidate pass). Timing only
+    _execute on a prebuilt plan would exclude that work from the steady
+    numbers while the DuckDB baseline does full work per run."""
+    df = qs[name](spark, tier_dir)
+    _execute(df)  # warm: codegen, shuffles, broadcasts
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df = qs[name](spark, tier_dir)
+        _execute(df)
+        acc.append(time.perf_counter() - t0)
+
+
+def _bench_spark(
+    qs, names, spark, sf_dir, reps: int = 3, per_query_gc: bool = False, record_cache: bool = False
+):
     """Per-query (cold_first_run, build_sec, steady_min, all_reps) on
     prebuilt plans. `per_query_gc` runs a full GC before each query's
     timed reps — used at the heaviest tier, where one query's transient
@@ -263,7 +319,10 @@ def _bench_spark(qs, names, spark, sf_dir, reps: int = 3, per_query_gc: bool = F
     # on a real cluster every job starts in a fresh executor heap anyway.
     _gc_barrier(spark)
     cold, build, steady, allreps = {}, {}, {}, {}
+    cache_probe: dict[str, dict] = {}
     for name in names:
+        if record_cache:
+            cache_probe[name] = _cache_state()
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         build[name] = round(time.perf_counter() - t0, 4)
@@ -273,6 +332,8 @@ def _bench_spark(qs, names, spark, sf_dir, reps: int = 3, per_query_gc: bool = F
         rep_times = [round(_execute(df), 4) for _ in range(reps)]
         allreps[name] = rep_times
         steady[name] = min(rep_times)
+    if record_cache:
+        allreps["_cache_state"] = cache_probe
     return cold, build, steady, allreps
 
 
@@ -585,9 +646,7 @@ def main() -> None:
         steady: list[float] = []
 
         def _measure(nm=name, acc=steady):
-            df = qs[nm](spark, sf_dir)
-            _execute(df)  # warmup
-            acc.extend(_execute(df) for _ in range(2))
+            _timed_full_run(qs, nm, spark, sf_dir, acc, reps=2)
 
         _, err = _run_capped(spark, _measure, 150)
         if err is None and steady:
@@ -607,6 +666,7 @@ def main() -> None:
         "extended": extended,
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
         "session": {**_session_evidence(spark), **session_origin},
+        "cache_state_headline": _cache_state(),
         "layout": layout_info,
         "budget_sec": _BUDGET,
         "skipped": {},
@@ -622,11 +682,14 @@ def main() -> None:
     # timing each tier — that is the deployment story the headline measures.
     _progress("extended done; sf1 tier start")
     sf1_dir = _ensure_sf1() if _remaining() > 300 else None
-    if not sf1_dir and _remaining() <= 300:
-        result["skipped"]["sf1"] = "budget"
+    if not sf1_dir:
+        # record WHY the tier is absent either way — an ensure helper
+        # failing for a non-budget reason must not vanish silently
+        result["skipped"]["sf1"] = "budget" if _remaining() <= 300 else "unavailable"
     if sf1_dir:
         try:
             result["layout"]["sf1"] = _layout(sf1_dir)
+            result["cache_state_sf1"] = _cache_state()
             _, _, sf1_timings, sf1_reps = _bench_spark(qs, names, spark, sf1_dir, reps=3)
             sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
             result["sf1"] = {
@@ -641,8 +704,8 @@ def main() -> None:
 
     _progress("sf1 done; sf10 tier start")
     sf10_dir = _ensure_sf10() if _remaining() > 420 else None
-    if not sf10_dir and _remaining() <= 420:
-        result["skipped"]["sf10"] = "budget"
+    if not sf10_dir:
+        result["skipped"]["sf10"] = "budget" if _remaining() <= 420 else "unavailable"
     if sf10_dir:
         # 5 reps at the asymptote tier: min-of-3 let one multi-second host
         # transient (page-cache/GC collision) survive into the record —
@@ -659,7 +722,7 @@ def main() -> None:
             except Exception:
                 pass
             _, _, sf10_timings, sf10_reps = _bench_spark(
-                qs, names, spark, sf10_dir, reps=5, per_query_gc=True
+                qs, names, spark, sf10_dir, reps=5, per_query_gc=True, record_cache=True
             )
             sf10_base = _duckdb_baseline(names, sf10_dir, tables=SF1_TABLES)
             result["sf10"] = {
@@ -693,9 +756,7 @@ def main() -> None:
                 reps_acc: list[float] = []
 
                 def _measure(nm=name, td=tier_dir, acc=reps_acc):
-                    df = qs[nm](spark, td)
-                    _execute(df)  # warm
-                    acc.extend(_execute(df) for _ in range(2))
+                    _timed_full_run(qs, nm, spark, td, acc, reps=2)
 
                 _, err = _run_capped(spark, _measure, 120)
                 if err is None and reps_acc:

@@ -76,8 +76,15 @@ def _seq_cos(ea, eb):
 
 @settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
+    # magnitude x sign, NOT floats().filter(abs > 1e-3): the filter form
+    # rejects most of the domain on some seeds and dies on a suite-level
+    # FailedHealthCheck ("filtering out a lot of data") before any
+    # assertion runs — a green gate must not depend on the Hypothesis seed
     st.lists(
-        st.floats(min_value=-10, max_value=10, allow_nan=False).filter(lambda x: abs(x) > 1e-3),
+        st.tuples(
+            st.floats(min_value=1e-3, max_value=10, allow_nan=False),
+            st.sampled_from([-1.0, 1.0]),
+        ).map(lambda t: t[0] * t[1]),
         min_size=4,
         max_size=16,
     )
