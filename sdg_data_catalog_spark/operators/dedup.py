@@ -170,7 +170,16 @@ def jaccard_pairs_blocked(
     blk = docs.select(
         "doc_id", "shs", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("blk")
     )
-    blocks = blk.groupBy("blk").agg(F.collect_list(F.struct("doc_id", "shs")).alias("rows"))
+    # The block-pair self-join references `blocks` twice; without a lineage
+    # cut each reference re-expands the corpus scan + shingling (audited 4
+    # document scans per query at sf0.001 — at 100 TB, 4 corpus passes).
+    # One materialization of the B-row block table costs one corpus pass
+    # and the self-join then reads local partitions.
+    blocks = (
+        blk.groupBy("blk")
+        .agg(F.collect_list(F.struct("doc_id", "shs")).alias("rows"))
+        .localCheckpoint(eager=True)
+    )
     a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     pairs = (
@@ -292,7 +301,10 @@ def minhash_signatures(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 def minhash_band_pairs(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of LSH_ROWS consecutive
     minhashes. Join cost is per-bucket, not all-pairs — the 100 TB path."""
-    sigs = minhash_signatures(corpus, n)
+    # one corpus pass for the signatures; the band self-join below would
+    # otherwise re-expand the scan+signature subtree per side (audited 4
+    # document scans per query)
+    sigs = minhash_signatures(corpus, n).localCheckpoint(eager=True)
     band_keys = [
         F.concat_ws(
             "|",
@@ -517,7 +529,10 @@ def simhash_pairs_blocked(
     n_chunks = max_hamming + 1
     chunk_bits = (bits + n_chunks - 1) // n_chunks
     mask = (1 << chunk_bits) - 1
-    s = simhash(corpus, bits)
+    # one corpus pass for the fingerprints; the chunk self-join would
+    # otherwise re-expand the scan+tf+simhash subtree per side (audited 4
+    # document scans per query)
+    s = simhash(corpus, bits).localCheckpoint(eager=True)
     chunk = F.explode(
         F.array(
             *[

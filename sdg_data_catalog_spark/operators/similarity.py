@@ -249,12 +249,23 @@ def ivf_assign(
     ordering the oracles pin. Pass `centroids`
     explicitly when assigning a query set so both sides share ONE codebook
     (quantizing queries against query-derived centroids would silently
-    break cell agreement)."""
+    break cell agreement).
+
+    Contract notes: the output `embedding` column is ALWAYS
+    `array<double>` — inputs of narrower element types (array<float>) are
+    widened by the numpy pass (the old crossJoin form preserved the input
+    type). An empty centroid table raises instead of silently emitting
+    zero rows."""
     import numpy as np
     import pandas as pd
 
     cents = centroids if centroids is not None else ivf_centroids(embeddings, n_cells)
     rows = sorted(cents.collect(), key=lambda r: int(r["cell_id"]))  # ≤ n_cells
+    if not rows:
+        raise ValueError(
+            "ivf_assign: empty centroid table (n_cells=0 or empty corpus) — "
+            "every vector would silently vanish from the assignment"
+        )
     cell_ids = np.asarray([int(r["cell_id"]) for r in rows], dtype=np.int64)
     cmat = np.asarray(
         [[float(v) for v in r["centroid"]] for r in rows], dtype=np.float64

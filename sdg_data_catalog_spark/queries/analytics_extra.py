@@ -422,7 +422,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(prefix)
-    sh = D.shingles(corpus)
+    # shingles feed sizes + both join sides — cut lineage or the corpus
+    # scan re-expands 8x (audited at sf0.001)
+    sh = D.shingles(corpus).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -594,7 +596,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    key = F.format_string("%019d:%s", F.lit(10**18) - F.col("c"), F.col("w"))
+    # %019d holds 10^18 - cnt only while cnt <= 10^18 (a larger count
+    # would go negative and Java Formatter would WIDEN, silently breaking
+    # lexicographic == numeric); overflow raises instead of corrupting
+    key = F.when(
+        F.col("c") <= F.lit(10**18),
+        F.format_string("%019d:%s", F.lit(10**18) - F.col("c"), F.col("w")),
+    ).otherwise(F.raise_error(F.lit("count > 1e18 overflows the %019d rank key")))
     ranked = running_total(
         wc.withColumn("__key", key), "__key", F.lit(1), "r"
     ).select("c", "r")
@@ -747,6 +755,10 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.ord") == F.col("b.ord")) & (F.col("a.part") < F.col("b.part")))
         .select(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
         .distinct()
+        # the node union consumes the edge list twice — materialize once
+        # (graph_triangle_count template) instead of re-running the wedge
+        # self-join per branch (audited 4 lineitem scans)
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("pa").alias("node")).unionAll(
         e.select(F.col("pb").alias("node"))

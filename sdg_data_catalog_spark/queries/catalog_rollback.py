@@ -85,10 +85,16 @@ def sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound — drift flips the boolean and fails the value hash, so the
     sketch path is verified end-to-end."""
     ev = table(spark, sf_dir, "events")
+    # ~30 rows (one sketch per day); feeds the max-day scalar and the
+    # window fold, and the max-day scalar is cross-joined on BOTH the
+    # sketch and exact sides — one events pass for the sketch table, not
+    # three (audited 4 events scans; the exact-count side below is the
+    # deliberate second pass that cross-checks the sketch)
     daily = (
         ev.select(F.to_date("ts").alias("d"), "user_id")
         .groupBy("d")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=True)
     )
     mx = daily.agg(F.max("d").alias("m"))
     windows = (

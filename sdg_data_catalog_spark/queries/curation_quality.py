@@ -222,9 +222,13 @@ def agg_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    key = F.format_string(
-        "%019d:%s", F.lit(10**18) - F.col("cnt"), F.col("word")
-    )
+    # %019d holds 10^18 - cnt only while cnt <= 10^18 (a larger count
+    # would go negative and Java Formatter would WIDEN, silently breaking
+    # lexicographic == numeric); overflow raises instead of corrupting
+    key = F.when(
+        F.col("cnt") <= F.lit(10**18),
+        F.format_string("%019d:%s", F.lit(10**18) - F.col("cnt"), F.col("word")),
+    ).otherwise(F.raise_error(F.lit("count > 1e18 overflows the %019d rank key")))
     ranked = running_total(
         vocab.withColumn("__key", key), "__key", F.lit(1), "rnk"
     )
@@ -311,9 +315,13 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     with_sh = sp.select("doc_id", F.explode(sh).alias("sh"))
+    # eval-side shingles (every 41st doc — small); consumed by the hit
+    # join AND the per-doc totals, so materialize once (audited 3
+    # document scans, now 2: eval pass + training pass)
     esh = (
         with_sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .distinct()
+        .localCheckpoint(eager=True)
     )
     tsh = (
         with_sh.filter(F.col("doc_id") % _EVAL_MOD != 0)

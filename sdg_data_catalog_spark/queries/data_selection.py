@@ -343,9 +343,14 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(fold(F.transform("c_emb", lambda y: y * y)))
     )
     cos_16 = dotn(16) / (norm_prefix("q_emb", 16) * norm_prefix("c_emb", 16))
+    # both rankings window over the SAME scored pair table — materialize
+    # it once (|queries| x N rows, the set being ranked anyway) instead of
+    # re-running the candidate join per ranking (audited 4 embeddings
+    # scans before)
     pairs = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos_full.alias("cos_full"), cos_16.alias("cos_16"))
+        .localCheckpoint(eager=True)
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("cand_id"))
     w16 = Window.partitionBy("query_id").orderBy(F.desc("cos_16"), F.asc("cand_id"))
@@ -605,9 +610,11 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|×|days| — metadata-sized at any event volume; the only
     corpus-wide work is the combinable daily count."""
     ev = table(spark, sf_dir, "events")
+    # |types| x |days| rows; feeds the median, the MAD join, and the final
+    # join — one combinable corpus pass, not three (audited 3 events scans)
     daily = ev.groupBy(
         "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     med = daily.groupBy("event_type").agg(
         F.percentile(F.col("n").cast("double"), F.lit(0.5)).alias("med")
     )
@@ -761,11 +768,18 @@ def agg_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
     ).filter(F.col("tok") != "")
-    sb = toks.select(
-        "source",
-        (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 128)
-        .alias("bucket"),
-    ).distinct()
+    # sb is metadata-sized (<= |sources| x 128 rows) and feeds sizes plus
+    # both join sides — materialize once so the corpus is touched exactly
+    # once, as the docstring promises (audited 4 document scans before)
+    sb = (
+        toks.select(
+            "source",
+            (F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 128)
+            .alias("bucket"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sb.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sb.select(F.col("source").alias("src_a"), "bucket")
     b = sb.select(F.col("source").alias("src_b"), "bucket")
@@ -1350,25 +1364,22 @@ def agg_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id + 1e6) inherit their original's source via doc_id % 1e6.
     All counts and char sums are integers; one floor-truncated fraction."""
     from sdg_data_catalog_spark.queries.dedup_similarity import (
-        dedup_apply_canonical,
+        _canonical_mapping,
     )
 
     docs = table(spark, sf_dir, "documents")
-    mapping = dedup_apply_canonical(spark, sf_dir)
-    corpus_lens = (
-        docs.select("doc_id", F.length("text").alias("n"))
-        .unionByName(
-            docs.select(
-                (F.col("doc_id") + 1_000_000).alias("doc_id"),
-                F.length(
-                    F.expr("substr(text, instr(text, ' ') + 1)")
-                ).alias("n"),
-            )
-        )
+    # reuse the shared survivorship mapping AND its checkpointed length
+    # table — rebuilding the lengths here re-scanned the corpus twice more
+    # (audited 7 document scans for this query before the r8 collapse)
+    mapped, singles, lens = _canonical_mapping(spark, sf_dir)
+    mapping = mapped.unionByName(singles).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
     )
     src = docs.select(F.col("doc_id").alias("base_id"), "source")
     joined = (
-        mapping.join(corpus_lens, "doc_id")
+        mapping.join(lens, "doc_id")
         .withColumn("base_id", F.col("doc_id") % 1_000_000)
         .join(F.broadcast(src), "base_id")
     )
@@ -1499,8 +1510,13 @@ def agg_split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 5
     ).cast("int")
-    grid = emb.select(fold.alias("fold"), "label").groupBy("fold", "label").agg(
-        F.count(F.lit(1)).alias("o")
+    # 5 x |labels| rows; feeds margins, total, and the densify join — one
+    # corpus count pass, not four (audited 4 embeddings scans before)
+    grid = (
+        emb.select(fold.alias("fold"), "label")
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
     )
     nf = grid.groupBy("fold").agg(F.sum("o").alias("n_f"))
     nl = grid.groupBy("label").agg(F.sum("o").alias("n_l"))

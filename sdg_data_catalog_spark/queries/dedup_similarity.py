@@ -711,13 +711,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bucketed-by-hash table so the probe touches no full scan, and
     incoming text never shuffles at all (hash computed map-side)."""
     docs = table(spark, sf_dir, "documents")
+    # fingerprint table is referenced three times (existing, incoming
+    # probe, incoming output) — one corpus pass, not three (audited 3x)
     sig = docs.select(
         "doc_id",
         "source",
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     existing = sig.filter(F.col("doc_id") % 10 != 0)
     incoming = sig.filter(F.col("doc_id") % 10 == 0)
     dup_ids = incoming.join(existing, "h", "left_semi").select("doc_id")
@@ -764,7 +766,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_jaccard_pairs, so the curve is exactly consistent with what the
     production threshold will deliver."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingles(_near_dup_corpus(docs))
+    # the shingle table feeds sizes + both sides of the inverted-index
+    # self-join; without a lineage cut the corpus scan re-expands 8x
+    # (audited at sf0.001) — one materialization pass instead
+    sh = D.shingles(_near_dup_corpus(docs)).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -858,11 +863,31 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (cluster, member) frame — cluster-sized, not corpus-sized;
     singleton mapping is a left-anti join. All keys and lengths are
     integers — no float hashing risk."""
+    mapped, singles, _ = _canonical_mapping(spark, sf_dir)
+    return mapped.unionByName(singles).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
+    )
+
+
+def _canonical_mapping(spark: SparkSession, sf_dir: str):
+    """Shared survivorship mapping for dedup_apply_canonical and
+    agg_dedup_impact_report: (clustered mapping, singleton mapping,
+    checkpointed corpus length table).
+
+    The doc-length table is checkpointed once — it feeds the canonical
+    window AND the singleton anti-join, and without the lineage cut each
+    reference re-expanded the corpus scan (audited 4 document scans per
+    query; now the corpus is passed once for lengths and once inside the
+    blocked-pair generator)."""
     docs = table(spark, sf_dir, "documents")
     corpus = _near_dup_corpus(docs)
     pairs = D.jaccard_pairs_blocked(corpus, threshold=0.6)
     labels = D.connected_components(pairs)
-    lens = corpus.select("doc_id", F.length("text").alias("n"))
+    lens = corpus.select("doc_id", F.length("text").alias("n")).localCheckpoint(
+        eager=True
+    )
     members = labels.join(lens, "doc_id")
     w = Window.partitionBy("component").orderBy(F.desc("n"), F.asc("doc_id"))
     canon = (
@@ -873,11 +898,7 @@ def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = labels.join(F.broadcast(canon), "component").select(
         "doc_id", "canonical_id"
     )
-    singles = corpus.join(labels, "doc_id", "left_anti").select(
+    singles = lens.join(labels, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("canonical_id")
     )
-    return mapped.unionByName(singles).select(
-        "doc_id",
-        "canonical_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("kept"),
-    )
+    return mapped, singles, lens

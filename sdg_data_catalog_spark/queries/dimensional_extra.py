@@ -123,13 +123,21 @@ def etl_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             valid_to.isNull().cast("int").alias("is_current"),
         )
 
-    # Existing dimension: from-scratch build over pre-cutoff history.
-    dim = _interval(_compress(base.filter("is_hist"), None))
+    # Existing dimension: from-scratch build over pre-cutoff history. In
+    # production this is a STORED table — materialize it once here too
+    # (it feeds opens, closed, and the seed; without the lineage cut the
+    # events scan re-expanded 6x in the audited plan).
+    dim = _interval(_compress(base.filter("is_hist"), None)).localCheckpoint(
+        eager=True
+    )
     opens = dim.filter(F.col("is_current") == 1)
     closed = dim.filter(F.col("is_current") == 0)
     # Batch compression seeded with each user's current open status.
     seed = opens.select("user_id", F.col("status").alias("seed_status"))
-    new_versions = _interval(_compress(base.filter(~F.col("is_hist")), seed))
+    # batch-sized; feeds first_new, the open-row close, and the final union
+    new_versions = _interval(
+        _compress(base.filter(~F.col("is_hist")), seed)
+    ).localCheckpoint(eager=True)
     # Close affected open rows at the user's first new version timestamp.
     first_new = new_versions.groupBy("user_id").agg(
         F.min("valid_from_us").alias("first_new_us")

@@ -442,10 +442,14 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective shuffle lineage; the latency distribution itself is the
     deliverable every growth dashboard plots."""
     ev = table(spark, sf_dir, "events")
+    # user-sized; consumed by the purchase probe AND the final left join —
+    # one signup pass, not two (audited 3 events scans, now 2: signup +
+    # purchase, each a pushed-down event_type filter)
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

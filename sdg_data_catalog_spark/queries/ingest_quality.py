@@ -144,7 +144,10 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0, n); a sparse-id corpus would hash into a row_number index
     instead."""
     docs = table(spark, sf_dir, "documents")
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # 1-row id-space size: materialize so the crossJoin doesn't re-expand
+    # a third corpus scan (audited 3 document scans, now 2: anchors +
+    # the negative equi-join probe)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint(eager=True)
     anchors = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("anchor_id")
     )

@@ -71,9 +71,20 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
         ).alias("bg"),
     )
-    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    # train the model tables ONCE (each is vocabulary-sized): without the
+    # lineage cut c2's corpus pass and c1's (feeding both V and the probe
+    # join) re-expanded to 4 document scans in the audited plan
+    c2 = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     uni = docs.select(F.explode("t").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    c1 = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+        .localCheckpoint(eager=True)
+    )
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
     # the model tables are vocabulary-sized (|V| and observed-bigram

@@ -249,9 +249,21 @@ def agg_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ev.select(
         F.col("event_type").alias("actual"), F.expr(_PRED_CASE).alias("pred")
     )
-    tp = scored.filter("actual = pred").groupBy(F.col("actual").alias("cls")).agg(F.count("*").alias("tp"))
-    pp = scored.groupBy(F.col("pred").alias("cls")).agg(F.count("*").alias("n_pred"))
-    aa = scored.groupBy(F.col("actual").alias("cls")).agg(F.count("*").alias("n_actual"))
+    # ONE corpus pass builds the |classes|^2 confusion grid; TP/predicted/
+    # actual marginals all derive from it (the three separate grouped
+    # counts re-scanned events 3x in the audited plan)
+    grid = (
+        scored.groupBy("actual", "pred")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tp = (
+        grid.filter("actual = pred")
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    pp = grid.groupBy(F.col("pred").alias("cls")).agg(F.sum("n").alias("n_pred"))
+    aa = grid.groupBy(F.col("actual").alias("cls")).agg(F.sum("n").alias("n_actual"))
     joined = (
         aa.join(F.broadcast(tp), "cls", "left")
         .join(F.broadcast(pp), "cls", "left")

@@ -355,9 +355,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_orders |items|² with the hub-order cap that dedup blocking uses —
     items-per-order is naturally small in a retail graph."""
     li = table(spark, sf_dir, "lineitem")
+    # the distinct edge list feeds degrees AND both wedge-join sides —
+    # materialize once instead of re-scanning lineitem per reference
+    # (audited 4 lineitem scans before)
     e = li.select(
         F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = e.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
     a = e.alias("a")
     b = e.alias("b")
@@ -566,11 +569,19 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = SC.classify_embeddings(emb).join(
         emb.select("vec_id", (F.col("label") % 2).alias("y")), "vec_id"
     )
-    key = F.format_string(
-        "%020d:%012d",
-        F.floor(F.col("p_positive") * 1e18).cast("long"),
-        F.col("vec_id"),
-    )
+    # fixed-width key: lexicographic == numeric ONLY while every field
+    # fits its width. p*1e18 <= 1e18 always fits %020d; vec_id must stay
+    # < 1e12 for %012d (Java Formatter WIDENS on overflow — the order
+    # would silently diverge from the oracle's numeric sort), so overflow
+    # raises instead of corrupting
+    key = F.when(
+        F.col("vec_id") < F.lit(10**12),
+        F.format_string(
+            "%020d:%012d",
+            F.floor(F.col("p_positive") * 1e18).cast("long"),
+            F.col("vec_id"),
+        ),
+    ).otherwise(F.raise_error(F.lit("agg_roc_auc: vec_id >= 1e12 overflows the %012d rank key")))
     ranked = running_total(
         scored.withColumn("__key", key), "__key", F.lit(1), "r"
     ).select("y", "r")
@@ -790,7 +801,13 @@ def dq_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     densify via the same src×lang cross join (metadata-sized) and use
     the same ln(2) constant, keeping the hash bit-stable."""
     docs = table(spark, sf_dir, "documents")
-    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    # |sources| x |langs| rows; feeds both margins, the total, and the
+    # densify join — one corpus pass, not four (audited 4 document scans)
+    c = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     st = c.groupBy("source").agg(F.sum("n").alias("st"))
     g = c.groupBy("lang").agg(F.sum("n").alias("g"))
     gt = c.agg(F.sum("n").alias("gt"))

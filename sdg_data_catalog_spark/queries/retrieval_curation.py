@@ -89,10 +89,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cs", S.cosine(F.col("embedding"), F.col("centroid"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cell_id").asc())
+    # assignment feeds both sides of the per-cell pair join AND the final
+    # projection — one materialization pass instead of re-expanding the
+    # scan+assign subtree 3x (audited 6 embeddings scans)
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cell_id")
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "cell_id"
@@ -182,22 +186,20 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ELSE array() END"
     )
     sp = corpus.select("doc_id", F.explode(spans).alias("h"))
-    dup = (
-        sp.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("isd"))
-    )
-    return (
-        sp.join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.coalesce(F.sum("isd"), F.lit(0)).alias("n_dup_spans"),
-            F.round(
-                F.coalesce(F.sum("isd"), F.lit(0)).cast("double") / F.count(F.lit(1)), 6
-            ).alias("dup_frac"),
-        )
+    # ONE corpus pass: per-(hash, doc) occurrence counts, then the distinct
+    # document count per hash as a window over that compact grouped frame.
+    # The previous dup-hash self-join re-read the corpus for each side
+    # (audited 4 document scans); both shuffles here move only the 32-byte
+    # hash table, never the text.
+    per_doc_hash = sp.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    flagged = per_doc_hash.withColumn("isd", (nd >= 2).cast("int"))
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c").alias("n_spans"),
+        F.sum(F.col("c") * F.col("isd")).alias("n_dup_spans"),
+        F.round(
+            F.sum(F.col("c") * F.col("isd")).cast("double") / F.sum("c"), 6
+        ).alias("dup_frac"),
     )
 
 
@@ -260,9 +262,12 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     query term) so double addition is reproducible across engines; top-20
     is TakeOrderedAndProject (no global sort)."""
     docs = table(spark, sf_dir, "documents")
+    # doc-length table feeds the corpus stats AND the score join — one
+    # narrow materialization pass (16 bytes/doc) instead of re-expanding
+    # the corpus scan per reference (audited 4 document scans)
     dl = docs.select(
         "doc_id", F.size(F.split(F.lower("text"), " ")).cast("double").alias("dl")
-    )
+    ).localCheckpoint(eager=True)
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -428,10 +433,15 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.split(F.lower("text"), " ").alias("t"))
+    # both count tables are vocab-sized — materialize each once; uni feeds
+    # three references (total + both join sides) and the bigram table two
+    # (filtered pairs + total), which re-expanded the corpus scan 5x in
+    # the audited plan
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("c").alias("nu"))
     bigrams = toks.select(
@@ -439,16 +449,14 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"
         ).alias("bs")
     ).select(F.explode("bs").alias("b"))
-    bi = (
+    bi_counts = (
         bigrams.select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
-        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .localCheckpoint(eager=True)
     )
-    n_bi_full = (
-        bigrams.groupBy()
-        .agg(F.count(F.lit(1)).cast("double").alias("nb"))
-    )
+    bi = bi_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    n_bi_full = bi_counts.groupBy().agg(F.sum("c_ab").alias("nb"))
     a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     pmi = F.log(

@@ -556,7 +556,13 @@ def lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin) — nothing is collected driver-side."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # the vocab count table feeds the total AND the broadcast model — one
+    # training pass over the corpus, not three (audited 3 document scans)
+    cnt = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = cnt.agg(F.sum("c").alias("s"))
     vocab = cnt.crossJoin(F.broadcast(tot)).select(
         "word", F.log(F.col("c") / F.col("s")).alias("logp")
