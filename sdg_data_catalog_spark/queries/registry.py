@@ -71,6 +71,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch8",
     "sdg_data_catalog_spark.queries.round7_batch9",
     "sdg_data_catalog_spark.queries.round7_batch10",
+    "sdg_data_catalog_spark.queries.round8_batch1",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -145,7 +146,10 @@ _PRIORITY = (
     "join_point_in_polygon",
     "agg_cuped_adjust",
     "dq_srm_check",
-    # --- round-8 NEW oracle-backed registrations slot in here (<=3) ---
+    # --- round-8 NEW oracle-backed registrations (batch 1) ---
+    "emb_diversity_by_label",
+    "lm_jm_interpolated_score",
+    "sample_pps_systematic",
     # rows-only names (no oracle — the driver records spark_rows + schema;
     # each carries a property/differential twin in tests/). Staged last per
     # the r5 lesson; after this window all 390 names hold a driver row.
