@@ -72,6 +72,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch9",
     "sdg_data_catalog_spark.queries.round7_batch10",
     "sdg_data_catalog_spark.queries.round8_batch1",
+    "sdg_data_catalog_spark.queries.round8_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -166,6 +167,11 @@ _PRIORITY = (
     "src_scrape",
     "sink_pdf",
     "udf_trie_match",
+    # --- position 51+: round-9 staging (round-8 batch-2 registrations,
+    # oracle-verified at 3 SFs before staging) ---
+    "emb_centroid_drift",
+    "agg_bootstrap_ci",
+    "join_asof_fwd_tolerance",
 )
 
 
