@@ -73,6 +73,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round7_batch10",
     "sdg_data_catalog_spark.queries.round8_batch1",
     "sdg_data_catalog_spark.queries.round8_batch2",
+    "sdg_data_catalog_spark.queries.round8_batch3",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -172,6 +173,9 @@ _PRIORITY = (
     "emb_centroid_drift",
     "agg_bootstrap_ci",
     "join_asof_fwd_tolerance",
+    "agg_permutation_test",
+    "ts_holt_linear",
+    "sketch_bloom_membership",
 )
 
 
