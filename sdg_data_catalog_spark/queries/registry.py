@@ -74,6 +74,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch1",
     "sdg_data_catalog_spark.queries.round8_batch2",
     "sdg_data_catalog_spark.queries.round8_batch3",
+    "sdg_data_catalog_spark.queries.round8_batch4",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -176,6 +177,9 @@ _PRIORITY = (
     "agg_permutation_test",
     "ts_holt_linear",
     "sketch_bloom_membership",
+    "agg_jackknife_variance",
+    "graph_modularity",
+    "dq_xmr_control_chart",
 )
 
 
