@@ -75,6 +75,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch2",
     "sdg_data_catalog_spark.queries.round8_batch3",
     "sdg_data_catalog_spark.queries.round8_batch4",
+    "sdg_data_catalog_spark.queries.round8_batch5",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -180,6 +181,9 @@ _PRIORITY = (
     "agg_jackknife_variance",
     "graph_modularity",
     "dq_xmr_control_chart",
+    "curation_soft_dedup_weights",
+    "sample_stratified_neyman",
+    "agg_mutual_information",
 )
 
 
