@@ -76,6 +76,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch3",
     "sdg_data_catalog_spark.queries.round8_batch4",
     "sdg_data_catalog_spark.queries.round8_batch5",
+    "sdg_data_catalog_spark.queries.round8_batch6",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -184,6 +185,9 @@ _PRIORITY = (
     "curation_soft_dedup_weights",
     "sample_stratified_neyman",
     "agg_mutual_information",
+    "rank_borda_fusion",
+    "dq_qq_points",
+    "agg_concentration_hhi",
 )
 
 
