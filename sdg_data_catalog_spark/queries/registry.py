@@ -77,6 +77,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch4",
     "sdg_data_catalog_spark.queries.round8_batch5",
     "sdg_data_catalog_spark.queries.round8_batch6",
+    "sdg_data_catalog_spark.queries.round8_batch7",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -188,6 +189,9 @@ _PRIORITY = (
     "rank_borda_fusion",
     "dq_qq_points",
     "agg_concentration_hhi",
+    "agg_effective_sample_size",
+    "dedup_minhash_est_vs_exact",
+    "text_window_npmi",
 )
 
 
