@@ -78,6 +78,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch5",
     "sdg_data_catalog_spark.queries.round8_batch6",
     "sdg_data_catalog_spark.queries.round8_batch7",
+    "sdg_data_catalog_spark.queries.round8_batch8",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -192,6 +193,9 @@ _PRIORITY = (
     "agg_effective_sample_size",
     "dedup_minhash_est_vs_exact",
     "text_window_npmi",
+    "rank_kendall_tau",
+    "agg_spearman_rho",
+    "agg_cohens_kappa",
 )
 
 
