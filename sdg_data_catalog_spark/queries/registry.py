@@ -79,6 +79,10 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch6",
     "sdg_data_catalog_spark.queries.round8_batch7",
     "sdg_data_catalog_spark.queries.round8_batch8",
+    "sdg_data_catalog_spark.queries.round8_batch9",
+    "sdg_data_catalog_spark.queries.round8_batch10",
+    "sdg_data_catalog_spark.queries.round8_batch11",
+    "sdg_data_catalog_spark.queries.round8_batch12",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -196,6 +200,18 @@ _PRIORITY = (
     "rank_kendall_tau",
     "agg_spearman_rho",
     "agg_cohens_kappa",
+    "agg_kruskal_wallis",
+    "agg_logrank_test",
+    "agg_mcnemar_test",
+    "rank_mrr",
+    "agg_cliffs_delta",
+    "agg_brier_ece",
+    "graph_assortativity",
+    "agg_cramers_v",
+    "text_heaps_law",
+    "ts_theil_sen",
+    "agg_fleiss_kappa",
+    "eval_ips_snips",
 )
 
 
