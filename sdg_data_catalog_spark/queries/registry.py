@@ -83,6 +83,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch10",
     "sdg_data_catalog_spark.queries.round8_batch11",
     "sdg_data_catalog_spark.queries.round8_batch12",
+    "sdg_data_catalog_spark.queries.round8_batch13",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -212,6 +213,9 @@ _PRIORITY = (
     "ts_theil_sen",
     "agg_fleiss_kappa",
     "eval_ips_snips",
+    "agg_nelson_aalen",
+    "agg_tost_equivalence",
+    "text_burstiness",
 )
 
 
