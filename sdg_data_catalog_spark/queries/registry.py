@@ -84,6 +84,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch11",
     "sdg_data_catalog_spark.queries.round8_batch12",
     "sdg_data_catalog_spark.queries.round8_batch13",
+    "sdg_data_catalog_spark.queries.round8_batch14",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -216,6 +217,9 @@ _PRIORITY = (
     "agg_nelson_aalen",
     "agg_tost_equivalence",
     "text_burstiness",
+    "join_asof_nearest",
+    "ml_stump_cv",
+    "dq_outlier_iqr",
 )
 
 
