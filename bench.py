@@ -121,6 +121,55 @@ EXTENDED = (
     "join_point_in_polygon",
     "agg_cuped_adjust",
     "dq_srm_check",
+    # round-8 batch 1-8 additions (all ≤2.0 s full-run at sf0.1, measured
+    # before inclusion; max: dedup_minhash_est_vs_exact 1.9 s)
+    "emb_diversity_by_label",
+    "lm_jm_interpolated_score",
+    "sample_pps_systematic",
+    "emb_centroid_drift",
+    "agg_bootstrap_ci",
+    "join_asof_fwd_tolerance",
+    "agg_permutation_test",
+    "ts_holt_linear",
+    "sketch_bloom_membership",
+    "agg_jackknife_variance",
+    "graph_modularity",
+    "dq_xmr_control_chart",
+    "curation_soft_dedup_weights",
+    "sample_stratified_neyman",
+    "agg_mutual_information",
+    "rank_borda_fusion",
+    "dq_qq_points",
+    "agg_concentration_hhi",
+    "agg_effective_sample_size",
+    "dedup_minhash_est_vs_exact",
+    "text_window_npmi",
+    "rank_kendall_tau",
+    "agg_spearman_rho",
+    "agg_cohens_kappa",
+    # round-8 batch 9-14 additions (all ≤1.3 s full-run at sf0.1, measured)
+    "agg_kruskal_wallis",
+    "agg_logrank_test",
+    "agg_mcnemar_test",
+    "rank_mrr",
+    "agg_cliffs_delta",
+    "agg_brier_ece",
+    "graph_assortativity",
+    "agg_cramers_v",
+    "text_heaps_law",
+    "ts_theil_sen",
+    "agg_fleiss_kappa",
+    "eval_ips_snips",
+    "agg_nelson_aalen",
+    "agg_tost_equivalence",
+    "text_burstiness",
+    "join_asof_nearest",
+    "ml_stump_cv",
+    "dq_outlier_iqr",
+    # round-8 batch-15 additions (≤0.4 s full-run at sf0.1, measured)
+    "dq_psi",
+    "agg_lift_gains",
+    "ts_seasonality_strength",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

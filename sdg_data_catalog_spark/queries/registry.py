@@ -85,6 +85,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch12",
     "sdg_data_catalog_spark.queries.round8_batch13",
     "sdg_data_catalog_spark.queries.round8_batch14",
+    "sdg_data_catalog_spark.queries.round8_batch15",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -220,6 +221,9 @@ _PRIORITY = (
     "join_asof_nearest",
     "ml_stump_cv",
     "dq_outlier_iqr",
+    "dq_psi",
+    "agg_lift_gains",
+    "ts_seasonality_strength",
 )
 
 
