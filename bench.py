@@ -170,6 +170,10 @@ EXTENDED = (
     "dq_psi",
     "agg_lift_gains",
     "ts_seasonality_strength",
+    # round-8 batch-16 additions (≤1.0 s full-run at sf0.1, measured)
+    "emb_silhouette",
+    "emb_davies_bouldin",
+    "ts_backtest_mase",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -62,10 +62,13 @@ def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
-    """Lloyd's k-means: deterministic init (centroids = the k lowest
-    vec_ids), `iters` rounds of assign + per-dimension mean, returning the
-    final (vec_id, cluster_id, sq_dist) assignment.
+def kmeans_fit(
+    vecs: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means returning BOTH the final (vec_id, cluster_id,
+    __sq) assignment frame and the fitted centroid list (k·dim driver
+    floats) — the centroids feed the clustering-validity operators
+    (silhouette, Davies-Bouldin) without re-running the loop.
 
     Input: (vec_id bigint, embedding array<float|double>).
     """
@@ -77,7 +80,7 @@ def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
     )
     if len(init) < k:
         raise ValueError(
-            f"kmeans_assign: k={k} exceeds input row count {len(init)}"
+            f"kmeans_fit: k={k} exceeds input row count {len(init)}"
         )
     centroids = [[float(x) for x in r.embedding] for r in init]
     for _ in range(iters):
@@ -99,9 +102,19 @@ def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
             else centroids[c]  # empty cluster keeps its centroid
             for c in range(k)
         ]
+    return _assign(vecs, centroids), centroids
+
+
+def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd's k-means: deterministic init (centroids = the k lowest
+    vec_ids), `iters` rounds of assign + per-dimension mean, returning the
+    final (vec_id, cluster_id, sq_dist) assignment.
+
+    Input: (vec_id bigint, embedding array<float|double>).
+    """
+    assigned, _ = kmeans_fit(vecs, k, iters)
     return (
-        _assign(vecs, centroids)
-        .withColumn("sq_dist", F.round(F.col("__sq"), 6))
+        assigned.withColumn("sq_dist", F.round(F.col("__sq"), 6))
         .select("vec_id", "cluster_id", "sq_dist")
     )
 

@@ -86,6 +86,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch13",
     "sdg_data_catalog_spark.queries.round8_batch14",
     "sdg_data_catalog_spark.queries.round8_batch15",
+    "sdg_data_catalog_spark.queries.round8_batch16",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -224,6 +225,9 @@ _PRIORITY = (
     "dq_psi",
     "agg_lift_gains",
     "ts_seasonality_strength",
+    "emb_silhouette",
+    "emb_davies_bouldin",
+    "ts_backtest_mase",
 )
 
 
