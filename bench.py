@@ -174,6 +174,10 @@ EXTENDED = (
     "emb_silhouette",
     "emb_davies_bouldin",
     "ts_backtest_mase",
+    # round-8 batch-17 additions (≤0.8 s full-run at sf0.1, measured)
+    "agg_mann_kendall",
+    "win_peak_concurrency",
+    "eval_doubly_robust",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -87,6 +87,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch14",
     "sdg_data_catalog_spark.queries.round8_batch15",
     "sdg_data_catalog_spark.queries.round8_batch16",
+    "sdg_data_catalog_spark.queries.round8_batch17",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -228,6 +229,9 @@ _PRIORITY = (
     "emb_silhouette",
     "emb_davies_bouldin",
     "ts_backtest_mase",
+    "agg_mann_kendall",
+    "win_peak_concurrency",
+    "eval_doubly_robust",
 )
 
 
