@@ -178,6 +178,10 @@ EXTENDED = (
     "agg_mann_kendall",
     "win_peak_concurrency",
     "eval_doubly_robust",
+    # round-8 batch-18 additions (≤0.3 s steady at sf0.1, measured)
+    "graph_hits",
+    "agg_bh_fdr",
+    "sketch_hll_intersect",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -88,6 +88,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch15",
     "sdg_data_catalog_spark.queries.round8_batch16",
     "sdg_data_catalog_spark.queries.round8_batch17",
+    "sdg_data_catalog_spark.queries.round8_batch18",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -232,6 +233,9 @@ _PRIORITY = (
     "agg_mann_kendall",
     "win_peak_concurrency",
     "eval_doubly_robust",
+    "graph_hits",
+    "agg_bh_fdr",
+    "sketch_hll_intersect",
 )
 
 
