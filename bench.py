@@ -182,6 +182,10 @@ EXTENDED = (
     "graph_hits",
     "agg_bh_fdr",
     "sketch_hll_intersect",
+    # round-8 batch-19 additions (≤1.1 s steady at sf0.1, measured)
+    "agg_cochran_q",
+    "agg_friedman_test",
+    "text_mtld",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -89,6 +89,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch16",
     "sdg_data_catalog_spark.queries.round8_batch17",
     "sdg_data_catalog_spark.queries.round8_batch18",
+    "sdg_data_catalog_spark.queries.round8_batch19",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -236,6 +237,9 @@ _PRIORITY = (
     "graph_hits",
     "agg_bh_fdr",
     "sketch_hll_intersect",
+    "agg_cochran_q",
+    "agg_friedman_test",
+    "text_mtld",
 )
 
 
