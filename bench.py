@@ -186,6 +186,10 @@ EXTENDED = (
     "agg_cochran_q",
     "agg_friedman_test",
     "text_mtld",
+    # round-8 batch-20 additions (≤1.0 s steady at sf0.1, measured)
+    "agg_cohens_d",
+    "emb_calinski_harabasz",
+    "agg_levene_bf",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -90,6 +90,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch17",
     "sdg_data_catalog_spark.queries.round8_batch18",
     "sdg_data_catalog_spark.queries.round8_batch19",
+    "sdg_data_catalog_spark.queries.round8_batch20",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -240,6 +241,9 @@ _PRIORITY = (
     "agg_cochran_q",
     "agg_friedman_test",
     "text_mtld",
+    "agg_cohens_d",
+    "emb_calinski_harabasz",
+    "agg_levene_bf",
 )
 
 
