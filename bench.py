@@ -190,6 +190,10 @@ EXTENDED = (
     "agg_cohens_d",
     "emb_calinski_harabasz",
     "agg_levene_bf",
+    # round-8 batch-21 additions (≤1.0 s steady at sf0.1, measured)
+    "agg_runs_test",
+    "agg_durbin_watson",
+    "curation_pii_risk_report",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -91,6 +91,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch18",
     "sdg_data_catalog_spark.queries.round8_batch19",
     "sdg_data_catalog_spark.queries.round8_batch20",
+    "sdg_data_catalog_spark.queries.round8_batch21",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -244,6 +245,9 @@ _PRIORITY = (
     "agg_cohens_d",
     "emb_calinski_harabasz",
     "agg_levene_bf",
+    "agg_runs_test",
+    "agg_durbin_watson",
+    "curation_pii_risk_report",
 )
 
 
