@@ -194,6 +194,10 @@ EXTENDED = (
     "agg_runs_test",
     "agg_durbin_watson",
     "curation_pii_risk_report",
+    # round-8 batch-22 additions (≤0.6 s steady at sf0.1, measured)
+    "win_rolling_corr",
+    "agg_hodges_lehmann_shift",
+    "feat_decay_score",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

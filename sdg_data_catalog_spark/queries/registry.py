@@ -92,6 +92,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch19",
     "sdg_data_catalog_spark.queries.round8_batch20",
     "sdg_data_catalog_spark.queries.round8_batch21",
+    "sdg_data_catalog_spark.queries.round8_batch22",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -248,6 +249,9 @@ _PRIORITY = (
     "agg_runs_test",
     "agg_durbin_watson",
     "curation_pii_risk_report",
+    "win_rolling_corr",
+    "agg_hodges_lehmann_shift",
+    "feat_decay_score",
 )
 
 
