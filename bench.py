@@ -198,6 +198,10 @@ EXTENDED = (
     "win_rolling_corr",
     "agg_hodges_lehmann_shift",
     "feat_decay_score",
+    # round-8 batch-23 additions (≤2.7 s steady at sf0.1, measured)
+    "agg_price_elasticity",
+    "curation_boilerplate_strip",
+    "ml_feature_rank_gini",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

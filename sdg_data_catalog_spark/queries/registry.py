@@ -93,6 +93,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch20",
     "sdg_data_catalog_spark.queries.round8_batch21",
     "sdg_data_catalog_spark.queries.round8_batch22",
+    "sdg_data_catalog_spark.queries.round8_batch23",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -252,6 +253,9 @@ _PRIORITY = (
     "win_rolling_corr",
     "agg_hodges_lehmann_shift",
     "feat_decay_score",
+    "agg_price_elasticity",
+    "curation_boilerplate_strip",
+    "ml_feature_rank_gini",
 )
 
 
