@@ -202,6 +202,10 @@ EXTENDED = (
     "agg_price_elasticity",
     "curation_boilerplate_strip",
     "ml_feature_rank_gini",
+    # round-8 batch-24 additions (≤0.5 s steady at sf0.1, measured)
+    "agg_abc_analysis",
+    "agg_new_returning_split",
+    "curation_cluster_balance",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -94,6 +94,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch21",
     "sdg_data_catalog_spark.queries.round8_batch22",
     "sdg_data_catalog_spark.queries.round8_batch23",
+    "sdg_data_catalog_spark.queries.round8_batch24",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -256,6 +257,9 @@ _PRIORITY = (
     "agg_price_elasticity",
     "curation_boilerplate_strip",
     "ml_feature_rank_gini",
+    "agg_abc_analysis",
+    "agg_new_returning_split",
+    "curation_cluster_balance",
 )
 
 
