@@ -206,6 +206,10 @@ EXTENDED = (
     "agg_abc_analysis",
     "agg_new_returning_split",
     "curation_cluster_balance",
+    # round-8 batch-25 additions (≤0.5 s steady at sf0.1, measured)
+    "agg_ljung_box",
+    "win_bollinger_bands",
+    "agg_markov_entropy_rate",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

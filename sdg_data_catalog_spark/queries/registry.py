@@ -95,6 +95,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch22",
     "sdg_data_catalog_spark.queries.round8_batch23",
     "sdg_data_catalog_spark.queries.round8_batch24",
+    "sdg_data_catalog_spark.queries.round8_batch25",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -260,6 +261,9 @@ _PRIORITY = (
     "agg_abc_analysis",
     "agg_new_returning_split",
     "curation_cluster_balance",
+    "agg_ljung_box",
+    "win_bollinger_bands",
+    "agg_markov_entropy_rate",
 )
 
 
