@@ -210,6 +210,10 @@ EXTENDED = (
     "agg_ljung_box",
     "win_bollinger_bands",
     "agg_markov_entropy_rate",
+    # round-8 batch-26 additions (≤0.4 s steady at sf0.1, measured)
+    "split_temporal",
+    "sim_reciprocal_nn",
+    "curation_epoch_mix_schedule",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -96,6 +96,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch23",
     "sdg_data_catalog_spark.queries.round8_batch24",
     "sdg_data_catalog_spark.queries.round8_batch25",
+    "sdg_data_catalog_spark.queries.round8_batch26",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -264,6 +265,9 @@ _PRIORITY = (
     "agg_ljung_box",
     "win_bollinger_bands",
     "agg_markov_entropy_rate",
+    "split_temporal",
+    "sim_reciprocal_nn",
+    "curation_epoch_mix_schedule",
 )
 
 

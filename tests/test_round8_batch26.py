@@ -1,0 +1,113 @@
+"""Differential twins for the round-8 batch-26 operators."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+
+from sdg_data_catalog_spark.queries.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_temporal_twin(spark):
+    qs = all_queries()
+    rows = {r["split"]: r for r in qs["split_temporal"](spark, SF).collect()}
+    con = duckdb.connect()
+    ts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT epoch_us(ts) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    ts.sort()
+    n = len(ts)
+    boundary = ts[math.ceil(0.8 * n) - 1]
+    train = [t for t in ts if t <= boundary]
+    test = [t for t in ts if t > boundary]
+    assert rows["train"]["n_rows"] == len(train)
+    assert rows["test"]["n_rows"] == len(test)
+    assert rows["train"]["max_ts_us"] == max(train)
+    assert rows["test"]["min_ts_us"] == min(test)
+    assert rows["train"]["no_leakage"] == 1
+    assert rows["test"]["no_leakage"] == 1
+    # the audit is REAL: train strictly precedes test
+    assert rows["train"]["max_ts_us"] < rows["test"]["min_ts_us"]
+    # 80/20-ish with tie slack
+    assert rows["train"]["n_rows"] >= math.ceil(0.8 * n)
+
+
+def test_reciprocal_nn_twin(spark):
+    qs = all_queries()
+    rows = {r["anchor_id"]: r for r in qs["sim_reciprocal_nn"](spark, SF).collect()}
+    con = duckdb.connect()
+    embs = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    unit = {}
+    for vid, e in embs:
+        nrm = math.sqrt(sum(float(x) ** 2 for x in e))
+        unit[vid] = [float(x) / nrm for x in e]
+    anchors = {v: u for v, u in unit.items() if v < 32}
+    cands = {v: u for v, u in unit.items() if v >= 32}
+    k = {}
+    for aid, au in anchors.items():
+        for cid, cu in cands.items():
+            cos = 0.0
+            for x, y in zip(au, cu):
+                cos += x * y
+            k[(aid, cid)] = math.floor(cos * 1e12)
+    a_best = {
+        aid: min(
+            ((-k[(aid, cid)], cid) for cid in cands),
+        )[1]
+        for aid in anchors
+    }
+    c_best = {
+        cid: min(((-k[(aid, cid)], aid) for aid in anchors))[1] for cid in cands
+    }
+    assert set(rows) == set(anchors)
+    n_recip = 0
+    for aid, r in rows.items():
+        nn = a_best[aid]
+        assert r["nn_cand"] == nn
+        assert abs(r["cosine"] - round(k[(aid, nn)] / 1e12, 6)) <= 1e-9
+        recip = 1 if c_best[nn] == aid else 0
+        assert r["reciprocal"] == recip
+        n_recip += recip
+    # reciprocity is rarer than plain NN (structural sanity)
+    assert 0 <= n_recip <= len(anchors)
+
+
+def test_epoch_schedule_twin(spark):
+    qs = all_queries()
+    rows = {
+        r["source"]: r
+        for r in qs["curation_epoch_mix_schedule"](spark, SF).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    tok = defaultdict(int)
+    for src, text in docs:
+        tok[src] += len([w for w in (text or "").split(" ") if w])
+    k = len(tok)
+    share = 200_000 // k
+    for src, avail in tok.items():
+        r = rows[src]
+        epochs = min((share + avail - 1) // avail, 4)
+        eff = min(share, 4 * avail)
+        unfilled = max(share - 4 * avail, 0)
+        assert r["available_tokens"] == avail
+        assert r["token_quota"] == share
+        assert r["epochs"] == epochs
+        assert r["effective_tokens"] == eff
+        assert r["unfilled_tokens"] == unfilled
+        # accounting identity: effective + unfilled == quota
+        assert r["effective_tokens"] + r["unfilled_tokens"] == r["token_quota"]
