@@ -214,6 +214,9 @@ EXTENDED = (
     "split_temporal",
     "sim_reciprocal_nn",
     "curation_epoch_mix_schedule",
+    # round-8 batch-27 additions (≤0.8 s steady at sf0.1, measured)
+    "agg_wilcoxon_signed_rank",
+    "agg_sprt_replay",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

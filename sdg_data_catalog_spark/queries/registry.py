@@ -97,6 +97,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch24",
     "sdg_data_catalog_spark.queries.round8_batch25",
     "sdg_data_catalog_spark.queries.round8_batch26",
+    "sdg_data_catalog_spark.queries.round8_batch27",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -268,6 +269,8 @@ _PRIORITY = (
     "split_temporal",
     "sim_reciprocal_nn",
     "curation_epoch_mix_schedule",
+    "agg_wilcoxon_signed_rank",
+    "agg_sprt_replay",
 )
 
 
