@@ -217,6 +217,10 @@ EXTENDED = (
     # round-8 batch-27 additions (≤0.8 s steady at sf0.1, measured)
     "agg_wilcoxon_signed_rank",
     "agg_sprt_replay",
+    # round-8 batch-28 additions (≤0.7 s steady at sf0.1, measured)
+    "agg_kendall_w",
+    "win_drawdown_max",
+    "agg_cohort_half_life",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

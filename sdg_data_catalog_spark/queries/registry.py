@@ -98,6 +98,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch25",
     "sdg_data_catalog_spark.queries.round8_batch26",
     "sdg_data_catalog_spark.queries.round8_batch27",
+    "sdg_data_catalog_spark.queries.round8_batch28",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -271,6 +272,9 @@ _PRIORITY = (
     "curation_epoch_mix_schedule",
     "agg_wilcoxon_signed_rank",
     "agg_sprt_replay",
+    "agg_kendall_w",
+    "win_drawdown_max",
+    "agg_cohort_half_life",
 )
 
 
