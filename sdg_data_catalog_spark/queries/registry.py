@@ -124,77 +124,17 @@ _loaded = False
 # driver-checked names — follows in registration order. Alias IDs whose
 # targets are driver-green are deliberately absent: a green row on the
 # target is a green row on the ID.
-# Round-8 window (positions 1-50): closes the evidence book. 34
-# oracle-backed never-checked names first — the 12 SURVEY §2 alias IDs whose
-# targets are driver-green (an official row on the ID itself closes the
-# book) then the 22 round-7 batch-4..10 operators (all 22 green in the
-# judge's independent sf0.01 re-check AND in plain-session pre-validation).
-# Round-8 NEW registrations slot in after position 34 as they land. The 13
-# rows-only names (no oracle — a driver visit records only spark_rows) take
-# the tail of the window so every one of the 390 registered names holds an
-# official driver row after this round. Everything unlisted — including all
-# previously driver-checked names — follows in registration order.
+# Round-9 window (positions 1-50): certifies the round-8 batch-2+ backlog.
+# All 80 staged names below were (a) oracle-verified at sf0.001/0.01/0.1
+# before staging in round 8 and (b) 80/80 green in the round-8 judge's
+# independent driver-shape sweep at sf0.01 — this window puts official
+# driver rows on the first 50; positions 51-80 stage the remaining 30 for
+# round 10, after which every registered name holds an official driver row.
+# Everything unlisted — including the entire round-8 window head, which is
+# now officially driver-green under its own IDs — follows in registration
+# order.
 _PRIORITY = (
-    # --- round-8 driver window: SURVEY §2 alias IDs (targets driver-green) ---
-    "filter_range",
-    "join_broadcast_vocab",
-    "join_anti_stopwords",
-    "join_theta_semi",
-    "topk_partial",
-    "setop_minus",
-    "dedup",
-    "scalar_uuid",
-    "arr_pad",
-    "arr_ngram",
-    "json_parse",
-    "stream_watermark",
-    # round-7 batch-4..10 registrations (oracle-verified at
-    # sf0.001/0.01/0.1 before staging; 22/22 green in the judge's
-    # independent re-check) — never driver-checked
-    "text_gopher_rules",
-    "agg_avg_precision",
-    "sketch_kmv_jaccard",
-    "curation_domain_mix",
-    "agg_winsorized_mean",
-    "win_event_sequence",
-    "agg_welch_ttest",
-    "dq_benford_digits",
-    "graph_label_prop",
-    "sketch_mg_heavy_hitters",
-    "win_cumulative_distinct",
-    "agg_mann_whitney",
-    "agg_hdr_percentiles",
-    "emb_triplet_mining",
-    "ts_backtest_smape",
-    "agg_chisq_independence",
-    "agg_survival_km",
-    "ml_split_stump",
-    "agg_diff_in_diff",
-    "join_point_in_polygon",
-    "agg_cuped_adjust",
-    "dq_srm_check",
-    # --- round-8 NEW oracle-backed registrations (batch 1) ---
-    "emb_diversity_by_label",
-    "lm_jm_interpolated_score",
-    "sample_pps_systematic",
-    # rows-only names (no oracle — the driver records spark_rows + schema;
-    # each carries a property/differential twin in tests/). Staged last per
-    # the r5 lesson; after this window all 390 names hold a driver row.
-    "mm_phash_neardup",
-    "diag_rowgroup_stats",
-    "etl_column_crypto",
-    "udtf_lda",
-    "gazetteer_spans",
-    "sample_frac",
-    "udf_coherence",
-    "mm_resize_jpeg",
-    "mm_resize",
-    "src_http",
-    "src_scrape",
-    "sink_pdf",
-    "udf_trie_match",
-    # --- position 51+: round-9 staging (round-8 batch-2 registrations,
-    # oracle-verified at 3 SFs before staging) ---
+    # --- round-9 driver window: round-8 batch-2.. registrations ---
     "emb_centroid_drift",
     "agg_bootstrap_ci",
     "join_asof_fwd_tolerance",
@@ -245,6 +185,9 @@ _PRIORITY = (
     "eval_doubly_robust",
     "graph_hits",
     "agg_bh_fdr",
+    # --- position 51+: round-10 staging (remaining round-8 batch-18..28
+    # registrations, oracle-verified at 3 SFs; 80/80 green with the head
+    # above in the round-8 judge's independent driver-shape sweep) ---
     "sketch_hll_intersect",
     "agg_cochran_q",
     "agg_friedman_test",
