@@ -515,6 +515,55 @@ def _duckdb_baseline(names, sf_dir, tables=None) -> dict[str, float]:
         return {}
 
 
+_FLOORS_PATH = os.path.join(_REPO, "BENCH_FLOORS.json")
+
+
+def _host_health_probe(tier: str, sf_dir: str, tables=None) -> dict:
+    """Detect a degraded host BEFORE timing a tier (r8 lesson: the official
+    sf10 record was taken inside a window where DuckDB itself ran 44%
+    slower than r7 on identical parquet — the harness can and should
+    notice). Probe = DuckDB q1 on this tier's parquet, min-of-3 warmed
+    (the same discipline as the baseline measurements), compared against
+    the best q1 ever recorded for the tier in BENCH_FLOORS.json. If the
+    probe exceeds 2× the floor, wait and retry (up to 3 attempts) so a
+    transient (page-cache eviction storm, co-tenant burst) can pass;
+    if it still exceeds the floor, the tier runs anyway but the record
+    is stamped degraded=true so no round adopts it as an official
+    number. Floors ratchet down monotonically on healthy runs."""
+    try:
+        floors = json.load(open(_FLOORS_PATH))
+    except Exception:
+        floors = {}
+    floor = floors.get(tier)
+    attempts = 0
+    probe = None
+    while attempts < 3:
+        attempts += 1
+        probe = _duckdb_baseline(["q1_pricing_summary"], sf_dir, tables=tables).get(
+            "q1_pricing_summary"
+        )
+        if not (floor and probe and probe > 2 * floor) or _remaining() < 180:
+            break
+        _progress(
+            f"host probe {tier}: q1 {probe}s > 2x floor {floor}s — retry {attempts}"
+        )
+        time.sleep(20)
+    health = {
+        "probe_q1_sec": probe,
+        "floor_q1_sec": floor,
+        "attempts": attempts,
+        "degraded": bool(floor and probe and probe > 2 * floor),
+    }
+    if probe and (floor is None or probe < floor):
+        floors[tier] = probe
+        try:
+            with open(_FLOORS_PATH, "w") as fh:
+                json.dump(floors, fh, indent=1)
+        except Exception:
+            pass
+    return health
+
+
 def _ensure_replica(mult: int, out_dir: str) -> str | None:
     """Generate a `mult`× FK-preserving key-offset replica of sf0.1 once."""
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -733,6 +782,10 @@ def main() -> None:
         return info
 
     layout_info = {"sf0": _layout(sf_dir)}
+    # floor key = the actual tier directory name (sf0.1, sf0.001, …) so a
+    # small-SF smoke run can never ratchet the sf0.1 floor down
+    head_tier = os.path.basename(sf_dir.rstrip("/"))
+    host_health = {head_tier: _host_health_probe(head_tier, sf_dir)}
     _progress("headline tier start")
     cold, build, timings, reps0 = _bench_spark(qs, names, spark, sf_dir, reps=3)
     _progress("headline tier done; extended tier start")
@@ -768,6 +821,7 @@ def main() -> None:
         "session": {**_session_evidence(spark), **session_origin},
         "cache_state_headline": _cache_state(),
         "layout": layout_info,
+        "host_health": host_health,
         "budget_sec": _BUDGET,
         "skipped": {},
     }
@@ -789,6 +843,7 @@ def main() -> None:
     if sf1_dir:
         try:
             result["layout"]["sf1"] = _layout(sf1_dir)
+            host_health["sf1"] = _host_health_probe("sf1", sf1_dir, tables=SF1_TABLES)
             result["cache_state_sf1"] = _cache_state()
             _, _, sf1_timings, sf1_reps = _bench_spark(qs, names, spark, sf1_dir, reps=3)
             sf1_base = _duckdb_baseline(names, sf1_dir, tables=SF1_TABLES)
@@ -817,6 +872,7 @@ def main() -> None:
         # spike can poison its successors.
         try:
             result["layout"]["sf10"] = _layout(sf10_dir)
+            host_health["sf10"] = _host_health_probe("sf10", sf10_dir, tables=SF1_TABLES)
             try:
                 spark.catalog.clearCache()
             except Exception:
@@ -904,6 +960,13 @@ def main() -> None:
             compact["cur100x_med_ratio"] = ratios[len(ratios) // 2]
     if result["skipped"]:
         compact["skipped"] = sorted(result["skipped"])
+    degraded_tiers = sorted(
+        t for t, h in host_health.items() if h.get("degraded")
+    )
+    if degraded_tiers:
+        # stamp the compact record so a degraded-host number can never be
+        # adopted silently as the round's official figure (r8 lesson)
+        compact["host_degraded"] = degraded_tiers
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1024, f"compact bench line {len(line)}B > 1KB budget"
     print(line)

@@ -85,12 +85,19 @@ def kmeans_fit(
     centroids = [[float(x) for x in r.embedding] for r in init]
     for _ in range(iters):
         assigned = _assign(vecs, centroids).drop("__sq")
+        # Pin each averaged component to a 1e-9 lattice: AVG is an
+        # association-order-dependent float sum (partition layout on Spark,
+        # scan order on any oracle engine), so downstream FLOOR(·1e6)
+        # images must never consume the raw average — after rounding, both
+        # engines run identical IEEE chains on identical inputs and every
+        # floor/round boundary resolves identically. Mirrored in the
+        # DuckDB oracle (_kmeans_oracle_round: ROUND(AVG(..), 9)).
         new_rows = (
             assigned.select(
                 "cluster_id", F.posexplode("embedding").alias("pos", "val")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("val").cast("double")), 9).alias("m"))
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

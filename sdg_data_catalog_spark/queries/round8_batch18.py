@@ -345,10 +345,18 @@ def sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     est(A) + est(B) − est(A∪B), where the union estimate merges the two
     PERSISTED per-type sketches (register-max, exact vs one big
     sketch). This is the question sketch tables exist for: overlap of
-    N segments without re-scanning raw events per pair. Intersection
-    error compounds (three ±2% estimates), so the checked bound is the
-    standard max(16, 5%·|A∪B|); the exact intersection (one distinct
-    pass + a user-keyed self-join) rides along as the oracle columns.
+    N segments without re-scanning raw events per pair. The checked
+    bound: HLL at lgK=12 has relative standard error 1.04/√2¹² ≈
+    1.625%, and the inclusion-exclusion estimate's absolute error is
+    bounded (in probability) by the sum of the three terms' absolute
+    errors — so the gate allows 3 compounded standard errors,
+    max(32, 3·1.625%·(est(A)+est(B)+est(A∪B))). Because the oracle
+    pins the bound column to TRUE, the margin is deliberately
+    conservative (per-term 3σ exceedance ≈ 0.3%, and the +32 floor
+    dominates at small cardinalities) so a data regen cannot fail the
+    gate without a genuine sketch bug (r8 ADVICE). The exact
+    intersection (one distinct pass + a user-keyed self-join) rides
+    along as the oracle columns.
     One corpus pass builds the |types| sketch rows; the pair algebra is
     |types|²-sized."""
     ev = table(spark, sf_dir, "events")
@@ -401,7 +409,10 @@ def sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intersect",
             (
                 F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("n_intersect"))
-                <= F.greatest(F.lit(16.0), 0.05 * F.col("eu"))
+                <= F.greatest(
+                    F.lit(32.0),
+                    3 * 0.01625 * (F.col("ea") + F.col("eb") + F.col("eu")),
+                )
             ).alias("est_within_bound"),
         )
         .orderBy("type_a", "type_b")

@@ -142,7 +142,7 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gmean AS (
       SELECT list(m ORDER BY pos) AS gm FROM (
-        SELECT pos, AVG(CAST(val AS DOUBLE)) AS m
+        SELECT pos, ROUND(AVG(CAST(val AS DOUBLE)), 9) AS m
         FROM (SELECT unnest(embedding) AS val,
                      generate_subscripts(embedding, 1) AS pos
               FROM embeddings)
@@ -173,10 +173,12 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     separated. Completes the validity triad with emb_silhouette and
     emb_davies_bouldin on the SAME deterministic fit. WSS terms are
     FLOOR(d²·10⁶) images summed exactly (one map-side pass over the
-    assignment frame); BSS runs over k rows against the grand mean
-    (per-dimension averages — the same float-mean convention the fitted
-    centroids already carry, hash-stable at ROUND 1e-6 as the
-    cluster_kmeans oracle established)."""
+    assignment frame); BSS runs over k rows against the grand mean.
+    Both the fitted centroids and the grand mean are pinned to a 1e-9
+    lattice (ROUND(AVG, 9) on both engines) before any FLOOR image
+    consumes them — the averages are the only association-order-
+    dependent inputs, so after pinning every floor boundary resolves
+    identically across engines and partition layouts (r8 ADVICE)."""
     from sdg_data_catalog_spark.operators.iterative import kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -193,11 +195,14 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").cast("bigint").alias("k"),
         F.sum("w_img").cast("bigint").alias("wss_img"),
     )
-    # grand mean: one partial-aggregated pass (64 avg slots)
+    # grand mean: one partial-aggregated pass (64 avg slots), pinned to a
+    # 1e-9 lattice like the fitted centroids — the raw AVG is an
+    # association-order-dependent float sum, and the BSS FLOOR(·1e6)
+    # image below must consume the same bits on both engines.
     gm_row = (
         emb.select(F.posexplode("embedding").alias("pos", "val"))
         .groupBy("pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 9).alias("m"))
         .collect()
     )
     gm = [r["m"] for r in sorted(gm_row, key=lambda r: r["pos"])]

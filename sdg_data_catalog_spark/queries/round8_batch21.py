@@ -305,7 +305,7 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
         FROM documents
     ),
     hits AS (
-      SELECT source, n_chars,
+      SELECT source, length(t) AS n_chars,
              len(regexp_extract_all(t, '{_PII_EMAIL}')) AS e,
              len(regexp_extract_all(t, '{_PII_PHONE}')) AS p,
              len(regexp_extract_all(t, '{_PII_IPV4}')) AS i
@@ -339,9 +339,11 @@ def curation_pii_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-level redaction already exists; this is the audit that decides
     whether a source needs it). One-third of documents are salted with
     the deterministic doc_id-derived PII (same expression both engines)
-    so the report exercises mixed-exposure sources. The detectors are
-    codegen'd regexp counts — map-side, no shuffle beyond the
-    |sources|-row aggregate; tier verdicts compare integer
+    so the report exercises mixed-exposure sources. The density
+    denominator is the length of the text actually scanned (post-salt),
+    so pii_per_10k_chars measures exactly what its name claims. The
+    detectors are codegen'd regexp counts — map-side, no shuffle beyond
+    the |sources|-row aggregate; tier verdicts compare integer
     cross-products (docs_with_pii·100 > n_docs·50), immune to float
     thresholds."""
     docs = table(spark, sf_dir, "documents")
@@ -364,7 +366,10 @@ def curation_pii_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     hits = docs.select(
         "source",
-        "n_chars",
+        # density denominator = the text actually scanned (post-salt), so
+        # pii_per_10k_chars measures what its name says (r8 ADVICE); for
+        # unsalted docs length(text) == n_chars by fixture construction.
+        F.length(salted).alias("n_chars"),
         F.regexp_count(salted, F.lit(_PII_EMAIL)).alias("e"),
         F.regexp_count(salted, F.lit(_PII_PHONE)).alias("p"),
         F.regexp_count(salted, F.lit(_PII_IPV4)).alias("i"),

@@ -242,25 +242,51 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     base AS (
       SELECT cohort_day, n_users AS n0 FROM grid WHERE day_offset = 0
+    ),
+    maxd AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    wgrid AS (
+      SELECT g.cohort_day, g.day_offset, g.n_users,
+             LEAD(g.day_offset) OVER (PARTITION BY g.cohort_day
+                                      ORDER BY g.day_offset) AS nxt,
+             CAST(date_diff('day', CAST(g.cohort_day AS DATE), m.max_day)
+                  AS BIGINT) AS end_off
+      FROM grid g CROSS JOIN maxd m
+    ),
+    cand AS (
+      SELECT w.cohort_day, b.n0,
+             MIN(CASE WHEN w.day_offset > 0 AND 2 * w.n_users < b.n0
+                      THEN w.day_offset END) AS m_obs,
+             MIN(CASE WHEN (w.nxt IS NULL AND w.day_offset < w.end_off)
+                        OR w.nxt > w.day_offset + 1
+                      THEN w.day_offset + 1 END) AS m_gap
+      FROM wgrid w JOIN base b ON b.cohort_day = w.cohort_day
+      GROUP BY w.cohort_day, b.n0
     )
-    SELECT g.cohort_day, b.n0 AS cohort_size,
-           CAST(COALESCE(MIN(CASE WHEN g.day_offset > 0
-                                       AND 2 * g.n_users < b.n0
-                                  THEN g.day_offset END), -1) AS BIGINT)
-             AS half_life_days
-    FROM grid g JOIN base b ON b.cohort_day = g.cohort_day
-    GROUP BY g.cohort_day, b.n0 ORDER BY g.cohort_day
+    SELECT cohort_day, n0 AS cohort_size,
+           CAST(CASE WHEN m_obs IS NULL THEN COALESCE(m_gap, -1)
+                     WHEN m_gap IS NULL THEN m_obs
+                     WHEN m_obs < m_gap THEN m_obs ELSE m_gap END
+                AS BIGINT) AS half_life_days
+    FROM cand ORDER BY cohort_day
     """,
 )
 def agg_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention half-life per first-seen cohort: the first positive
-    day-offset on which fewer than half the cohort's users return
-    (−1 = never halved inside the observation window) — the one-number
-    summary a product review reads off the agg_retention_cohorts
-    triangle (same cohort/day-offset conventions, so the two reconcile
-    cell for cell). Exact distinct counts; the threshold is the integer
-    cross-product 2·returning < cohort_size; the crossing is a MIN over
-    the days²-bounded grid, not a walk."""
+    day-offset, INSIDE the observation window (cohort day … global max
+    event day), on which fewer than half the cohort's users return
+    (−1 = never halved inside the window) — the one-number summary a
+    product review reads off the agg_retention_cohorts triangle (same
+    cohort/day-offset conventions, so the two reconcile cell for cell).
+    A day-offset with ZERO returners has no grid cell but is
+    unambiguously below half, so the crossing is min(first observed
+    offset with 2·returning < cohort_size, first GAP in the observed
+    offsets) — the gap scan is one LEAD window over the days²-bounded
+    grid plus the trailing gap against the window end, never a
+    densified calendar (r8 ADVICE: previously only observed cells were
+    scanned, so sparse cohorts reported a later half-life than the
+    documented semantics). Exact distinct counts; integer threshold
+    cross-product; both candidate minima are MINs over the grid, not a
+    walk."""
     ev = table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     first_seen = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     grid = (
@@ -277,27 +303,47 @@ def agg_cohort_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = grid.filter(F.col("day_offset") == 0).select(
         "cohort_day", F.col("n_users").alias("n0")
     )
-    return (
-        grid.join(F.broadcast(base), "cohort_day")
+    maxd = ev.agg(F.max("d").alias("max_day"))
+    w = Window.partitionBy("cohort_day").orderBy("day_offset")
+    wgrid = (
+        grid.crossJoin(F.broadcast(maxd))
+        .withColumn("nxt", F.lead("day_offset").over(w))
+        .withColumn(
+            "end_off",
+            F.datediff("max_day", F.to_date("cohort_day")).cast("long"),
+        )
+    )
+    cand = (
+        wgrid.join(F.broadcast(base), "cohort_day")
         .groupBy("cohort_day", "n0")
         .agg(
-            F.coalesce(
-                F.min(
-                    F.when(
-                        (F.col("day_offset") > 0)
-                        & (2 * F.col("n_users") < F.col("n0")),
-                        F.col("day_offset"),
+            F.min(
+                F.when(
+                    (F.col("day_offset") > 0)
+                    & (2 * F.col("n_users") < F.col("n0")),
+                    F.col("day_offset"),
+                )
+            ).alias("m_obs"),
+            F.min(
+                F.when(
+                    (
+                        F.col("nxt").isNull()
+                        & (F.col("day_offset") < F.col("end_off"))
                     )
-                ),
-                F.lit(-1),
-            )
-            .cast("bigint")
-            .alias("half_life_days")
+                    | (F.col("nxt") > F.col("day_offset") + 1),
+                    F.col("day_offset") + 1,
+                )
+            ).alias("m_gap"),
         )
-        .select(
-            "cohort_day",
-            F.col("n0").alias("cohort_size"),
-            "half_life_days",
-        )
-        .orderBy("cohort_day")
     )
+    half = (
+        F.when(F.col("m_obs").isNull(), F.coalesce(F.col("m_gap"), F.lit(-1)))
+        .when(F.col("m_gap").isNull(), F.col("m_obs"))
+        .when(F.col("m_obs") < F.col("m_gap"), F.col("m_obs"))
+        .otherwise(F.col("m_gap"))
+    )
+    return cand.select(
+        "cohort_day",
+        F.col("n0").alias("cohort_size"),
+        half.cast("bigint").alias("half_life_days"),
+    ).orderBy("cohort_day")

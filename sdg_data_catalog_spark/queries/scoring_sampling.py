@@ -431,7 +431,9 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle_round(i: int) -> str:
     """One unrolled Lloyd round in DuckDB SQL: assignment under the prior
     centroids (first-min tie-break, matching numpy argmin), per-dimension
-    mean update, empty-cluster patch."""
+    mean update pinned to a 1e-9 lattice (ROUND(AVG, 9) — mirrors
+    kmeans_fit so downstream FLOOR images consume bit-identical
+    centroids on both engines), empty-cluster patch."""
     prev = f"c{i-1}f" if i > 1 else "c0"
     return f"""
 a{i} AS (SELECT e.vec_id, e.embedding, c.cid,
@@ -442,7 +444,7 @@ asg{i} AS (SELECT vec_id, embedding, cid AS cluster_id
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid)
                AS rn FROM a{i}) WHERE rn = 1),
 c{i} AS (SELECT cluster_id AS cid, list(m ORDER BY pos) AS cent
-  FROM (SELECT cluster_id, pos, AVG(CAST(val AS DOUBLE)) AS m
+  FROM (SELECT cluster_id, pos, ROUND(AVG(CAST(val AS DOUBLE)), 9) AS m
         FROM (SELECT cluster_id, unnest(embedding) AS val,
                      generate_subscripts(embedding, 1) AS pos FROM asg{i})
         GROUP BY cluster_id, pos) GROUP BY cluster_id),

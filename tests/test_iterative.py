@@ -63,12 +63,14 @@ def _np_kmeans(vecs: np.ndarray, k: int, iters: int):
     (k lowest vec_ids), argmin ties to the lowest cluster id, empty
     clusters keep their centroid."""
     centroids = vecs[:k].astype(float).copy()
+    # kmeans_fit pins each averaged component to a 1e-9 lattice (see
+    # operators/iterative.py) — mirror it so the twin stays exact.
     for _ in range(iters):
         d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
         for c in range(k):
             if (assign == c).any():
-                centroids[c] = vecs[assign == c].mean(axis=0)
+                centroids[c] = vecs[assign == c].mean(axis=0).round(9)
     d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     return d.argmin(axis=1), d.min(axis=1)
 

@@ -115,7 +115,7 @@ def test_pii_report_twin(spark):
         a[2] += e
         a[3] += p
         a[4] += i
-        a[5] += n_chars
+        a[5] += len(t)  # denominator = text actually scanned (post-salt)
     for src, (n, dw, e, p, i, ch) in agg.items():
         r = rows[src]
         assert r["n_docs"] == n

@@ -40,6 +40,43 @@ def test_split_temporal_twin(spark):
     assert rows["train"]["n_rows"] >= math.ceil(0.8 * n)
 
 
+def test_split_temporal_boundary_ties(spark, tmp_path):
+    """Tie policy at the 80% boundary, pinned (r8 VERDICT nit): the
+    boundary is the smallest DISTINCT timestamp whose cumulative count
+    reaches 80%, and EVERY row carrying that timestamp goes to train
+    (<=) — a duplicate-heavy boundary timestamp can therefore never
+    split between train and test, on either engine. 10 rows with ts
+    duplicates straddling the 80th-percentile position: census cum at
+    t=8 is 9 >= 8, so both t=8 rows land in train (90/10, not 80/20)."""
+    from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries
+
+    ts = [1, 2, 3, 4, 5, 6, 7, 8, 8, 9]
+    df = spark.createDataFrame(
+        [(i, f"1970-01-01 00:00:{t:02d}") for i, t in enumerate(ts)],
+        "event_id long, ts string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts")
+    events_dir = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(events_dir)
+
+    rows = {
+        r["split"]: r
+        for r in all_queries()["split_temporal"](spark, str(tmp_path)).collect()
+    }
+    assert rows["train"]["n_rows"] == 9  # both boundary duplicates -> train
+    assert rows["test"]["n_rows"] == 1
+    assert rows["train"]["no_leakage"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{events_dir}/*.parquet')"
+    )
+    oracle = {
+        r[0]: r for r in con.execute(all_oracles()["split_temporal"]).fetchall()
+    }
+    con.close()
+    assert oracle["train"][1] == 9 and oracle["test"][1] == 1
+
+
 def test_reciprocal_nn_twin(spark):
     qs = all_queries()
     rows = {r["anchor_id"]: r for r in qs["sim_reciprocal_nn"](spark, SF).collect()}
