@@ -45,10 +45,13 @@ from sdg_data_catalog_spark.session import get_spark  # noqa: E402
 # steady-state times reported under "extended" (not part of "value", which
 # stays comparable round-over-round on the relational headline).
 EXTENDED = (
-    # ad-hoc (fresh-directory) q5/q18 plans: the headline names route to the
-    # bucketed layout when it exists, so the ad-hoc delta is tracked here
+    # ad-hoc (fresh-directory) q5/q18/q3/q6 plans: the headline names route
+    # to the bucketed / date-clustered layouts when they exist, so the
+    # ad-hoc delta is tracked here
     "q5_adhoc",
     "q18_adhoc",
+    "q3_adhoc",
+    "q6_adhoc",
     "pipeline_curation",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
@@ -761,7 +764,9 @@ def main() -> None:
 
     from sdg_data_catalog_spark.queries.scale_ops import (
         _ensure_bucketed_tables,
+        _ensure_date_clustered,
         bucketed_layout_on_disk,
+        date_clustered_layout_on_disk,
     )
 
     _apply_runtime_confs(spark)
@@ -772,13 +777,17 @@ def main() -> None:
         included a rebuild landing inside the timed region — this makes
         that impossible to miss in the record)."""
         pre = bucketed_layout_on_disk(tier_dir)
+        pre_dc = date_clustered_layout_on_disk(tier_dir)
         t0 = time.perf_counter()
         _ensure_bucketed_tables(spark, tier_dir)
+        _ensure_date_clustered(spark, tier_dir)
         info = {
             "existed_before": pre,
+            "date_clustered_existed_before": pre_dc,
             "ensure_sec": round(time.perf_counter() - t0, 3),
         }
         assert bucketed_layout_on_disk(tier_dir), f"bucketed layout missing after ensure: {tier_dir}"
+        assert date_clustered_layout_on_disk(tier_dir), f"date-clustered layout missing after ensure: {tier_dir}"
         return info
 
     layout_info = {"sf0": _layout(sf_dir)}

@@ -218,6 +218,11 @@ _PRIORITY = (
     "agg_kendall_w",
     "win_drawdown_max",
     "agg_cohort_half_life",
+    # round-9 registrations (oracle-verified at 3 SFs before staging)
+    "q3_clustered",
+    "q6_clustered",
+    "q3_adhoc",
+    "q6_adhoc",
 )
 
 

@@ -843,9 +843,7 @@ def _fits_broadcast(
     return _GATE_COUNTS[k] <= bound
 
 
-@register(
-    "q3_shipping_priority",
-    oracle="""
+_Q3_ORACLE = """
     SELECT l_orderkey,
            ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
            o_orderdate
@@ -858,9 +856,31 @@ def _fits_broadcast(
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, o_orderdate, l_orderkey
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware headline Q3: when the ingest-time date-clustered fact
+    layouts exist on disk (scale_ops._DATE_SPECS — lineitem range-
+    clustered on l_shipdate, orders on o_orderdate), both date predicates
+    become row-group skips instead of full decodes — delegate to the
+    clustered plan (scale_ops q3_clustered, identical oracle/answer;
+    measured 0.387 vs 0.420 s min-of-5 at sf10, healthy host
+    2026-08-15). Fresh directories fall back to the ad-hoc plan
+    (q3_adhoc). The probe is a pure filesystem check — it never builds
+    the layout. (An ORDERKEY-bucketed q3 twin measured WORSE and stays
+    unregistered — see q3_adhoc's plan notes; the date-clustered twin
+    attacks the scan component instead of the join.)"""
+    from sdg_data_catalog_spark.queries import scale_ops
+
+    if scale_ops.date_clustered_layout_on_disk(sf_dir):
+        return scale_ops._q3_clustered_impl(spark, sf_dir)
+    return q3_adhoc(spark, sf_dir)
+
+
+@register("q3_adhoc", oracle=_Q3_ORACLE)
+def q3_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → joins → agg → top-10. Both
     date predicates push into their scans; the filtered BUILDING customers
     broadcast onto orders, and the JOIN RUNS BEFORE THE AGGREGATION: the
@@ -927,9 +947,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q6_forecast_revenue",
-    oracle="""
+_Q6_ORACLE = """
     SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -937,9 +955,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate <  TIMESTAMP '1996-01-01'
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 24
-    """,
-)
+    """
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware headline Q6: routes to the shipdate-clustered
+    lineitem copy when the layout exists (scale_ops q6_clustered — the
+    1995-only predicate then skips ~85% of row groups on footer stats);
+    fresh directories run the ad-hoc pure-pushdown plan (q6_adhoc).
+    Pure filesystem probe, identical oracle/answer."""
+    from sdg_data_catalog_spark.queries import scale_ops
+
+    if scale_ops.date_clustered_layout_on_disk(sf_dir):
+        return scale_ops._q6_clustered_impl(spark, sf_dir)
+    return q6_adhoc(spark, sf_dir)
+
+
+@register("q6_adhoc", oracle=_Q6_ORACLE)
+def q6_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: every predicate reaches the parquet scan (range +
     between + comparison), then a single global agg — the pure-pushdown
     benchmark; at 100 TB row-group statistics skip most of the table."""
