@@ -152,6 +152,8 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: sha256(text) hash-groupBy keeping MIN doc_id —
+    the first rung of the dedup ladder (operators/dedup.py)."""
     docs = table(spark, sf_dir, "documents")
     return D.exact_dedup_groups(_exact_dup_corpus(docs))
 
@@ -243,6 +245,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signatures over 5-char shingles — the
+    signature-build stage of the LSH near-dup pipeline."""
     docs = table(spark, sf_dir, "documents")
     return D.minhash_signatures(docs.select("doc_id", "text"))
 
@@ -261,6 +265,8 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: band-bucket equi-join (never
+    all-pairs), verified by exact shingle Jaccard."""
     docs = table(spark, sf_dir, "documents")
     return D.minhash_band_pairs(_near_dup_corpus(docs))
 
@@ -326,6 +332,8 @@ _COS_SQL = (
     """,
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for 10 query vectors against the corpus —
+    the exact baseline the ANN variants are recalled against."""
     emb = table(spark, sf_dir, "embeddings")
     return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -347,6 +355,8 @@ def _plane_dot_sql(j: int) -> str:
     """,
 )
 def sim_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector — map-side signed
+    projections, the bucketing stage of ANN search."""
     emb = table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", S.lsh_bucket(F.col("embedding")).alias("bucket"))
 
@@ -398,6 +408,8 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold via
+    LSH-bucketed candidate join + exact re-scoring."""
     emb = table(spark, sf_dir, "embeddings")
     return S.cosine_neardup_pairs(emb, threshold=0.4)
 
@@ -413,6 +425,8 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm statistics (count/mean/min/max) — the
+    sanity profile run before any similarity work."""
     emb = table(spark, sf_dir, "embeddings")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

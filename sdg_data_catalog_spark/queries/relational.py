@@ -432,6 +432,9 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (region > nation > grand total) via ROLLUP
+    over two broadcast dim joins — one shuffle, subtotal rows computed in
+    the same aggregate."""
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
@@ -457,6 +460,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations of (status, priority) via CUBE in a
+    single aggregate pass over orders."""
     orders = table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -474,6 +479,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent group-bys (segment-only, nation-only) in ONE pass
+    via GROUPING SETS — the SQL form Spark expands without a self-union."""
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(
         """
@@ -566,6 +573,8 @@ def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile(4) per nation over account balance — the
+    three ranking window shapes in one partitioned pass."""
     customer = table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
     wt = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
@@ -590,6 +599,8 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history: days since previous
+    order and next orderkey, deterministic (date, key) window order."""
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     return orders.select(
@@ -611,6 +622,8 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend: rows-unbounded-preceding SUM window
+    with a deterministic (date, key) order."""
     orders = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -679,6 +692,8 @@ def filter_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets — unionByName + distinct, the
+    shuffle dedups once."""
     customer = table(spark, sf_dir, "customer")
     supplier = table(spark, sf_dir, "supplier")
     a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_nationkey").alias("k"))
@@ -695,6 +710,8 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer vs supplier nation keys — Catalyst plans a
+    left-semi aggregate, no materialized distinct inputs."""
     customer = table(spark, sf_dir, "customer")
     supplier = table(spark, sf_dir, "supplier")
     return customer.select(F.col("c_nationkey").alias("k")).intersect(

@@ -55,6 +55,8 @@ def join_gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("gazetteer_spans")  # char offsets: UDF-only (§2.3: no oracle for spans)
 def gazetteer_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trie-based gazetteer span matches per document (reference analog
+    utils/fastmatch.py) — offsets are engine-internal, rows-only."""
     docs = table(spark, sf_dir, "documents")
     return G.match_spans(docs, list(GAZETTEER)).select(
         "doc_id", F.explode("matches").alias("m")
@@ -197,6 +199,8 @@ def udf_bert_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("udtf_lda")  # MLlib LDA: seeded but engine-internal → rows-only
 def udtf_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDA topic table (k=8) over the document corpus — iterative
+    Gibbs-style fit, engine-internal, rows-only by design."""
     docs = table(spark, sf_dir, "documents")
     topics = SC.lda_topics(docs, k=8, seed=100)
     # Flatten array<double> → ','-joined string (external canonicalizer
@@ -249,6 +253,8 @@ def split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sample_frac")  # Spark-RNG sample: rows-only
 def sample_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli 10% sample of orders — RNG-backed, rows-only by design
+    (the deterministic twin is sample_hash)."""
     orders = table(spark, sf_dir, "orders")
     return SM.sample_fraction(orders, 0.1).select("o_orderkey")
 
