@@ -144,10 +144,13 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     (lossless output side — resizing shouldn't add a second generation
     loss); since round 6 that includes PROGRESSIVE (SOF2) JPEG — the
     codec ladder no longer has an environment-dependent branch for any
-    Huffman JPEG process. Remaining formats (WebP, arithmetic-coded
-    JPEG, ...) fall back to Pillow when importable; otherwise
-    NotImplementedError naming the missing codec. Errors are raised
-    lazily per batch — plan construction never fails."""
+    Huffman JPEG process. Since round 9, WebP LOSSLESS (VP8L) payloads
+    decode through the self-contained operators/webpcodec.py (bit-exact
+    against libwebp's own decoder in tests/test_webpcodec.py).
+    Remaining formats (lossy VP8, arithmetic-coded JPEG) fall back to
+    Pillow when importable; otherwise NotImplementedError naming the
+    missing codec. Errors are raised lazily per batch — plan
+    construction never fails."""
     data = bytes(payload)
     from sdg_data_catalog_spark.operators import imagecodec
 
@@ -163,6 +166,17 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
             arr = jpegcodec.jpeg_decode(data)
         except ValueError:
             arr = None  # e.g. arithmetic-coded — try Pillow below
+        if arr is not None:
+            return imagecodec.png_encode(
+                imagecodec.resize_nearest(arr, width, height)
+            )
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from sdg_data_catalog_spark.operators import webpcodec
+
+        try:
+            arr = webpcodec.webp_decode(data)
+        except NotImplementedError:
+            arr = None  # lossy VP8 (DCT path) — try Pillow below
         if arr is not None:
             return imagecodec.png_encode(
                 imagecodec.resize_nearest(arr, width, height)
