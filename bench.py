@@ -713,6 +713,19 @@ def _ensure_sf10() -> str | None:
     return _ensure_replica(100, os.path.join(_REPO, ".scratch", "sf10"))
 
 
+def _ensure_sf100() -> str | None:
+    """The sf100 spot tier (1000× sf0.1: ~600 M lineitem rows, ~15 GB
+    parquet) — OPT-IN (SPARK_GRAFT_SF100=1) because generation takes
+    minutes and tens of GB of disk; the regular per-round bench must not
+    pay that. Purpose: put real numbers behind the 'survives 100×'
+    extrapolation from sf10 — q1/q5/q6 only, reduced reps, AD-HOC plans
+    (the bucketed/date-clustered layout copies would double the disk
+    cost; the spot tier measures raw-scan economics, recorded as such)."""
+    if os.environ.get("SPARK_GRAFT_SF100", "0") != "1":
+        return None
+    return _ensure_replica(1000, os.path.join(_REPO, ".scratch", "sf100"))
+
+
 def _fresh_heap_session():
     """get_spark, but never on a starved inherited heap. getOrCreate joins
     any pre-existing session in this process (the driver runs its
@@ -940,6 +953,33 @@ def main() -> None:
             "queries": cur,
         }
 
+    _progress("curation done; sf100 spot tier (opt-in) start")
+    sf100_dir = _ensure_sf100() if _remaining() > 900 else None
+    if sf100_dir:
+        # Spot tier: ad-hoc plans only (no layout copies — disk economics
+        # documented in _ensure_sf100), q1/q5/q6, min-of-2 with per-query
+        # GC. The point is the RATIO at 1000×, not absolute polish.
+        spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
+        host_health["sf100"] = _host_health_probe(
+            "sf100", sf100_dir, tables=SF1_TABLES
+        )
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        _, _, sf100_timings, sf100_reps = _bench_spark(
+            qs, spot, spark, sf100_dir, reps=2, per_query_gc=True
+        )
+        sf100_base = _duckdb_baseline(spot, sf100_dir, tables=SF1_TABLES)
+        result["sf100"] = {
+            "queries": sf100_timings,
+            "value": round(sum(sf100_timings.values()), 4),
+            "reps": sf100_reps,
+            "baseline_duckdb": sf100_base,
+            "baseline_total": round(sum(sf100_base.values()), 4),
+            "note": "ad-hoc plans, no layout copies (disk); opt-in tier",
+        }
+
     # Full detail goes to a file; stdout gets ONE compact line (the driver's
     # tail capture is ~2 KB — r2/r3 records were truncated to `parsed: null`
     # when the detail tables lived on the stdout line).
@@ -956,7 +996,7 @@ def main() -> None:
         "duckdb_total": round(sum(result["baseline_duckdb"].values()), 3),
         "detail": "BENCH_DETAIL.json",
     }
-    for tier in ("sf1", "sf10"):
+    for tier in ("sf1", "sf10", "sf100"):
         if tier in result:
             compact[f"{tier}_total"] = round(result[tier]["value"], 3)
             compact[f"{tier}_duckdb"] = round(result[tier]["baseline_total"], 3)

@@ -99,6 +99,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch26",
     "sdg_data_catalog_spark.queries.round8_batch27",
     "sdg_data_catalog_spark.queries.round8_batch28",
+    "sdg_data_catalog_spark.queries.round9_batch1",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -223,6 +224,11 @@ _PRIORITY = (
     "q6_clustered",
     "q3_adhoc",
     "q6_adhoc",
+    "curation_mix_temperature",
+    "curation_doremi_weights",
+    "curation_cartography",
+    "text_code_detect",
+    "dq_unicode_audit",
 )
 
 
