@@ -100,6 +100,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch27",
     "sdg_data_catalog_spark.queries.round8_batch28",
     "sdg_data_catalog_spark.queries.round9_batch1",
+    "sdg_data_catalog_spark.queries.round9_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -229,6 +230,11 @@ _PRIORITY = (
     "curation_cartography",
     "text_code_detect",
     "dq_unicode_audit",
+    "eval_pass_at_k",
+    "rank_bradley_terry",
+    "dedup_blocking_keys",
+    "plan_context_length_sweep",
+    "agg_vocab_marginal_gain",
 )
 
 
