@@ -537,7 +537,16 @@ def _host_health_probe(tier: str, sf_dir: str, tables=None) -> dict:
         floors = json.load(open(_FLOORS_PATH))
     except Exception:
         floors = {}
-    floor = floors.get(tier)
+    rec = floors.get(tier)
+    # Provenance (ADVICE r9): a bare number is a legacy multi-round floor
+    # (confirmed); a first-run probe is stored unconfirmed so a degraded
+    # host can't seed an inflated baseline that makes every later run on
+    # the tier look healthy. An unconfirmed floor is confirmed only when a
+    # SECOND independent run probes within 1.5x of it.
+    if isinstance(rec, dict):
+        floor, confirmed = rec.get("floor"), bool(rec.get("confirmed"))
+    else:
+        floor, confirmed = rec, rec is not None
     attempts = 0
     probe = None
     while attempts < 3:
@@ -554,16 +563,34 @@ def _host_health_probe(tier: str, sf_dir: str, tables=None) -> dict:
     health = {
         "probe_q1_sec": probe,
         "floor_q1_sec": floor,
+        "floor_confirmed": confirmed,
         "attempts": attempts,
-        "degraded": bool(floor and probe and probe > 2 * floor),
+        # an unconfirmed floor can't certify health: stamp degraded=None
+        # (unknown) unless a trusted floor says otherwise.
+        "degraded": (
+            bool(probe > 2 * floor)
+            if (floor and probe and confirmed)
+            else (None if not confirmed else False)
+        ),
     }
-    if probe and (floor is None or probe < floor):
-        floors[tier] = probe
-        try:
-            with open(_FLOORS_PATH, "w") as fh:
-                json.dump(floors, fh, indent=1)
-        except Exception:
-            pass
+    if probe:
+        if floor is None:
+            floors[tier] = {"floor": probe, "confirmed": False}
+        elif not confirmed:
+            if probe <= 1.5 * floor and floor <= 1.5 * probe:
+                # two independent runs agree within 1.5x — trust the floor
+                floors[tier] = {"floor": min(floor, probe), "confirmed": True}
+            elif probe < floor:
+                # much faster than the seed: the seed was degraded — restart
+                floors[tier] = {"floor": probe, "confirmed": False}
+        elif probe < floor:
+            floors[tier] = {"floor": probe, "confirmed": True}
+        if floors.get(tier) != rec:
+            try:
+                with open(_FLOORS_PATH, "w") as fh:
+                    json.dump(floors, fh, indent=1)
+            except Exception:
+                pass
     return health
 
 

@@ -175,8 +175,12 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
 
         try:
             arr = webpcodec.webp_decode(data)
-        except NotImplementedError:
-            arr = None  # lossy VP8 (DCT path) — try Pillow below
+        except (NotImplementedError, ValueError):
+            # lossy VP8 (DCT path) raises NotImplementedError; valid-but-
+            # unsupported containers (animated ANMF nesting, VP8X-only,
+            # future VP8L versions) raise ValueError — both fall back to
+            # Pillow below, mirroring the JPEG ladder.
+            arr = None
         if arr is not None:
             return imagecodec.png_encode(
                 imagecodec.resize_nearest(arr, width, height)

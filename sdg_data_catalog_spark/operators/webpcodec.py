@@ -573,6 +573,8 @@ def webp_decode(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + size > len(data):
+            raise ValueError("truncated WebP chunk")
         payload = data[pos + 8 : pos + 8 + size]
         if tag == b"VP8L":
             return vp8l_decode(payload)
@@ -620,6 +622,17 @@ def _limited_lengths(freqs: list[int], max_len: int) -> list[int]:
                 lengths[s] += 1
                 if kraft <= budget:
                     break
+    # Deepening can overshoot (kraft < budget = an incomplete code, which
+    # strict decoders like libwebp's BuildHuffmanTable reject). Restore
+    # exact completeness by shortening the most-frequent symbols whose
+    # one-level promotion fits in the remaining deficit; depth-max_len
+    # leaves contribute unit 1, so any integer deficit is reachable.
+    for s in sorted(syms, key=lambda s: (-freqs[s], s)):
+        while lengths[s] > 1 and kraft + (1 << (max_len - lengths[s])) <= budget:
+            kraft += 1 << (max_len - lengths[s])
+            lengths[s] -= 1
+        if kraft == budget:
+            break
     return lengths
 
 

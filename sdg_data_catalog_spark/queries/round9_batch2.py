@@ -216,7 +216,7 @@ def rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata; the only corpus-sized work is the one match-log scan."""
     ev = table(spark, sf_dir, "events").select("event_id")
     a = (F.col("event_id") % _N_MODELS).alias("a")
-    b = ((F.col("event_id") / _N_MODELS).cast("bigint") % _N_MODELS).alias("b")
+    b = (F.expr(f"event_id div {_N_MODELS}") % _N_MODELS).alias("b")
     m = (
         ev.select(a, b, "event_id")
         .filter(F.col("a") != F.col("b"))

@@ -158,3 +158,44 @@ def test_resize_ladder_handles_vp8l_payload():
     assert arr.shape == (6, 9, 4)
     expected = imagecodec.resize_nearest(_rgba(img), 9, 6)
     assert (arr == expected).all()
+
+
+def test_limited_lengths_kraft_exact_on_skewed_freqs():
+    """ADVICE r9: clamp-then-deepen could overshoot and leave an
+    incomplete prefix code (kraft < 2^max_len), which strict decoders
+    such as libwebp's BuildHuffmanTable reject. The repair must land on
+    kraft == 2^max_len exactly, for any frequency profile."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(120):
+        n = rng.choice([4, 40, 256, 280])
+        freqs = [
+            rng.choice([0, 1, 1, 2, 3, 2 ** rng.randint(0, 20)]) for _ in range(n)
+        ]
+        if sum(1 for f in freqs if f) < 2:
+            continue
+        lengths = W._limited_lengths(freqs, 15)
+        syms = [s for s, f in enumerate(freqs) if f > 0]
+        assert all(1 <= lengths[s] <= 15 for s in syms), trial
+        assert sum(1 << (15 - lengths[s]) for s in syms) == 1 << 15, trial
+    # geometric skew = the depth>15 clamp reproducer class
+    freqs = [2**i for i in range(30)]
+    lengths = W._limited_lengths(freqs, 15)
+    assert sum(1 << (15 - l) for l in lengths if l) == 1 << 15
+
+
+def test_decode_rejects_truncated_chunk():
+    """ADVICE r9: a size-corrupted container must raise the codec's
+    documented ValueError, not IndexError from deep inside BitReader."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(W.webp_encode(img))
+    # corrupt the VP8L chunk size upward so the payload overruns the buffer
+    pos = data.index(b"VP8L")
+    data[pos + 4 : pos + 8] = (2**24).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="truncated WebP chunk"):
+        W.webp_decode(bytes(data))
+    # plain truncation of the container body
+    with pytest.raises(ValueError):
+        W.webp_decode(bytes(W.webp_encode(img))[:-5])
