@@ -802,6 +802,7 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs] or sorted(qs)[:5]
 
+    from sdg_data_catalog_spark.queries import scale_ops as _sops
     from sdg_data_catalog_spark.queries.scale_ops import (
         _ensure_bucketed_tables,
         _ensure_date_clustered,
@@ -828,6 +829,17 @@ def main() -> None:
         }
         assert bucketed_layout_on_disk(tier_dir), f"bucketed layout missing after ensure: {tier_dir}"
         assert date_clustered_layout_on_disk(tier_dir), f"date-clustered layout missing after ensure: {tier_dir}"
+        # Measured route gate (r9 verdict): headline twin routing follows a
+        # persisted per-tier A/B, probed here — outside every timed window —
+        # and paid once per tier ever. If the budget is too tight to probe,
+        # routes stay absent and the headlines run their ad-hoc plans (safe).
+        t0 = time.perf_counter()
+        already_probed = os.path.isfile(_sops._routes_path(tier_dir))
+        if already_probed or _remaining() > 300:
+            info["routes"] = _sops.ensure_route_probes(spark, tier_dir)
+            info["route_probe_sec"] = round(time.perf_counter() - t0, 3)
+        else:
+            info["routes"] = "skipped: budget"
         return info
 
     layout_info = {"sf0": _layout(sf_dir)}

@@ -195,3 +195,91 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("phash").alias("n_pairs"),
     )
     return census.unionByName(n_hashes).orderBy("hamming")
+
+
+def _phash_constants_sql() -> str:
+    """VALUES rows mapping doc_id % 64 → the signed-bigint dHash of that
+    key's synthetic pattern, computed at import from the SAME reference
+    functions (synthetic_image + dhash_image) the workers call. The oracle
+    therefore independently checks everything the driver CAN'T see into:
+    the PNG encode→decode roundtrip, the signed-int64 conversion, the
+    band explode, the pigeonhole equi-join, and the XOR/popcount verify —
+    the distributed machinery, not the hash math (which tests/test_phash.py
+    pins brute-force)."""
+    from sdg_data_catalog_spark.operators.multimodal import synthetic_image
+    from sdg_data_catalog_spark.operators.phash import dhash_image
+
+    rows = []
+    for k in range(64):
+        h = dhash_image(synthetic_image(k, 24))
+        rows.append((k, h - (1 << 64) if h >= 1 << 63 else h))
+    return ", ".join(f"({k}, {v})" for k, v in rows)
+
+
+@register(
+    "mm_phash_candidates",
+    oracle=f"""
+    WITH pv(k, ph) AS (VALUES {_phash_constants_sql()}),
+    h AS (
+      SELECT d.doc_id AS media_id, pv.ph
+      FROM documents d JOIN pv ON pv.k = d.doc_id % 64
+    ),
+    bands AS (
+      SELECT media_id, ph, t.b AS band_idx,
+             (ph >> (t.b * 16)) & 65535 AS band_val
+      FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+                      a.ph AS h1, b.ph AS h2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.media_id < b.media_id
+    ),
+    pairs AS (
+      SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+      FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+    ),
+    sym AS (
+      SELECT id1 AS media_id, hamming FROM pairs
+      UNION ALL
+      SELECT id2 AS media_id, hamming FROM pairs
+    )
+    SELECT media_id,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup
+    FROM sym GROUP BY media_id ORDER BY media_id
+    """,
+)
+def mm_phash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of mm_phash_neardup (r9 verdict #7): the full
+    per-image near-dup partner census over REAL decoded pixels, checked
+    end-to-end against SQL. The Spark path renders each doc's synthetic
+    PNG, decodes it back, dHashes inside Arrow batches, band-joins
+    (pigeonhole, never all-pairs), and popcount-verifies; the DuckDB
+    oracle joins a 64-row constant table of reference dHashes (see
+    _phash_constants_sql) and replays the SAME band/verify relational
+    algebra in SQL — any divergence in codec roundtrip, signedness,
+    banding, join, dedup, or popcount flips the hash. Arithmetic-vs-
+    logical shift is immaterial: band values mask to the low 16 bits,
+    identical under both shifts for every shift ≤ 48. Output is per-image
+    (not per-pair) so rows grow linearly with the corpus while still
+    pinning the pair structure."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = MM.as_png_media(docs, key_mod=64)
+    hashed = PH.phash_media(media).localCheckpoint(eager=False)
+    pairs = PH.neardup_pairs(hashed)
+    sym = pairs.select(F.col("id1").alias("media_id"), "hamming").unionAll(
+        pairs.select(F.col("id2").alias("media_id"), "hamming")
+    )
+    return (
+        sym.groupBy("media_id")
+        .agg(
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.count(F.lit(1)).alias("n_neardup"),
+        )
+        .orderBy("media_id")
+    )

@@ -195,25 +195,74 @@ def test_q5_bucketed_join_no_exchange(spark, sf_dir):
     assert len(shuffles) == 1, shuffles
 
 
-def test_headline_q5_q18_delegate_to_bucketed_layout(spark, sf_dir):
-    """Layout-aware headline routing: once the 32-bucket orderkey layout
-    exists on disk, q5_revenue_by_nation / q18_large_orders must read the
-    bucketed tables (the deployment plan), while the *_adhoc twins keep
-    reading the raw parquet — both registered under the same oracle."""
-    from sdg_data_catalog_spark.queries.scale_ops import (
-        bucketed_layout_on_disk,
-        join_bucketed,
-    )
+def test_headline_routing_follows_measured_routes(spark, sf_dir):
+    """Measured-route headline routing (r9 verdict: the layout-exists gate
+    regressed q3 2x at sf0.1): each headline must read the layout its
+    tier's persisted A/B probe recorded as the winner, and the *_adhoc
+    twins must always read the raw parquet — all registered under the
+    same oracles."""
+    from sdg_data_catalog_spark.queries import scale_ops
 
-    join_bucketed(spark, sf_dir)  # pay the ingest-time layout once
-    assert bucketed_layout_on_disk(sf_dir)
+    routes = scale_ops.ensure_route_probes(spark, sf_dir, reps=1)
     qs = all_queries()
-    for name in ("q5_revenue_by_nation", "q18_large_orders"):
+    markers = {
+        "q5": ("q5_revenue_by_nation", "q5_bucketed", "li_bkt_"),
+        "q18": ("q18_large_orders", "q18_bucketed", "li_bkt_"),
+        "q3": ("q3_shipping_priority", "q3_clustered", "li_sd_data"),
+        "q6": ("q6_forecast_revenue", "q6_clustered", "li_sd_data"),
+    }
+    for key, (headline, twin, marker) in markers.items():
+        assert routes[key]["winner"] in routes[key]["sec"], key
+        plan = _formatted_plan(qs[headline](spark, sf_dir))
+        if routes[key]["winner"] == twin:
+            assert marker in plan, (key, "expected twin layout in plan")
+        else:
+            assert marker not in plan, (key, "expected ad-hoc plan")
+    for name in ("q5_adhoc", "q18_adhoc", "q3_adhoc", "q6_adhoc"):
         plan = _formatted_plan(qs[name](spark, sf_dir))
-        assert "li_bkt_" in plan, name
-    for name in ("q5_adhoc", "q18_adhoc"):
-        plan = _formatted_plan(qs[name](spark, sf_dir))
-        assert "li_bkt_" not in plan, name
+        assert "li_bkt_" not in plan and "li_sd_data" not in plan, name
+
+
+def test_route_choice_unprobed_and_stale_layout_fall_back_to_adhoc(tmp_path):
+    """An unprobed tier returns None (headlines then run ad-hoc), and a
+    routes file whose twin layout was cleaned from disk degrades to the
+    ad-hoc plan instead of crashing on a missing path."""
+    import json
+    import os
+
+    from sdg_data_catalog_spark.queries import scale_ops
+
+    assert scale_ops.route_choice(str(tmp_path / "sf_unknown"), "q3") is None
+    # fake a probed tier whose clustered layout no longer exists
+    fake_sf = str(tmp_path / "sf_fake")
+    os.makedirs(fake_sf)
+    routes_path = scale_ops._routes_path(fake_sf)
+    os.makedirs(os.path.dirname(routes_path), exist_ok=True)
+    with open(routes_path, "w") as fh:
+        json.dump(
+            {"q3": {"winner": "q3_clustered", "sec": {}, "reps": 1}}, fh
+        )
+    try:
+        assert scale_ops.route_choice(fake_sf, "q3") == "q3_adhoc"
+    finally:
+        os.remove(routes_path)
+
+
+def test_q3_q6_clustered_scan_the_date_clustered_layout(spark, sf_dir):
+    """The clustered twins must actually read the range-clustered copies
+    (li_sd_data / o_od_data), and their files must carry disjoint date
+    ranges so footer min/max skipping works — the property the layout
+    exists for."""
+    from sdg_data_catalog_spark.queries import scale_ops
+
+    q3 = scale_ops._q3_clustered_impl(spark, sf_dir)
+    plan3 = _formatted_plan(q3)
+    assert "li_sd_data" in plan3 and "o_od_data" in plan3
+    plan6 = _formatted_plan(scale_ops._q6_clustered_impl(spark, sf_dir))
+    assert "li_sd_data" in plan6
+    # pushdown must survive the re-read of the clustered copy
+    assert "PushedFilters: [" in plan6
+    assert "l_shipdate" in plan6.split("PushedFilters")[1][:200]
 
 
 def test_jdbc_scan_pushdown_and_partitioning(spark, sf_dir):
