@@ -742,15 +742,20 @@ def _ensure_sf10() -> str | None:
 
 def _ensure_sf100() -> str | None:
     """The sf100 spot tier (1000× sf0.1: ~600 M lineitem rows, ~15 GB
-    parquet) — OPT-IN (SPARK_GRAFT_SF100=1) because generation takes
-    minutes and tens of GB of disk; the regular per-round bench must not
-    pay that. Purpose: put real numbers behind the 'survives 100×'
-    extrapolation from sf10 — q1/q5/q6 only, reduced reps, AD-HOC plans
-    (the bucketed/date-clustered layout copies would double the disk
-    cost; the spot tier measures raw-scan economics, recorded as such)."""
-    if os.environ.get("SPARK_GRAFT_SF100", "0") != "1":
+    parquet) — GENERATION is opt-in (SPARK_GRAFT_SF100=1: minutes of CPU
+    and tens of GB of disk the regular per-round bench must not pay), but
+    once the replica exists on disk every bench run measures it (r9
+    verdict #4: the tier was opt-in end-to-end, so no round ever recorded
+    it and the 100× claims stayed extrapolations). Purpose: real numbers
+    behind the 'survives 100×' story — q1/q5/q6 only, reduced reps,
+    AD-HOC plans (the bucketed/date-clustered layout copies would double
+    the disk cost; the spot tier measures raw-scan economics, recorded
+    as such)."""
+    out_dir = os.path.join(_REPO, ".scratch", "sf100")
+    already = os.path.isfile(os.path.join(out_dir, "_COMPLETE"))
+    if not already and os.environ.get("SPARK_GRAFT_SF100", "0") != "1":
         return None
-    return _ensure_replica(1000, os.path.join(_REPO, ".scratch", "sf100"))
+    return _ensure_replica(1000, out_dir)
 
 
 def _fresh_heap_session():
