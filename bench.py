@@ -957,7 +957,50 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["skipped"]["sf10"] = f"error: {str(e).splitlines()[0][:120]}"
 
-    _progress("sf10 done; curation-scale tier start")
+    # sf100 spot tier runs BEFORE the curation tail (r9: it sat last, so
+    # the _remaining() gate never let it record — the whole reason no round
+    # has an sf100 section). Once the replica exists, the spot costs only
+    # the measurement (~3-5 min); generation still needs the bigger budget.
+    _progress("sf10 done; sf100 spot tier start")
+    sf100_ready = os.path.isfile(
+        os.path.join(_REPO, ".scratch", "sf100", "_COMPLETE")
+    )
+    sf100_dir = _ensure_sf100() if _remaining() > (420 if sf100_ready else 900) else None
+    if not sf100_dir:
+        result["skipped"]["sf100"] = (
+            "budget"
+            if _remaining() <= (420 if sf100_ready else 900)
+            else "replica absent (generation is opt-in: SPARK_GRAFT_SF100=1)"
+        )
+    if sf100_dir:
+        # Spot tier: ad-hoc plans only (no layout copies — disk economics
+        # documented in _ensure_sf100), q1/q5/q6, min-of-2 with per-query
+        # GC. The point is the RATIO at 1000×, not absolute polish.
+        spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
+        host_health["sf100"] = _host_health_probe(
+            "sf100", sf100_dir, tables=SF1_TABLES
+        )
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+        try:
+            _, _, sf100_timings, sf100_reps = _bench_spark(
+                qs, spot, spark, sf100_dir, reps=2, per_query_gc=True
+            )
+            sf100_base = _duckdb_baseline(spot, sf100_dir, tables=SF1_TABLES)
+            result["sf100"] = {
+                "queries": sf100_timings,
+                "value": round(sum(sf100_timings.values()), 4),
+                "reps": sf100_reps,
+                "baseline_duckdb": sf100_base,
+                "baseline_total": round(sum(sf100_base.values()), 4),
+                "note": "ad-hoc plans, no layout copies (disk); replica-gated tier",
+            }
+        except Exception as e:  # noqa: BLE001
+            result["skipped"]["sf100"] = f"error: {str(e).splitlines()[0][:120]}"
+
+    _progress("sf100 done; curation-scale tier start")
     if sf10_dir and _remaining() < 300:
         result["skipped"]["curation_scale"] = "budget"
     elif sf10_dir and _ensure_replica_extra(100, sf10_dir):
@@ -995,33 +1038,6 @@ def main() -> None:
             "embeddings": "200k rotated",
             "events": "10M",
             "queries": cur,
-        }
-
-    _progress("curation done; sf100 spot tier (opt-in) start")
-    sf100_dir = _ensure_sf100() if _remaining() > 900 else None
-    if sf100_dir:
-        # Spot tier: ad-hoc plans only (no layout copies — disk economics
-        # documented in _ensure_sf100), q1/q5/q6, min-of-2 with per-query
-        # GC. The point is the RATIO at 1000×, not absolute polish.
-        spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
-        host_health["sf100"] = _host_health_probe(
-            "sf100", sf100_dir, tables=SF1_TABLES
-        )
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
-        _, _, sf100_timings, sf100_reps = _bench_spark(
-            qs, spot, spark, sf100_dir, reps=2, per_query_gc=True
-        )
-        sf100_base = _duckdb_baseline(spot, sf100_dir, tables=SF1_TABLES)
-        result["sf100"] = {
-            "queries": sf100_timings,
-            "value": round(sum(sf100_timings.values()), 4),
-            "reps": sf100_reps,
-            "baseline_duckdb": sf100_base,
-            "baseline_total": round(sum(sf100_base.values()), 4),
-            "note": "ad-hoc plans, no layout copies (disk); opt-in tier",
         }
 
     # Full detail goes to a file; stdout gets ONE compact line (the driver's

@@ -341,3 +341,103 @@ def synthetic_image(doc_id: int, side: int = 24):
     g = (y * 255 // max(side - 1, 1) + doc_id * 11) % 256
     b = ((x + y) * 255 // max(2 * side - 2, 1) + doc_id * 53) % 256
     return np.stack([r, g, b], axis=2).astype("uint8")
+
+
+def synthetic_samples(doc_id: int):
+    """The deterministic int16 PCM test signal for doc_id (shared by the
+    Spark path, the DuckDB oracle's closed form, and the pytest twin):
+    n = 64 + doc_id % 64 samples, sample_i = ((doc_id*7 + i*13) % 251) - 125.
+    Pure integer math, so every downstream stat (sum of squares, peak) is
+    EXACT on both engines."""
+    import numpy as np
+
+    n = 64 + doc_id % 64
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 7 + i * 13) % 251 - 125).astype(np.int16)
+
+
+def as_wav_media(documents: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """documents → media table whose payloads are REAL RIFF/WAVE PCM16
+    bytes (operators/audiocodec.py), built deterministically from doc_id.
+    The audio analog of as_png_media: exercises binary container build +
+    parse end-to-end with zero external codecs."""
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_data_catalog_spark.operators.audiocodec import wav_encode
+
+        for pdf in batches:
+            payloads = [
+                wav_encode(synthetic_samples(int(did)), sample_rate)
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from pyspark.sql.types import BinaryType
+
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return documents.select("doc_id").mapInPandas(render, out_schema)
+
+
+def wav_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """media(media_id, payload) → exact integer PCM stats via real WAV
+    parsing in Arrow batches: (media_id, sample_rate, n_samples, sum_sq,
+    peak_abs). All four stats are exact integers — no float leaves the
+    worker, so a closed-form oracle can reproduce them bit-for-bit."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sdg_data_catalog_spark.operators.audiocodec import wav_decode
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_rate", "n_samples", "sum_sq", "peak_abs")}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, rate = wav_decode(bytes(payload))
+                s = samples.astype(np.int64)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s))
+                rows["sum_sq"].append(int((s * s).sum()))
+                rows["peak_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", IntegerType()),
+            StructField("sum_sq", LongType()),
+            StructField("peak_abs", IntegerType()),
+        ]
+    )
+    return media.select("media_id", payload_col).mapInPandas(stats, schema)
+
+
+def wav_downsample(media: DataFrame, factor: int = 2, payload_col: str = "payload") -> DataFrame:
+    """media(media_id, payload) → media with every payload decoded,
+    decimated by `factor` (keep samples 0, factor, 2·factor, …), and
+    re-encoded at rate/factor — the transform-and-reencode audio rung
+    (the image analog is resize_media). Real bytes in, real bytes out,
+    inside Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sdg_data_catalog_spark.operators.audiocodec import (
+            wav_decode,
+            wav_encode,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, rate = wav_decode(bytes(payload))
+                out.append((mid, wav_encode(samples[::factor], rate // factor)))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return media.select("media_id", payload_col).mapInPandas(run, schema)

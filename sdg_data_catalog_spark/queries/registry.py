@@ -101,6 +101,8 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round8_batch28",
     "sdg_data_catalog_spark.queries.round9_batch1",
     "sdg_data_catalog_spark.queries.round9_batch2",
+    "sdg_data_catalog_spark.queries.round10_batch1",
+    "sdg_data_catalog_spark.queries.round10_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -118,11 +120,10 @@ _loaded = False
 # names with no driver CORRECTNESS row in the r01-r09 union (round-8
 # batch-18..28 stragglers, the round-9 ten, and the four layout twins; all
 # oracle-verified at 3 SFs before staging and green in the local contract
-# suite), followed by the four headline routers, re-certified because
-# round 10 moved them from layout-existence routing to the measured route
-# gate (scale_ops.ensure_route_probes) and rank_bradley_terry's divisor
-# moved to exact integer division. After this window rotates, every
-# registered name holds at least one official driver row. Everything
+# suite), then the q3 router re-certified under the round-10 measured
+# route gate (rank_bradley_terry also moved to exact integer division),
+# then the round-10 batch-1 registrations. After this window rotates,
+# every registered name holds at least one official driver row. Everything
 # unlisted — including the entire round-9 window head, now officially
 # driver-green under its own IDs — follows in registration order.
 _PRIORITY = (
@@ -170,12 +171,16 @@ _PRIORITY = (
     "win_bollinger_bands",
     "win_drawdown_max",
     "win_rolling_corr",
+    # q3 headline router: re-certified because round 10 moved routing to
+    # the measured gate (at driver scale it resolves to the ad-hoc plan;
+    # the other three routers likewise resolve to their certified *_adhoc
+    # twins above, so their slots go to the new registrations instead)
     "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q5_revenue_by_nation",
-    "q18_large_orders",
-    # round-10 registrations + this round's perf-work targets
+    # round-10 registrations + this round's perf-work target
     "mm_phash_candidates",
+    "mm_wav_stats",
+    "plan_pack_sequences",
+    "dedup_substring_spans",
     "agg_rollup",
 )
 
