@@ -76,8 +76,9 @@ def _elo_epoch_sql(e: int, prev: str, nxt: str) -> str:
     FLOOR(1e9·…) integer images scaled by exact counts."""
     return f"""
     d{e} AS (
-      SELECT model, CAST(SUM(t) AS BIGINT) AS delta FROM (
-        SELECT ps.a AS model,
+      SELECT model, CAST(SUM(t) AS BIGINT) AS delta,
+             CAST(SUM(g) AS BIGINT) AS games FROM (
+        SELECT ps.a AS model, ps.n AS g,
                ps.wa * FLOOR(1e9 * (1 - 1 / (1 + power(10.0,
                         (rb.r - ra.r) / 400))))
                + (ps.n - ps.wa) * FLOOR(-1e9 * (1 / (1 + power(10.0,
@@ -86,7 +87,7 @@ def _elo_epoch_sql(e: int, prev: str, nxt: str) -> str:
                 JOIN {prev} rb ON rb.model = ps.b
         WHERE ps.epoch = {e}
         UNION ALL
-        SELECT ps.b AS model,
+        SELECT ps.b AS model, ps.n AS g,
                (ps.n - ps.wa) * FLOOR(1e9 * (1 - 1 / (1 + power(10.0,
                         (ra.r - rb.r) / 400))))
                + ps.wa * FLOOR(-1e9 * (1 / (1 + power(10.0,
@@ -97,7 +98,10 @@ def _elo_epoch_sql(e: int, prev: str, nxt: str) -> str:
       ) GROUP BY model
     ),
     {nxt} AS (
-      SELECT p.model, p.r + {_ELO_K} * COALESCE(d{e}.delta, 0) / 1e9 AS r
+      SELECT p.model,
+             p.r + CASE WHEN COALESCE(d{e}.games, 0) > 0
+                        THEN {_ELO_K} * d{e}.delta / (1e9 * d{e}.games)
+                        ELSE 0 END AS r
       FROM {prev} p LEFT JOIN d{e} ON d{e}.model = p.model
     )
 """
@@ -127,8 +131,10 @@ def eval_elo_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three unrolled epoch folds run on that bounded table (broadcast
     joins against the 6-row rating relation). Win/loss expected-score
     terms enter as FLOOR(1e9·…) integer images multiplied by exact
-    counts, so each epoch's rating is a deterministic function of exact
-    integers on both engines. Sequential (per-match) Elo is
+    counts, and the update is the MEAN per-game surplus (K·Σ/games) —
+    the batched form that cannot overshoot when an epoch holds thousands
+    of matches — so each epoch's rating is a deterministic function of
+    exact integers on both engines. Sequential (per-match) Elo is
     order-dependent and unparallelizable; batched Elo is what a
     distributed leaderboard actually recomputes."""
     ev = table(spark, sf_dir, "events").select("event_id")
@@ -185,16 +191,29 @@ def eval_elo_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wa"
         ) * F.floor(-1e9 * e_b)
         deltas = (
-            joined.select(F.col("a").alias("model"), term_a.alias("t"))
-            .unionAll(joined.select(F.col("b").alias("model"), term_b.alias("t")))
+            joined.select(
+                F.col("a").alias("model"), term_a.alias("t"), F.col("n").alias("g")
+            )
+            .unionAll(
+                joined.select(
+                    F.col("b").alias("model"), term_b.alias("t"), F.col("n").alias("g")
+                )
+            )
             .groupBy("model")
-            .agg(F.sum("t").cast("bigint").alias("delta"))
+            .agg(
+                F.sum("t").cast("bigint").alias("delta"),
+                F.sum("g").cast("bigint").alias("games"),
+            )
         )
         ratings = ratings.join(F.broadcast(deltas), "model", "left").select(
             "model",
-            (F.col("r") + _ELO_K * F.coalesce(F.col("delta"), F.lit(0)) / 1e9).alias(
-                "r"
-            ),
+            (
+                F.col("r")
+                + F.when(
+                    F.coalesce(F.col("games"), F.lit(0)) > 0,
+                    _ELO_K * F.col("delta") / (1e9 * F.col("games")),
+                ).otherwise(F.lit(0.0))
+            ).alias("r"),
         )
     final = ratings.select("model", F.floor(1e6 * F.col("r")).cast("bigint").alias("rating_x1e6"))
     o = final.select(
