@@ -224,6 +224,19 @@ EXTENDED = (
     "agg_kendall_w",
     "win_drawdown_max",
     "agg_cohort_half_life",
+    # round-10 additions (≤3.0 s steady at sf0.1, measured;
+    # dedup_substring_spans 3.7 s and mm_phash_candidates 3.5 s are
+    # tracked outside the tier with the other heavy ladder ops)
+    "plan_pack_sequences",
+    "mm_wav_stats",
+    "mm_wav_downsample",
+    "agg_chao1_richness",
+    "agg_good_turing",
+    "sim_maxsim_late_interaction",
+    "eval_bleu_pairs",
+    "curation_submodular_facility",
+    "rank_plackett_luce",
+    "eval_elo_batched",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -214,7 +214,7 @@ def eval_elo_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _ELO_K * F.col("delta") / (1e9 * F.col("games")),
                 ).otherwise(F.lit(0.0))
             ).alias("r"),
-        )
+        ).localCheckpoint()  # 6-row lineage cut per epoch (see rank_plackett_luce)
     final = ratings.select("model", F.floor(1e6 * F.col("r")).cast("bigint").alias("rating_x1e6"))
     o = final.select(
         F.col("model").alias("o_model"), F.col("rating_x1e6").alias("o_rating")

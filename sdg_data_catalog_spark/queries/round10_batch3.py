@@ -50,9 +50,10 @@ def _md5_mod_sql(expr: str, mod: int) -> str:
 # Each event yields a 3-way ranking among models (g1, g2, g3) (distinct
 # triples only). The observed order ranks by an md5 draw plus a strength
 # bias (higher model id stronger), so the fitted PL strengths have ground
-# truth. Scores are exact integers (draw%1000 + 601*model); equal totals
-# between two models in one event are broken by the (s DESC, m) ordering,
-# deterministic on both engines.
+# truth. Scores are exact integers s = draw%1000 + 601*model, compared
+# through the unique key k = s*8 + (5-model) — (s DESC, model ASC) order
+# with no possible key collision, so the 3-way sort is in-row CASE math
+# (no per-event window), deterministic on both engines.
 _PL_RANK_SQL = f"""
     ev AS (
       SELECT event_id,
@@ -68,33 +69,25 @@ _PL_RANK_SQL = f"""
             <> (event_id // {_N_MODELS * _N_MODELS}) % {_N_MODELS}
     ),
     scored AS (
-      SELECT event_id, m, s FROM (
-        SELECT event_id, g1 AS m,
-               {_md5_mod_sql(f"CAST(event_id AS VARCHAR) || ':pl:' || CAST(g1 AS VARCHAR)", 1000)}
-               + 300 * g1 * 2 + g1 AS s
-        FROM ev
-        UNION ALL
-        SELECT event_id, g2,
-               {_md5_mod_sql(f"CAST(event_id AS VARCHAR) || ':pl:' || CAST(g2 AS VARCHAR)", 1000)}
-               + 300 * g2 * 2 + g2
-        FROM ev
-        UNION ALL
-        SELECT event_id, g3,
-               {_md5_mod_sql(f"CAST(event_id AS VARCHAR) || ':pl:' || CAST(g3 AS VARCHAR)", 1000)}
-               + 300 * g3 * 2 + g3
-        FROM ev
-      )
+      SELECT event_id, g1, g2, g3,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':pl:' || CAST(g1 AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 + 601 * g1) * 8 + (5 - g1) AS k1,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':pl:' || CAST(g2 AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 + 601 * g2) * 8 + (5 - g2) AS k2,
+             (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':pl:' || CAST(g3 AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 + 601 * g3) * 8 + (5 - g3) AS k3
+      FROM ev
     ),
     ranked AS (
-      SELECT event_id,
-             MAX(CASE WHEN rn = 1 THEN m END) AS first,
-             MAX(CASE WHEN rn = 2 THEN m END) AS second,
-             MAX(CASE WHEN rn = 3 THEN m END) AS third
-      FROM (SELECT event_id, m,
-                   ROW_NUMBER() OVER (PARTITION BY event_id
-                                      ORDER BY s DESC, m) AS rn
-            FROM scored)
-      GROUP BY event_id
+      -- in-row 3-way sort on unique integer keys (key%8 = 5-model, so no
+      -- two of the three keys can collide): no per-event window, one pass
+      SELECT CASE WHEN k1 >= k2 AND k1 >= k3 THEN g1
+                  WHEN k2 >= k3 THEN g2 ELSE g3 END AS first,
+             CASE WHEN k1 <= k2 AND k1 <= k3 THEN g1
+                  WHEN k2 <= k3 THEN g2 ELSE g3 END AS third,
+             g1 + g2 + g3
+               - (CASE WHEN k1 >= k2 AND k1 >= k3 THEN g1
+                       WHEN k2 >= k3 THEN g2 ELSE g3 END)
+               - (CASE WHEN k1 <= k2 AND k1 <= k3 THEN g1
+                       WHEN k2 <= k3 THEN g2 ELSE g3 END) AS second
+      FROM scored
     ),
     triples AS (
       SELECT first, second, third, CAST(COUNT(*) AS BIGINT) AS n
@@ -160,8 +153,10 @@ def _pl_iter_sql(it: int, prev: str, nxt: str) -> str:
 def rank_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plackett-Luce strengths from 3-way rankings via 3 unrolled
     Hunter-2004 MM rounds. The corpus-sized work is ONE scan that
-    derives each event's ranking (md5 draw + strength bias → exact
-    integer scores, slot-offset tie-break) and aggregates to the
+    derives each event's ranking IN-ROW (md5 draw + strength bias →
+    unique integer sort keys; a 3-way CASE sort, not a per-event window —
+    a million 3-row window partitions measured 120 s at sf0.1, the
+    in-row form ~2 s) and aggregates to the
     ≤ 6·5·4-row ordered-triple census; every MM round then joins that
     bounded table against the 6-row strength relation (broadcast). Each
     denominator term enters as n·FLOOR(1e9/Σγ) — an exact integer — so
@@ -182,8 +177,8 @@ def rank_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def draw(m):
-        return (
+    def key(m):
+        draw = (
             F.conv(
                 F.substring(
                     F.md5(
@@ -200,29 +195,35 @@ def rank_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10,
             ).cast("bigint")
             % 1000
-            + 300 * m * 2
-            + m
         )
+        return (draw + 601 * m) * 8 + (5 - m)
 
-    scored = None
-    for slot in ("g1", "g2", "g3"):
-        part = ev3.select(
-            "event_id", F.col(slot).alias("m"), draw(F.col(slot)).alias("s")
-        )
-        scored = part if scored is None else scored.unionAll(part)
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("event_id").orderBy(F.col("s").desc(), "m")
+    scored = ev3.select(
+        "g1",
+        "g2",
+        "g3",
+        key(F.col("g1")).alias("k1"),
+        key(F.col("g2")).alias("k2"),
+        key(F.col("g3")).alias("k3"),
     )
-    ranked = (
-        scored.withColumn("rn", rn)
-        .groupBy("event_id")
-        .agg(
-            F.max(F.when(F.col("rn") == 1, F.col("m"))).alias("first"),
-            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("second"),
-            F.max(F.when(F.col("rn") == 3, F.col("m"))).alias("third"),
+    first = (
+        F.when(
+            (F.col("k1") >= F.col("k2")) & (F.col("k1") >= F.col("k3")), F.col("g1")
         )
+        .when(F.col("k2") >= F.col("k3"), F.col("g2"))
+        .otherwise(F.col("g3"))
+    )
+    third = (
+        F.when(
+            (F.col("k1") <= F.col("k2")) & (F.col("k1") <= F.col("k3")), F.col("g1")
+        )
+        .when(F.col("k2") <= F.col("k3"), F.col("g2"))
+        .otherwise(F.col("g3"))
+    )
+    ranked = scored.select(
+        first.alias("first"),
+        third.alias("third"),
+        (F.col("g1") + F.col("g2") + F.col("g3") - first - third).alias("second"),
     )
     triples = (
         ranked.groupBy("first", "second", "third")
@@ -273,14 +274,21 @@ def rank_plackett_luce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("bigint").alias("den"),
             F.sum("w").cast("bigint").alias("wins"),
         )
-        g = g.join(F.broadcast(d), "model", "left").select(
-            "model",
-            F.when(
-                F.coalesce(F.col("den"), F.lit(0)) > 0,
-                F.col("wins").cast("double") * 1e9 / F.col("den"),
+        g = (
+            g.join(F.broadcast(d), "model", "left")
+            .select(
+                "model",
+                F.when(
+                    F.coalesce(F.col("den"), F.lit(0)) > 0,
+                    F.col("wins").cast("double") * 1e9 / F.col("den"),
+                )
+                .otherwise(F.col("g"))
+                .alias("g"),
             )
-            .otherwise(F.col("g"))
-            .alias("g"),
+            # 6-row lineage cut: without it each MM round's plan embeds the
+            # previous rounds' full DAG and Catalyst analysis goes
+            # super-linear (measured ~120 s for 3 rounds even at sf0.001)
+            .localCheckpoint()
         )
     final = g.select(
         "model", F.floor(1e6 * F.col("g")).cast("bigint").alias("strength_x1e6")
