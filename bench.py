@@ -237,6 +237,8 @@ EXTENDED = (
     "curation_submodular_facility",
     "rank_plackett_luce",
     "eval_elo_batched",
+    "join_editdistance_blocked",
+    "agg_zipf_fit",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -272,3 +272,66 @@ def test_bleu_pairs_twin(spark):
                 )
             )
             assert r["bleu2_x1e6"] == expect
+
+
+def test_editdistance_blocked_finds_all_ed1_pairs(spark):
+    """Brute-force completeness: the deletion-neighborhood join must find
+    EVERY vocabulary pair at edit distance 1 (the pigeonhole-style
+    guarantee of FastSS blocking), and nothing else."""
+
+    def ed1(u, v):
+        if abs(len(u) - len(v)) > 1 or u == v:
+            return False
+        if len(u) == len(v):
+            return sum(a != b for a, b in zip(u, v)) == 1
+        s, t = (u, v) if len(u) < len(v) else (v, u)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1 :] == s:
+                return True
+        return False
+
+    vocab = sorted({w for _d, t, _s in _docs() for w in t.split(" ")})
+    expect = {
+        (u, v)
+        for i, u in enumerate(vocab)
+        for v in vocab[i + 1 :]
+        if ed1(u, v)
+    }
+    rows = all_queries()["join_editdistance_blocked"](spark, SF).collect()
+    got = {(r["word_a"], r["word_b"]) for r in rows}
+    assert got == expect
+    assert all(r["dist"] == 1 for r in rows)
+
+
+def test_zipf_fit_twin(spark):
+    """OLS replay over the floored-log rank/frequency images."""
+    import math
+
+    wc = Counter()
+    for lang, text in _docs("lang, text"):
+        for w in text.split(" "):
+            wc[(lang, w)] += 1
+    by_lang = defaultdict(list)
+    for (lang, w), c in wc.items():
+        by_lang[lang].append((c, w))
+    rows = {
+        r["lang"]: (r["n"], r["slope_x1e6"], r["intercept_x1e6"])
+        for r in all_queries()["agg_zipf_fit"](spark, SF).collect()
+    }
+    for lang, counts in by_lang.items():
+        top = sorted(counts, key=lambda t: (-t[0], t[1]))[:30]
+        pts = [
+            (
+                math.floor(1e6 * math.log(r + 1)),
+                math.floor(1e6 * math.log(c)),
+            )
+            for r, (c, _w) in enumerate(top)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = math.floor(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+        intercept = math.floor((sy - slope * sx / 1e6) / n)
+        assert rows[lang] == (n, slope, intercept), lang
