@@ -78,7 +78,15 @@ def join_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
-    keys = vocab.select("w", F.col("w").alias("k")).unionAll(deletions).distinct()
+    keys = (
+        vocab.select("w", F.col("w").alias("k"))
+        .unionAll(deletions)
+        .distinct()
+        # vocabulary-sized (Σ|w|+1 keys) — checkpoint once so the self-join
+        # does not re-expand the corpus scan on both sides (the registry
+        # scan gate allows ≤2 scans per corpus table)
+        .localCheckpoint(eager=False)
+    )
     a = keys.select(F.col("w").alias("word_a"), "k")
     b = keys.select(F.col("w").alias("word_b"), "k")
     cand = (

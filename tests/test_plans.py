@@ -245,7 +245,9 @@ def test_route_choice_unprobed_and_stale_layout_fall_back_to_adhoc(tmp_path):
     try:
         assert scale_ops.route_choice(fake_sf, "q3") == "q3_adhoc"
     finally:
-        os.remove(routes_path)
+        import shutil
+
+        shutil.rmtree(os.path.dirname(routes_path), ignore_errors=True)
 
 
 def test_q3_q6_clustered_scan_the_date_clustered_layout(spark, sf_dir):
