@@ -415,6 +415,66 @@ def wav_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.select("media_id", payload_col).mapInPandas(stats, schema)
 
 
+def wav_vad(
+    media: DataFrame,
+    window: int = 32,
+    threshold: int = 160_000,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """media(media_id, payload) → energy voice-activity census per clip:
+    decode the WAV payload, split into `window`-sample frames (last frame
+    may be partial), flag a frame active when its exact integer energy
+    Σs² ≥ threshold, and report (n_windows, n_active, max_run,
+    n_segments) where runs are maximal streaks of consecutive active
+    frames. All outputs are exact small integers, so a closed-form SQL
+    oracle can replay the windowing and gaps-and-islands arithmetic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from sdg_data_catalog_spark.operators.audiocodec import wav_decode
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "n_windows", "n_active", "max_run", "n_segments")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                samples, _rate = wav_decode(bytes(payload))
+                s = samples.astype(np.int64)
+                n_windows = (len(s) + window - 1) // window
+                active = []
+                for w in range(n_windows):
+                    chunk = s[w * window : (w + 1) * window]
+                    active.append(int((chunk * chunk).sum()) >= threshold)
+                max_run = n_segments = cur = 0
+                for a in active:
+                    if a:
+                        cur += 1
+                        if cur == 1:
+                            n_segments += 1
+                        max_run = max(max_run, cur)
+                    else:
+                        cur = 0
+                rows["media_id"].append(mid)
+                rows["n_windows"].append(n_windows)
+                rows["n_active"].append(sum(active))
+                rows["max_run"].append(max_run)
+                rows["n_segments"].append(n_segments)
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_windows", IntegerType()),
+            StructField("n_active", IntegerType()),
+            StructField("max_run", IntegerType()),
+            StructField("n_segments", IntegerType()),
+        ]
+    )
+    return media.select("media_id", payload_col).mapInPandas(run, schema)
+
+
 def wav_downsample(media: DataFrame, factor: int = 2, payload_col: str = "payload") -> DataFrame:
     """media(media_id, payload) → media with every payload decoded,
     decimated by `factor` (keep samples 0, factor, 2·factor, …), and

@@ -68,12 +68,15 @@ def plan_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     document is an ordered prefix sum — the textbook place to reach for a
     single-partition Window, which dies at scale. Instead: (1) per-block
     token totals (block = doc_id div 64 — doc_id is the ingest order);
-    (2) running offsets over the BLOCK table (64× smaller; at real scale
-    this level nests again); (3) within-block prefix sums partitioned by
-    block. A document is 'split' when its [start, end) token interval
+    (2) running offsets over the BLOCK table (64× smaller) via the
+    two-phase ``running_total`` (range shuffle + broadcast offsets — no
+    single-partition window at any level); (3) within-block prefix sums
+    partitioned by block. A document is 'split' when its [start, end) token interval
     crosses a CTX-multiple boundary — those documents lose coherence to
     truncation, and their per-source census is the packing-quality
     metric this plan reports."""
+    from sdg_data_catalog_spark.operators.curation import running_total
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -82,9 +85,10 @@ def plan_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - F.col("doc_id") % _BLOCK).alias("block"),
     )
     block_tot = toks.groupBy("block").agg(F.sum("nt").alias("bt"))
-    w_block = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = block_tot.select(
-        "block", (F.sum("bt").over(w_block) - F.col("bt")).alias("block_off")
+    # block table grows with the corpus (docs/64): its prefix sum goes
+    # through the two-phase running_total, never a bare global window
+    offsets = running_total(block_tot, "block", F.col("bt"), "cum_bt").select(
+        "block", (F.col("cum_bt") - F.col("bt")).alias("block_off")
     )
     w_in = (
         Window.partitionBy("block")
