@@ -106,6 +106,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch3",
     "sdg_data_catalog_spark.queries.round10_batch4",
     "sdg_data_catalog_spark.queries.round10_batch5",
+    "sdg_data_catalog_spark.queries.round10_batch6",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
