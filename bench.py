@@ -239,6 +239,29 @@ EXTENDED = (
     "eval_elo_batched",
     "join_editdistance_blocked",
     "agg_zipf_fit",
+    # round-10 batch-5/6 additions (≤1.7 s steady at sf0.1, measured)
+    "agg_mcc",
+    "eval_rouge_pairs",
+    "dedup_lsh_band_sweep",
+    "mm_audio_vad",
+    "agg_simpson_diversity",
+    "lm_lambda_sweep",
+    "eval_krippendorff_alpha",
+    "agg_hhi_concentration",
+    # round-10 batch-7/8/9 additions (≤2.6 s steady at sf0.1, measured;
+    # curation_lsh_recall_eval 5.1 s stays out — it runs BOTH full pair
+    # pipelines by design and is tracked with the heavy ladder ops)
+    "agg_log_odds_monroe",
+    "ml_naive_bayes",
+    "stream_hopping_topk",
+    "eval_cohens_kappa",
+    "etl_cdc_compact",
+    "sample_neyman_allocation",
+    "dq_freshness_sla",
+    "sim_ann_recall_eval",
+    "graph_adamic_adar",
+    "win_sma_crossover",
+    "mm_tile_contrast",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -107,6 +107,9 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch4",
     "sdg_data_catalog_spark.queries.round10_batch5",
     "sdg_data_catalog_spark.queries.round10_batch6",
+    "sdg_data_catalog_spark.queries.round10_batch7",
+    "sdg_data_catalog_spark.queries.round10_batch8",
+    "sdg_data_catalog_spark.queries.round10_batch9",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
