@@ -262,6 +262,11 @@ EXTENDED = (
     "graph_adamic_adar",
     "win_sma_crossover",
     "mm_tile_contrast",
+    # round-10 batch-10 additions (≤1.0 s steady at sf0.1, measured)
+    "ts_granger_lite",
+    "plan_partition_advisor",
+    "emb_pq_distortion",
+    "curation_filter_overlap",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
