@@ -267,6 +267,11 @@ EXTENDED = (
     "plan_partition_advisor",
     "emb_pq_distortion",
     "curation_filter_overlap",
+    # round-10 batch-11 additions (≤1.6 s steady at sf0.1, measured)
+    "text_keyword_rake",
+    "agg_lorenz_curve",
+    "ts_spectral_peak",
+    "dq_quality_corr_matrix",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
