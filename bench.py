@@ -272,6 +272,10 @@ EXTENDED = (
     "agg_lorenz_curve",
     "ts_spectral_peak",
     "dq_quality_corr_matrix",
+    # round-10 batch-12 additions (≤2.0 s steady at sf0.1, measured)
+    "eval_auc_delong",
+    "text_pmi_pairs",
+    "join_range_band",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

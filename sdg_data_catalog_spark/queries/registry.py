@@ -112,6 +112,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch9",
     "sdg_data_catalog_spark.queries.round10_batch10",
     "sdg_data_catalog_spark.queries.round10_batch11",
+    "sdg_data_catalog_spark.queries.round10_batch12",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
