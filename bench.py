@@ -276,6 +276,11 @@ EXTENDED = (
     "eval_auc_delong",
     "text_pmi_pairs",
     "join_range_band",
+    # round-10 batch-13 additions (≤1.5 s steady at sf0.1, measured)
+    "agg_weibull_fit",
+    "ml_knn_label_eval",
+    "eval_langid_confusion",
+    "win_streak_census",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
