@@ -281,6 +281,10 @@ EXTENDED = (
     "ml_knn_label_eval",
     "eval_langid_confusion",
     "win_streak_census",
+    # round-10 batch-14 additions (≤1.7 s steady at sf0.1, measured)
+    "curation_loo_influence",
+    "agg_power_analysis",
+    "win_rfm_scores",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -114,6 +114,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch11",
     "sdg_data_catalog_spark.queries.round10_batch12",
     "sdg_data_catalog_spark.queries.round10_batch13",
+    "sdg_data_catalog_spark.queries.round10_batch14",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
