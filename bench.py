@@ -285,6 +285,11 @@ EXTENDED = (
     "curation_loo_influence",
     "agg_power_analysis",
     "win_rfm_scores",
+    # round-10 batch-15 additions (≤0.9 s steady at sf0.1, measured)
+    "agg_negbin_overdispersion",
+    "plan_backfill_batches",
+    "mm_wav_silence_trim",
+    "scan_csv_permissive",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
