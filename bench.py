@@ -290,6 +290,10 @@ EXTENDED = (
     "plan_backfill_batches",
     "mm_wav_silence_trim",
     "scan_csv_permissive",
+    # round-10 batch-16 additions (≤1.4 s steady at sf0.1, measured)
+    "dq_referential_orphans",
+    "agg_cohort_ltv_curve",
+    "stream_window_distinct",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
