@@ -202,10 +202,14 @@ def agg_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.floor(F.col("value") * 1e6).cast("bigint").alias("v"),
     )
+    # user-grain; referenced by BOTH the purchase join and cohort_size —
+    # checkpoint so each reference does not re-expand the events scan
+    # (the plan-scan gate caught 3 visible scans without this)
     signup = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t0"))
+        .localCheckpoint(eager=True)
     )
     purchases = (
         signup.join(ev, "user_id")
