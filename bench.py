@@ -294,6 +294,10 @@ EXTENDED = (
     "dq_referential_orphans",
     "agg_cohort_ltv_curve",
     "stream_window_distinct",
+    # round-10 batch-17 additions (≤1.2 s steady at sf0.1, measured)
+    "dq_primary_key_audit",
+    "agg_return_rate_by_brand",
+    "win_ship_latency_percentiles",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
