@@ -298,6 +298,9 @@ EXTENDED = (
     "dq_primary_key_audit",
     "agg_return_rate_by_brand",
     "win_ship_latency_percentiles",
+    # round-10 batch-18 additions (≤0.8 s steady at sf0.1, measured)
+    "agg_crosstab_residuals",
+    "sample_balanced_downsample",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

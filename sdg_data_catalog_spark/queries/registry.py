@@ -118,6 +118,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch15",
     "sdg_data_catalog_spark.queries.round10_batch16",
     "sdg_data_catalog_spark.queries.round10_batch17",
+    "sdg_data_catalog_spark.queries.round10_batch18",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
