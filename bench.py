@@ -301,6 +301,9 @@ EXTENDED = (
     # round-10 batch-18 additions (≤0.8 s steady at sf0.1, measured)
     "agg_crosstab_residuals",
     "sample_balanced_downsample",
+    # round-10 batch-19 additions (≤1.6 s steady at sf0.1, measured)
+    "ts_week_over_week_growth",
+    "curation_budget_by_utility",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×
