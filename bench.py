@@ -304,6 +304,9 @@ EXTENDED = (
     # round-10 batch-19 additions (≤1.6 s steady at sf0.1, measured)
     "ts_week_over_week_growth",
     "curation_budget_by_utility",
+    # round-10 batch-20 additions (≤0.8 s steady at sf0.1, measured)
+    "agg_session_depth_histogram",
+    "text_oov_rate_by_source",
 )
 
 # Curation-scale tier: LLM-pipeline operators measured at the 100×

@@ -120,6 +120,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch17",
     "sdg_data_catalog_spark.queries.round10_batch18",
     "sdg_data_catalog_spark.queries.round10_batch19",
+    "sdg_data_catalog_spark.queries.round10_batch20",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
