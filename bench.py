@@ -578,8 +578,13 @@ def _duckdb_connection(sf_dir, tables):
     return con
 
 
-def _duckdb_baseline(names, sf_dir, tables=None) -> dict[str, float]:
-    """Time the DuckDB oracles on the same parquet (min-of-3, warmed)."""
+def _duckdb_baseline(names, sf_dir, tables=None, reps: int = 3) -> dict[str, float]:
+    """Time the DuckDB oracles on the same parquet (min-of-`reps`, warmed).
+
+    reps=1 at the sf100 tier: the warm+3-timed default costs ~9 min there
+    (win_rownum_topk's oracle fetches 45M rows per run), which would eat
+    the whole tier budget; one warmed run matches the tier's reduced-rep
+    spark side and is recorded as such."""
     try:
         from sdg_data_catalog_spark.catalog import TABLES
 
@@ -591,7 +596,7 @@ def _duckdb_baseline(names, sf_dir, tables=None) -> dict[str, float]:
                 continue
             con.execute(oracles[name]).fetchall()  # warm
             ds = []
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 con.execute(oracles[name]).fetchall()
                 ds.append(time.perf_counter() - t0)
@@ -830,10 +835,12 @@ def _ensure_sf100() -> str | None:
     once the replica exists on disk every bench run measures it (r9
     verdict #4: the tier was opt-in end-to-end, so no round ever recorded
     it and the 100× claims stayed extrapolations). Purpose: real numbers
-    behind the 'survives 100×' story — q1/q5/q6 only, reduced reps,
-    AD-HOC plans (the bucketed/date-clustered layout copies would double
-    the disk cost; the spot tier measures raw-scan economics, recorded
-    as such)."""
+    behind the 'survives 100×' story. Since round 11 the tier runs the
+    FULL headline on the engine's routed plans: the bucketed +
+    date-clustered layout copies (~12 GB next to the 15 GB replica) and
+    the persisted route probes were built once (r10 verdict #2 — the r10
+    record measured ad-hoc plans only and read 2.42× DuckDB for it);
+    reduced reps keep the tier inside the bench budget."""
     out_dir = os.path.join(_REPO, ".scratch", "sf100")
     already = os.path.isfile(os.path.join(out_dir, "_COMPLETE"))
     if not already and os.environ.get("SPARK_GRAFT_SF100", "0") != "1":
@@ -900,7 +907,7 @@ def main() -> None:
 
     _apply_runtime_confs(spark)
 
-    def _layout(tier_dir: str) -> dict:
+    def _layout(tier_dir: str, probe_reps: int = 3) -> dict:
         """Build/register the bucketed layout OUTSIDE every timed window and
         record whether work happened (the r4 anomaly hypothesis list
         included a rebuild landing inside the timed region — this makes
@@ -924,11 +931,30 @@ def main() -> None:
         t0 = time.perf_counter()
         already_probed = os.path.isfile(_sops._routes_path(tier_dir))
         if already_probed or _remaining() > 300:
-            info["routes"] = _sops.ensure_route_probes(spark, tier_dir)
+            info["routes"] = _sops.ensure_route_probes(spark, tier_dir, reps=probe_reps)
             info["route_probe_sec"] = round(time.perf_counter() - t0, 3)
         else:
             info["routes"] = "skipped: budget"
         return info
+
+    def _resolved_plans(tier_dir: str) -> dict:
+        """Which PHYSICAL plan each routed headline name executes at this
+        tier (r10 verdict #4: the record must say which plan a headline
+        number measured, so a routed headline can never be misread as the
+        ad-hoc plan again). `None` from route_choice means the tier was
+        never probed and the query takes its ad-hoc form."""
+        routed = {
+            "q5_revenue_by_nation": "q5",
+            "q3_shipping_priority": "q3",
+            "q6_forecast_revenue": "q6",
+            "q18_large_orders": "q18",
+        }
+        plans = {
+            name: (_sops.route_choice(tier_dir, key) or f"{key}_adhoc (unprobed)")
+            for name, key in routed.items()
+        }
+        plans["q18_bucketed"] = "q18_bucketed (explicit twin)"
+        return plans
 
     layout_info = {"sf0": _layout(sf_dir)}
     # floor key = the actual tier directory name (sf0.1, sf0.001, …) so a
@@ -969,6 +995,7 @@ def main() -> None:
         "baseline_duckdb": _duckdb_baseline(names, sf_dir),
         "session": {**_session_evidence(spark), **session_origin},
         "cache_state_headline": _cache_state(),
+        "plans": _resolved_plans(sf_dir),
         "layout": layout_info,
         "host_health": host_health,
         "budget_sec": _BUDGET,
@@ -1002,6 +1029,7 @@ def main() -> None:
                 "reps": sf1_reps,
                 "baseline_duckdb": sf1_base,
                 "baseline_total": round(sum(sf1_base.values()), 4),
+                "plans": _resolved_plans(sf1_dir),
             }
         except Exception as e:  # noqa: BLE001
             result["skipped"]["sf1"] = f"error: {str(e).splitlines()[0][:120]}"
@@ -1036,6 +1064,7 @@ def main() -> None:
                 "reps": sf10_reps,
                 "baseline_duckdb": sf10_base,
                 "baseline_total": round(sum(sf10_base.values()), 4),
+                "plans": _resolved_plans(sf10_dir),
             }
         except Exception as e:  # noqa: BLE001
             result["skipped"]["sf10"] = f"error: {str(e).splitlines()[0][:120]}"
@@ -1056,10 +1085,18 @@ def main() -> None:
             else "replica absent (generation is opt-in: SPARK_GRAFT_SF100=1)"
         )
     if sf100_dir:
-        # Spot tier: ad-hoc plans only (no layout copies — disk economics
-        # documented in _ensure_sf100), q1/q5/q6, min-of-2 with per-query
-        # GC. The point is the RATIO at 1000×, not absolute polish.
-        spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
+        # r10 verdict #2: the tier that most resembles the 100-TB story
+        # must measure the engine's REAL plans, not the ad-hoc fallbacks.
+        # Layouts (bucketed + date-clustered copies, ~13 GB one-time next
+        # to the 15 GB replica) and route probes (reps=2 at this tier —
+        # single probe runs cost tens of seconds here) are built once and
+        # persisted; a budget-starved run that finds them already on disk
+        # pays only DDL registration. If the layouts can't be built within
+        # budget, fall back to the r10-style 3-query ad-hoc spot so the
+        # tier never vanishes from the record.
+        layouts_ready = bucketed_layout_on_disk(
+            sf100_dir
+        ) and date_clustered_layout_on_disk(sf100_dir)
         host_health["sf100"] = _host_health_probe(
             "sf100", sf100_dir, tables=SF1_TABLES
         )
@@ -1068,17 +1105,32 @@ def main() -> None:
         except Exception:
             pass
         try:
+            # Full headline ≈ 250 s spark + 270 s duck (measured 2026-08-16
+            # dry run, layouts pre-built); with layouts absent add ~15 min
+            # of one-time build. Below the gate, fall back to the r10-style
+            # 3-query ad-hoc spot (~90 s) so the tier never vanishes.
+            full_gate = 800 if layouts_ready else 1800
+            if _remaining() > full_gate:
+                result["layout"]["sf100"] = _layout(sf100_dir, probe_reps=2)
+                spot = tuple(n for n in HEADLINE if n in qs)
+                note = "full headline, routed plans (layouts on disk); duck reps=1"
+            else:
+                spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
+                note = "ad-hoc spot fallback: layout/full-set skipped (budget)"
             _, _, sf100_timings, sf100_reps = _bench_spark(
                 qs, spot, spark, sf100_dir, reps=2, per_query_gc=True
             )
-            sf100_base = _duckdb_baseline(spot, sf100_dir, tables=SF1_TABLES)
+            sf100_base = _duckdb_baseline(
+                spot, sf100_dir, tables=SF1_TABLES, reps=1
+            )
             result["sf100"] = {
                 "queries": sf100_timings,
                 "value": round(sum(sf100_timings.values()), 4),
                 "reps": sf100_reps,
                 "baseline_duckdb": sf100_base,
                 "baseline_total": round(sum(sf100_base.values()), 4),
-                "note": "ad-hoc plans, no layout copies (disk); replica-gated tier",
+                "plans": _resolved_plans(sf100_dir),
+                "note": note,
             }
         except Exception as e:  # noqa: BLE001
             result["skipped"]["sf100"] = f"error: {str(e).splitlines()[0][:120]}"

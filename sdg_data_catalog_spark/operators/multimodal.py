@@ -290,14 +290,19 @@ def as_png_media(
 
 
 def as_jpeg_media(
-    documents: DataFrame, side: int = 24, quality: int = 90
+    documents: DataFrame, side: int = 24, quality: int = 90,
+    key_mod: int | None = None,
 ) -> DataFrame:
     """documents → media table whose payloads are REAL baseline JPEGs,
     built deterministically from doc_id with the self-contained codec
     (operators/jpegcodec.py). Subsampling alternates 4:4:4 / 4:2:0 by
-    doc_id parity so both decoder MCU shapes are exercised in the
+    image-key parity so both decoder MCU shapes are exercised in the
     registered query, not just in unit tests. Payload bytes are
-    deterministic, so differential tests recompute them exactly."""
+    deterministic, so differential tests recompute them exactly.
+
+    key_mod: render from doc_id % key_mod instead of doc_id (same contract
+    as as_png_media) — bounds the distinct-payload universe so oracle
+    queries can join a finite constant table of expected outputs."""
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from sdg_data_catalog_spark.operators.jpegcodec import jpeg_encode
@@ -305,9 +310,10 @@ def as_jpeg_media(
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
-                sub = "420" if int(did) % 2 else "444"
+                key = int(did) % key_mod if key_mod else int(did)
+                sub = "420" if key % 2 else "444"
                 payloads.append(
-                    jpeg_encode(synthetic_image(int(did), side), quality, sub)
+                    jpeg_encode(synthetic_image(key, side), quality, sub)
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 

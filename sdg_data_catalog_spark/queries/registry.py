@@ -121,6 +121,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch18",
     "sdg_data_catalog_spark.queries.round10_batch19",
     "sdg_data_catalog_spark.queries.round10_batch20",
+    "sdg_data_catalog_spark.queries.round11_batch1",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -134,72 +135,86 @@ _loaded = False
 # history of this comment for the per-round staging rationale). Alias IDs
 # whose targets are driver-green are deliberately absent: a green row on
 # the target is a green row on the ID.
-# Round-10 window (positions 1-50): the final certification pass — the 44
-# names with no driver CORRECTNESS row in the r01-r09 union (round-8
-# batch-18..28 stragglers, the round-9 ten, and the four layout twins; all
-# oracle-verified at 3 SFs before staging and green in the local contract
-# suite), then the q3 router re-certified under the round-10 measured
-# route gate (rank_bradley_terry also moved to exact integer division),
-# then the round-10 batch-1 registrations. After this window rotates,
-# every registered name holds at least one official driver row. Everything
-# unlisted — including the entire round-9 window head, now officially
-# driver-green under its own IDs — follows in registration order.
+# Round-11 window: a pure certification rotation (r10 verdict #1). The 64
+# names below are exactly the registrations with no driver CORRECTNESS row
+# in the r01-r10 union — the round-10 batch-2..20 block. All 64 carry full
+# DuckDB oracles and were re-verified green with the driver-style
+# canonicalizer at sf0.01 before staging. With a 50-slot window, positions
+# 1-50 certify this round; the 14 tail names (ts_*/win_*/text_oov — chosen
+# as the tail purely by alphabetical order, nothing distinguishes them)
+# plus this round's few census promotions rotate in next round, after
+# which the backlog is zero. Round 11 otherwise holds new registrations to
+# a minimum so the debt cannot regrow past one window.
 _PRIORITY = (
-    "agg_abc_analysis",
-    "agg_cochran_q",
-    "agg_cohens_d",
-    "agg_cohort_half_life",
-    "agg_durbin_watson",
-    "agg_friedman_test",
-    "agg_hodges_lehmann_shift",
-    "agg_kendall_w",
-    "agg_levene_bf",
-    "agg_ljung_box",
-    "agg_markov_entropy_rate",
-    "agg_new_returning_split",
-    "agg_price_elasticity",
-    "agg_runs_test",
-    "agg_sprt_replay",
-    "agg_vocab_marginal_gain",
-    "agg_wilcoxon_signed_rank",
-    "curation_boilerplate_strip",
-    "curation_cartography",
-    "curation_cluster_balance",
-    "curation_doremi_weights",
-    "curation_epoch_mix_schedule",
-    "curation_mix_temperature",
-    "curation_pii_risk_report",
-    "dedup_blocking_keys",
-    "dq_unicode_audit",
-    "emb_calinski_harabasz",
-    "eval_pass_at_k",
-    "feat_decay_score",
-    "ml_feature_rank_gini",
-    "plan_context_length_sweep",
-    "q3_adhoc",
-    "q3_clustered",
-    "q6_adhoc",
-    "q6_clustered",
-    "rank_bradley_terry",
-    "sim_reciprocal_nn",
-    "sketch_hll_intersect",
-    "split_temporal",
-    "text_code_detect",
-    "text_mtld",
-    "win_bollinger_bands",
-    "win_drawdown_max",
-    "win_rolling_corr",
-    # q3 headline router: re-certified because round 10 moved routing to
-    # the measured gate (at driver scale it resolves to the ad-hoc plan;
-    # the other three routers likewise resolve to their certified *_adhoc
-    # twins above, so their slots go to the new registrations instead)
-    "q3_shipping_priority",
-    # round-10 registrations + this round's perf-work target
-    "mm_phash_candidates",
-    "mm_wav_stats",
-    "plan_pack_sequences",
-    "dedup_substring_spans",
-    "agg_rollup",
+    "agg_chao1_richness",
+    "agg_cohort_ltv_curve",
+    "agg_crosstab_residuals",
+    "agg_good_turing",
+    "agg_hhi_concentration",
+    "agg_log_odds_monroe",
+    "agg_lorenz_curve",
+    "agg_mcc",
+    "agg_negbin_overdispersion",
+    "agg_power_analysis",
+    "agg_return_rate_by_brand",
+    "agg_session_depth_histogram",
+    "agg_simpson_diversity",
+    "agg_weibull_fit",
+    "agg_zipf_fit",
+    "curation_budget_by_utility",
+    "curation_filter_overlap",
+    "curation_loo_influence",
+    "curation_lsh_recall_eval",
+    "curation_submodular_facility",
+    "dedup_lsh_band_sweep",
+    "dq_freshness_sla",
+    "dq_primary_key_audit",
+    "dq_quality_corr_matrix",
+    "dq_referential_orphans",
+    "emb_pq_distortion",
+    "etl_cdc_compact",
+    "eval_auc_delong",
+    "eval_bleu_pairs",
+    "eval_cohens_kappa",
+    "eval_elo_batched",
+    "eval_krippendorff_alpha",
+    "eval_langid_confusion",
+    "eval_rouge_pairs",
+    "graph_adamic_adar",
+    "join_editdistance_blocked",
+    "join_range_band",
+    "lm_lambda_sweep",
+    "ml_knn_label_eval",
+    "ml_naive_bayes",
+    "mm_audio_vad",
+    "mm_tile_contrast",
+    "mm_wav_downsample",
+    "mm_wav_silence_trim",
+    "plan_backfill_batches",
+    "plan_partition_advisor",
+    "rank_plackett_luce",
+    "sample_balanced_downsample",
+    "sample_neyman_allocation",
+    "scan_csv_permissive",
+    # --- 50-slot window boundary: names below certify in round 12 ---
+    "sim_ann_recall_eval",
+    "sim_maxsim_late_interaction",
+    "stream_hopping_topk",
+    "stream_window_distinct",
+    "text_keyword_rake",
+    "text_oov_rate_by_source",
+    "text_pmi_pairs",
+    "ts_granger_lite",
+    "ts_spectral_peak",
+    "ts_week_over_week_growth",
+    "win_rfm_scores",
+    "win_ship_latency_percentiles",
+    "win_sma_crossover",
+    "win_streak_census",
+    # round-11 census promotions (r10 verdict #5) — certify with the tail
+    "mm_resize_census",
+    "mm_resize_jpeg_census",
+    "text_compression_census",
 )
 
 
