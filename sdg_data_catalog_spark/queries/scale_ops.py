@@ -750,7 +750,14 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.35 s (a 6M-row broadcast build dwarfs the join it removes) —
     shuffle_hash on the bucketed layout IS the winning physical plan;
     the residual vs DuckDB (~0.6 s total) is the single-JVM columnar
-    hash-join constant, not a plan defect. The same interleaved run also
+    hash-join constant, not a plan defect. Re-profiled r11 with
+    fresh-plan noop-write components (PERF.md §Round-11): probe leg
+    0.39 s + build leg 0.65 s + join ~0.25 + final agg ~0.29 = 1.49 s
+    full; a join-first/dims-after rewrite (int-only build side) was
+    A/B'd and rejected (1.59 s, identical results); DuckDB's full query
+    (0.33 s) runs below Spark's bare two-scan floor, so the sf10 letter
+    is the committed per-query scan constant — it amortizes with scale
+    (2.7x at sf100 on this same plan). The same interleaved run also
     re-measured adhoc-vs-bucketed at BOTH tiers: bucketed wins at sf0.1
     too (0.40 vs 0.51 s) — the r5 bench's contrary reading (headline
     0.75 vs adhoc 0.49) was run-order noise (headline ran first/cold),

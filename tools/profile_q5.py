@@ -54,35 +54,49 @@ def main() -> int:
     hi = F.lit("1998-01-01").cast("timestamp")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
-    dim = (
-        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
-        .select("n_nationkey", "n_name")
-    )
-    cust = customer.join(
-        F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", "n_name")
-    ordn = orders.join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
-    ).select("o_orderkey", "n_name")
-    fil = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    # Every component is a THUNK that rebuilds its DataFrame from scratch,
+    # and execution is a noop WRITE (bench's _execute): re-collecting one
+    # DataFrame instance reuses its shuffle map outputs (first version of
+    # this profiler read 0.02 s components for a 1.4 s plan), while a
+    # fresh plan + write action re-runs every stage, which is what the
+    # bench and a deployed query actually pay.
+    def _dim():
+        return (
+            nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+            .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+            .select("n_nationkey", "n_name")
+        )
+
+    def _cust():
+        return customer.join(
+            F.broadcast(_dim()), F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", "n_name")
+
+    def _ordn():
+        return orders.join(
+            F.broadcast(_cust()), F.col("o_custkey") == F.col("c_custkey")
+        ).select("o_orderkey", "n_name")
+
+    def _fil():
+        return li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
 
     plans = {
-        "A_probe_scan_agg": fil.agg(
+        "A_probe_scan_agg": lambda: _fil().agg(
             F.round(F.sum(rev), 2).alias("r"), F.count(F.lit(1)).alias("n")
         ),
-        "B_build_leg": ordn.agg(F.count(F.lit(1)).alias("n")),
-        "C_join_count": fil.join(
-            ordn.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey")
-        ).agg(F.count(F.lit(1)).alias("n")),
-        "D_full_q5_bucketed": all_queries()["q5_bucketed"],
-        "E_join_first_dim_after": (
-            fil.select("l_orderkey", "l_extendedprice", "l_discount")
+        "B_build_leg": lambda: _ordn().agg(F.count(F.lit(1)).alias("n")),
+        "C_join_count": lambda: _fil()
+        .join(_ordn().hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "D_full_q5_bucketed": lambda: all_queries()["q5_bucketed"](spark, sf10),
+        "E_join_first_dim_after": lambda: (
+            _fil()
+            .select("l_orderkey", "l_extendedprice", "l_discount")
             .join(
                 orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(_cust()), F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("n_name")
             .agg(
                 F.round(F.sum(rev), 2).alias("revenue"),
@@ -92,10 +106,9 @@ def main() -> int:
     }
 
     def run(name):
-        p = plans[name]
-        df = p(spark, sf10) if callable(p) and not hasattr(p, "collect") else p
+        df = plans[name]()
         t0 = time.perf_counter()
-        df.collect()
+        df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     def gc():
@@ -113,8 +126,8 @@ def main() -> int:
         print(f"{name}: min {min(ts):.3f}s  all {[round(t,3) for t in ts]}", flush=True)
 
     # sanity: candidate E must equal D
-    d = {tuple(r) for r in sorted(plans["D_full_q5_bucketed"](spark, sf10).collect())}
-    e = {tuple(r) for r in sorted(plans["E_join_first_dim_after"].collect())}
+    d = {tuple(r) for r in plans["D_full_q5_bucketed"]().collect()}
+    e = {tuple(r) for r in plans["E_join_first_dim_after"]().collect()}
     print("E == D results:", d == e, flush=True)
 
     import duckdb
