@@ -1113,6 +1113,13 @@ def main() -> None:
             if _remaining() > full_gate:
                 result["layout"]["sf100"] = _layout(sf100_dir, probe_reps=2)
                 spot = tuple(n for n in HEADLINE if n in qs)
+                # When the q18 route picks the bucketed plan at this tier,
+                # the routed headline and the explicit twin are the SAME
+                # physical plan — measuring both costs ~130 s (3 spark runs
+                # + 2 duck runs of an 18 s query) for zero information; the
+                # 'plans' annotation records the identity instead.
+                if _sops.route_choice(sf100_dir, "q18") == "q18_bucketed":
+                    spot = tuple(n for n in spot if n != "q18_bucketed")
                 note = "full headline, routed plans (layouts on disk); duck reps=1"
             else:
                 spot = ("q1_pricing_summary", "q5_adhoc", "q6_adhoc")
