@@ -122,6 +122,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch19",
     "sdg_data_catalog_spark.queries.round10_batch20",
     "sdg_data_catalog_spark.queries.round11_batch1",
+    "sdg_data_catalog_spark.queries.round11_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -215,6 +216,16 @@ _PRIORITY = (
     "mm_resize_census",
     "mm_resize_jpeg_census",
     "text_compression_census",
+    # round-11 batch 2 (registry-audit gap fill) — certify with the tail;
+    # total round-12 backlog stays 25 ≤ one 50-slot window
+    "agg_anova_oneway",
+    "agg_wasserstein_1d",
+    "lm_kl_divergence",
+    "agg_holm_bonferroni",
+    "eval_pr_at_k",
+    "agg_poisson_rate_test",
+    "agg_percentile_exact",
+    "curation_propensity_weights",
 )
 
 

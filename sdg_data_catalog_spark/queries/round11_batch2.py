@@ -1,0 +1,694 @@
+"""Round-11 operator batch 2: distribution-distance, classical-test and
+retrieval-eval gaps surfaced by a registry keyword audit (everything else
+in these families — KS/JS/PSI drift, MWU/BH-FDR, kappa/alpha, nDCG/MRR —
+already exists; these are the genuinely missing members).
+
+- ``agg_anova_oneway`` — one-way ANOVA F of document length across
+  sources. All moments exact (HUGEINT/decimal(38,0)); the between/within
+  split uses the algebraic form SSB = Σsᵢ²/nᵢ − S²/N carried as exact
+  integer micro-images ((sᵢ²·10⁶) DIV nᵢ summed exactly — no float sum
+  across groups whose order could differ between engines), one identical
+  double expression at the end.
+- ``agg_wasserstein_1d`` — earth-mover (W₁) distance between each
+  source's doc-length distribution and the rest of the corpus:
+  W₁ = Σ_v |F_src(v) − F_rest(v)|·gap over the merged value grid. The
+  numerator folds as ONE exact integer (|cum_src·n_rest − cum_rest·
+  n_src|·gap summed in decimal(38,0)); a single final division. The
+  windowed frame is |sources|×|distinct lengths| — bounded by the value
+  domain, never by the corpus (dq_drift_ks convention).
+- ``lm_kl_divergence`` — KL(source‖corpus) over word unigrams (add-one
+  smoothed corpus side; the source side needs no smoothing — every term
+  has c_sw ≥ 1). Per-word FLOOR(10⁶·ln ratio) integer images weighted by
+  exact counts sum exactly; one division per source at the end.
+  Complements dq_divergence_js (JS over event types) on the text axis.
+- ``agg_holm_bonferroni`` — Holm step-down correction over the SAME
+  Mann-Whitney family agg_bh_fdr corrects step-up, reusing that op's
+  output verbatim on both sides (the oracle wraps agg_bh_fdr's SQL as a
+  CTE): adjusted p = running max of (m−rank+1)·p capped at 1, discovery
+  while every prefix test passes — the no-division compare convention.
+- ``eval_pr_at_k`` — retrieval eval over exact cosine top-10
+  (sim_knn_bruteforce's certified scoring): hits/precision/recall at
+  k ∈ {1,5,10} plus AP@10 per query, relevance = label match. AP folds
+  exactly: Σ rel_i·hits_i·(2520/i) is an integer (2520 = lcm 1..10);
+  only the final divisions are doubles.
+- ``agg_poisson_rate_test`` — two-sample Poisson rate test per event
+  type between the two 15-day halves of the event month (equal exposure
+  ⇒ z = (n₁−n₂)/√(n₁+n₂) from exact counts); two-sided p through the
+  shared A&S 26.2.17 normal-tail polynomial on the ROUNDED z.
+- ``agg_percentile_exact`` — exact interpolated percentiles (.25/.5/
+  .75/.9) of doc length per source: Spark `percentile` vs DuckDB
+  `quantile_cont` agree bitwise on the (n−1)p convention (probed,
+  including non-dyadic p=.9); the GK-sketch twin (agg_approx_quantiles)
+  stays the at-scale path, this is the small-group exact rung.
+- ``curation_propensity_weights`` — inverse-propensity reweighting audit
+  of a deterministic biased subsample (doc_id%7) against (lang × length
+  -bucket) strata: per-stratum exact integer weight and mean images —
+  the estimator a data-selection pipeline uses to reweight a filtered
+  corpus back to population marginals.
+
+Reference analog: none direct — SURVEY §2.11 north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+from sdg_data_catalog_spark.queries.round8_batch18 import _PHI_TAIL
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS HUGEINT) AS n_i,
+             CAST(SUM(n_chars) AS HUGEINT) AS s_i,
+             CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q_i
+      FROM documents GROUP BY source
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(n_i) AS n,
+             SUM(s_i) AS s,
+             SUM(q_i) AS q,
+             SUM((s_i * s_i * 1000000) // n_i) AS t
+      FROM g
+    )
+    SELECT k,
+           CAST(n AS BIGINT) AS n,
+           ROUND((CAST(t - (s * s * 1000000) // n AS DOUBLE) / (k - 1))
+                 / (CAST(q * 1000000 - t AS DOUBLE) / (CAST(n AS BIGINT) - k)),
+                 6) AS f_stat,
+           ROUND(CAST(t - (s * s * 1000000) // n AS DOUBLE)
+                 / CAST(q * 1000000 - (s * s * 1000000) // n AS DOUBLE),
+                 6) AS eta_sq
+    FROM m
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of n_chars across sources. One combinable pass for
+    the per-group moments (n, Σx, Σx²), a k-row fold, one double
+    expression. The micro-image trick keeps Σ sᵢ²/nᵢ EXACT — summing
+    per-group doubles would make the result depend on group order, which
+    differs between engines; (sᵢ²·10⁶) DIV nᵢ is an integer both sides.
+    Headroom: s ≈ 3·10¹⁴ at 100 TB → s²·10⁶ ≈ 10³⁵ < decimal(38,0)."""
+    docs = table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_i"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s_i"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("q_i"),
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("decimal(38,0)").alias("n"),
+        F.sum("s_i").cast("decimal(38,0)").alias("s"),
+        F.sum("q_i").cast("decimal(38,0)").alias("q"),
+        F.sum(F.expr("(s_i * s_i * CAST(1000000 AS DECIMAL(38,0))) DIV n_i"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    ssb = "CAST(t - (s * s * CAST(1000000 AS DECIMAL(38,0))) DIV n AS DOUBLE)"
+    return m.selectExpr(
+        "k",
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND(({ssb} / (k - 1))"
+        " / (CAST(q * CAST(1000000 AS DECIMAL(38,0)) - t AS DOUBLE)"
+        "    / (CAST(n AS BIGINT) - k)), 6) AS f_stat",
+        f"ROUND({ssb} / CAST(q * CAST(1000000 AS DECIMAL(38,0))"
+        " - (s * s * CAST(1000000 AS DECIMAL(38,0))) DIV n AS DOUBLE), 6)"
+        " AS eta_sq",
+    )
+
+
+@register(
+    "agg_wasserstein_1d",
+    oracle="""
+    WITH vc AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    vals AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM vc GROUP BY v
+    ),
+    vals2 AS (
+      SELECT v, c_all, CAST(SUM(c_all) OVER () AS BIGINT) AS n FROM vals
+    ),
+    srcs AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_src FROM vc GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, s.n_src, va.v, va.c_all, va.n,
+             COALESCE(vc.c, 0) AS c_src
+      FROM srcs s CROSS JOIN vals2 va
+      LEFT JOIN vc ON vc.source = s.source AND vc.v = va.v
+    ),
+    cdf AS (
+      SELECT source, n_src, n, v,
+             SUM(c_src) OVER (PARTITION BY source ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_src,
+             SUM(c_all) OVER (PARTITION BY source ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum_all,
+             LEAD(v) OVER (PARTITION BY source ORDER BY v) AS nxt
+      FROM grid
+    )
+    SELECT source,
+           CAST(ANY_VALUE(n_src) AS BIGINT) AS n_src,
+           ROUND(CAST(SUM(CAST(abs(cum_src * (n - n_src)
+                                   - (cum_all - cum_src) * n_src)
+                               AS HUGEINT) * (nxt - v)) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n_src) AS DOUBLE)
+                    * (ANY_VALUE(n) - ANY_VALUE(n_src))), 6) AS w1
+    FROM cdf WHERE nxt IS NOT NULL
+    GROUP BY source ORDER BY source
+    """,
+)
+def agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (earth-mover) distance of each source's length distribution
+    from the rest of the corpus — the 'which source is distributionally
+    atypical' readout that JS/PSI (binned) and KS (sup-norm only) both
+    blur. The numerator is one exact decimal(38,0) fold; headroom:
+    cum·n ≈ 10²⁴, ×gap ≈ 10²⁸, summed over ≤10⁵ grid rows ≈ 10³³.
+    The window partitions are |sources| × |distinct lengths| — bounded
+    by the value domain, not the corpus (dq_drift_ks convention)."""
+    docs = table(spark, sf_dir, "documents")
+    # the census is |sources|×|distinct lengths| (bounded by the value
+    # domain) and feeds four derivations — checkpoint it so the corpus is
+    # scanned ONCE (plan-gated in tests/test_plan_scan_gate.py)
+    vc = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vals = vc.groupBy("v").agg(F.sum("c").cast("bigint").alias("c_all"))
+    n_row = vals.agg(F.sum("c_all").cast("bigint").alias("n"))
+    srcs = vc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_src"))
+    grid = (
+        srcs.crossJoin(F.broadcast(vals))
+        .crossJoin(F.broadcast(n_row))
+        .join(
+            vc.withColumnRenamed("c", "c_src"),
+            ["source", "v"],
+            "left",
+        )
+        .withColumn("c_src", F.coalesce("c_src", F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("source").orderBy("v")
+    cdf = grid.select(
+        "source",
+        "n_src",
+        "n",
+        "v",
+        F.sum("c_src").over(w).alias("cum_src"),
+        F.sum("c_all").over(w).alias("cum_all"),
+        F.lead("v").over(wl).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    d38 = "decimal(38,0)"
+    num = F.abs(
+        F.col("cum_src").cast(d38) * (F.col("n") - F.col("n_src"))
+        - (F.col("cum_all") - F.col("cum_src")).cast(d38) * F.col("n_src")
+    ) * (F.col("nxt") - F.col("v")).cast(d38)
+    return (
+        cdf.groupBy("source")
+        .agg(
+            F.any_value("n_src").cast("bigint").alias("n_src"),
+            F.round(
+                F.sum(num).cast("double")
+                / (
+                    F.any_value("n_src").cast("double")
+                    * (F.any_value("n") - F.any_value("n_src"))
+                ),
+                6,
+            ).alias("w1"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "lm_kl_divergence",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM w GROUP BY source, word
+    ),
+    g AS (
+      SELECT word, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM c GROUP BY word
+    ),
+    gn AS (
+      SELECT word, c_w,
+             CAST(SUM(c_w) OVER () AS BIGINT) AS n,
+             CAST(COUNT(*) OVER () AS BIGINT) AS v
+      FROM g
+    ),
+    st AS (
+      SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM c GROUP BY source
+    ),
+    t AS (
+      SELECT c.source, c.c_sw, st.n_s,
+             CAST(FLOOR(1000000 * ln(
+               (CAST(c.c_sw AS DOUBLE) * (gn.n + gn.v))
+               / (CAST(st.n_s AS DOUBLE) * (gn.c_w + 1))
+             )) AS BIGINT) AS img
+      FROM c JOIN gn USING (word) JOIN st ON st.source = c.source
+    )
+    SELECT source,
+           CAST(ANY_VALUE(n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c_sw * img) AS BIGINT) AS kl_sum_x1e6,
+           ROUND(CAST(SUM(c_sw * img) AS DOUBLE) / 1000000.0
+                 / ANY_VALUE(n_s), 6) AS kl_nats
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def lm_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source ‖ P_corpus) over word unigrams — the directed
+    distribution-shift readout DSIR-style selection and mixture tuning
+    key on (JS is symmetric; KL says who diverges from whom). The corpus
+    side is add-one smoothed over the corpus vocabulary so ln never sees
+    0; the source side needs no smoothing (only observed words
+    contribute). Per-word FLOOR(10⁶·ln) images are weighted by exact
+    counts and summed as exact integers — the float step is one ln per
+    DISTINCT (source, word), order-free. One shuffle keyed by word."""
+    docs = table(spark, sf_dir, "documents")
+    # the (source, word) census is bounded by |sources|×|vocab| and feeds
+    # three derivations — checkpoint it so the corpus-wide explode runs
+    # ONCE (plan-gated in tests/test_plan_scan_gate.py)
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+        .localCheckpoint(eager=False)
+    )
+    g = c.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    tot = g.agg(
+        F.sum("c_w").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    st = c.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    t = (
+        c.join(g, "word")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(st), "source")
+        .select(
+            "source",
+            "c_sw",
+            "n_s",
+            F.floor(
+                1000000
+                * F.log(
+                    (F.col("c_sw").cast("double") * (F.col("n") + F.col("v")))
+                    / (F.col("n_s").cast("double") * (F.col("c_w") + 1))
+                )
+            )
+            .cast("bigint")
+            .alias("img"),
+        )
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.any_value("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.col("c_sw") * F.col("img")).cast("bigint").alias("kl_sum_x1e6"),
+            F.round(
+                F.sum(F.col("c_sw") * F.col("img")).cast("double")
+                / 1000000.0
+                / F.any_value("n_s"),
+                6,
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# round8_batch18 loads before this module in registry._MODULES, so the
+# agg_bh_fdr oracle is already registered; nesting it as a CTE keeps the
+# two corrections literally over the same statistics (DuckDB accepts a
+# WITH inside a parenthesized CTE body — probed).
+from sdg_data_catalog_spark.queries.registry import _ORACLES as _ORACLE_TABLE
+
+_BH_SQL = _ORACLE_TABLE["agg_bh_fdr"]
+
+
+@register(
+    "agg_holm_bonferroni",
+    oracle=f"""
+    WITH base AS ({_BH_SQL}),
+    h0 AS (
+      SELECT event_type, z, p_value, rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM base
+    ),
+    h AS (
+      SELECT event_type, z, p_value, rank,
+             MAX(p_value * (m - rank + 1))
+               OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM h0
+    )
+    SELECT event_type, z, p_value, rank,
+           ROUND(LEAST(1.0, runmax), 9) AS holm_adj_p,
+           CAST(CASE WHEN runmax <= 0.05 THEN 1 ELSE 0 END AS BIGINT)
+             AS discovery
+    FROM h ORDER BY rank
+    """,
+)
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down family-wise-error correction over the SAME
+    Mann-Whitney test family agg_bh_fdr corrects for FDR — built
+    directly on that op's output (identical statistics by construction;
+    the oracle wraps agg_bh_fdr's SQL as a CTE). Step-down: reject
+    H_(1..j) while every prefix test passes; adjusted p is the running
+    max of (m−rank+1)·p capped at 1. The family is |event types|-sized,
+    so everything here is a 5-row walk after the shared rank pass."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    base = all_queries()["agg_bh_fdr"](spark, sf_dir).select(
+        "event_type", "z", "p_value", "rank"
+    )
+    one = base.coalesce(1)
+    wfull = Window.partitionBy(F.spark_partition_id()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = (
+        Window.partitionBy(F.spark_partition_id())
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = one.select(
+        "event_type",
+        "z",
+        "p_value",
+        "rank",
+        F.count(F.lit(1)).over(wfull).cast("bigint").alias("m"),
+    ).withColumn(
+        "runmax",
+        F.max(
+            F.col("p_value") * (F.col("m") - F.col("rank") + 1)
+        ).over(wrun),
+    )
+    return h.select(
+        "event_type",
+        "z",
+        "p_value",
+        "rank",
+        F.round(F.least(F.lit(1.0), F.col("runmax")), 9).alias("holm_adj_p"),
+        F.when(F.col("runmax") <= 0.05, 1).otherwise(0).cast("bigint").alias("discovery"),
+    ).orderBy("rank")
+
+
+_COS_PR = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "eval_pr_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_lab
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS c_lab
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT q_id, q_lab, neighbor_id, c_lab,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY {_COS_PR} DESC, neighbor_id ASC) AS rank
+      FROM q CROSS JOIN c WHERE q_id != neighbor_id
+    ),
+    top AS (
+      SELECT q_id, rank,
+             CASE WHEN c_lab = q_lab THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT q_id, rank, rel,
+             CAST(SUM(rel) OVER (PARTITION BY q_id ORDER BY rank
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h
+      FROM top
+    ),
+    ap AS (
+      SELECT q_id,
+             CAST(SUM(rel * h * (2520 // rank)) AS BIGINT) AS ap_x2520
+      FROM hits GROUP BY q_id
+    ),
+    rtot AS (
+      SELECT q.q_id, CAST(COUNT(*) AS BIGINT) AS r
+      FROM q JOIN c ON c.c_lab = q.q_lab AND c.neighbor_id != q.q_id
+      GROUP BY q.q_id
+    )
+    SELECT h.q_id, CAST(k.k AS INTEGER) AS k, h.h AS hits,
+           ROUND(CAST(h.h AS DOUBLE) / k.k, 6) AS precision_at_k,
+           ROUND(CAST(h.h AS DOUBLE) / r.r, 6) AS recall_at_k,
+           ap.ap_x2520,
+           ROUND(CAST(ap.ap_x2520 AS DOUBLE) / 2520.0
+                 / LEAST(r.r, 10), 6) AS ap_at_10
+    FROM hits h
+    JOIN (VALUES (1), (5), (10)) k(k) ON h.rank = k.k
+    JOIN ap ON ap.q_id = h.q_id
+    JOIN rtot r ON r.q_id = h.q_id
+    ORDER BY h.q_id, k.k
+    """,
+)
+def eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval over the certified exact-cosine ranking
+    (sim_knn_bruteforce's scoring, k=10): precision@k / recall@k at
+    k ∈ {{1,5,10}} and AP@10 per query, relevance = shared label. AP
+    folds as an exact integer — Σ rel·hits·(2520/rank) with 2520 =
+    lcm(1..10) — so the only doubles are final single divisions. The
+    query set is the bounded vec_id<10 panel (broadcast); candidates
+    stream partition-parallel exactly as the ANN ladder's baseline."""
+    from sdg_data_catalog_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    # The 10-row query panel is checkpointed once and reused for scoring,
+    # label lookup, and recall denominators; the corpus is touched by
+    # exactly three column-pruned scans (justified in
+    # tests/test_plan_scan_gate.py ALLOWED): candidate vectors, neighbor
+    # labels, and the |labels|-row histogram behind recall@k.
+    panel = emb.filter(F.col("vec_id") < 10).localCheckpoint(eager=False)
+    base = S.knn_bruteforce(emb, panel, k=10)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    q_lab = panel.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_lab")
+    )
+    top = (
+        base.join(F.broadcast(q_lab), "q_id")
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "c_lab"),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "rank",
+            F.when(F.col("c_lab") == F.col("q_lab"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    wrun = (
+        Window.partitionBy("q_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ≤ 10 queries × 10 ranks rows; consumed by both the AP fold and the
+    # final projection — checkpoint so the scoring subtree runs once
+    hits = top.withColumn(
+        "h", F.sum("rel").over(wrun).cast("bigint")
+    ).localCheckpoint(eager=False)
+    ap = hits.groupBy("q_id").agg(
+        F.sum(F.col("rel") * F.col("h") * (2520 / F.col("rank")).cast("bigint"))
+        .cast("bigint")
+        .alias("ap_x2520")
+    )
+    # recall denominator via the label histogram: r(q) = hist[label] − 1
+    hist = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    rtot = q_lab.join(
+        F.broadcast(hist), F.col("q_lab") == F.col("label")
+    ).select("q_id", (F.col("cnt") - 1).alias("r"))
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
+    return (
+        hits.join(F.broadcast(ks), F.col("rank") == F.col("k"))
+        .join(F.broadcast(ap), "q_id")
+        .join(F.broadcast(rtot), "q_id")
+        .select(
+            "q_id",
+            F.col("k").cast("int").alias("k"),
+            F.col("h").alias("hits"),
+            F.round(F.col("h").cast("double") / F.col("k"), 6).alias("precision_at_k"),
+            F.round(F.col("h").cast("double") / F.col("r"), 6).alias("recall_at_k"),
+            "ap_x2520",
+            F.round(
+                F.col("ap_x2520").cast("double") / 2520.0 / F.least(F.col("r"), F.lit(10)),
+                6,
+            ).alias("ap_at_10"),
+        )
+        .orderBy("q_id", "k")
+    )
+
+
+@register(
+    "agg_poisson_rate_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+                  AS BIGINT) AS n1,
+             CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                  AS BIGINT) AS n2
+      FROM events GROUP BY event_type
+    ),
+    zt AS (
+      SELECT event_type, n1, n2,
+             ROUND((CAST(n1 AS DOUBLE) - n2)
+                   / sqrt(CAST(n1 + n2 AS DOUBLE)), 6) AS z
+      FROM c
+    )
+    SELECT event_type, n1, n2, z,
+           ROUND(2.0 * {_PHI_TAIL.format(z="abs(z)")}, 9) AS p_value
+    FROM zt ORDER BY event_type
+    """,
+)
+def agg_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson rate test per event type between the two
+    equal-exposure 15-day halves of the event month (the ingest-rate
+    regression monitor beside dq_drift_ks's value-distribution check).
+    Equal exposure collapses the statistic to z = (n₁−n₂)/√(n₁+n₂) from
+    exact counts; the two-sided p goes through the shared A&S 26.2.17
+    tail polynomial applied to the ROUNDED z (both engines see the
+    identical double input). One combinable count pass."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1))
+        .cast("bigint")
+        .alias("n1"),
+        F.count(F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), 1))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    zt = c.selectExpr(
+        "event_type",
+        "n1",
+        "n2",
+        "ROUND((CAST(n1 AS DOUBLE) - n2) / sqrt(CAST(n1 + n2 AS DOUBLE)), 6) AS z",
+    )
+    p = _PHI_TAIL.format(z="abs(z)")
+    return zt.selectExpr(
+        "event_type", "n1", "n2", "z", f"ROUND(2.0 * {p}, 9) AS p_value"
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of doc length per source — the
+    small-group exact rung under agg_approx_quantiles' GK sketch (which
+    stays the at-scale path: exact percentile is a per-group sort).
+    Spark `percentile` and DuckDB `quantile_cont` both implement the
+    (n−1)p linear-interpolation convention and agree bitwise on integer
+    inputs (probed, including non-dyadic p=0.9); ROUND(·,6) guards the
+    representation edge anyway."""
+    docs = table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.9))")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), pct.alias("p")
+    )
+    return g.select(
+        "source",
+        "n",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p75"),
+        F.round(F.col("p")[3], 6).alias("p90"),
+    ).orderBy("source")
+
+
+@register(
+    "curation_propensity_weights",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             LEAST(CAST(FLOOR(n_chars / 150.0) AS INTEGER), 3) AS bucket,
+             n_chars,
+             doc_id % 7 = 0 AS sel
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(CASE WHEN sel THEN 1 END) AS BIGINT) AS n_sel,
+             CAST(COALESCE(SUM(CASE WHEN sel THEN n_chars END), 0) AS BIGINT)
+               AS chars_sel,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_all
+      FROM b GROUP BY lang, bucket
+    )
+    SELECT lang, bucket, n, n_sel,
+           CAST(CASE WHEN n_sel > 0 THEN (1000000 * n) // n_sel
+                ELSE 0 END AS BIGINT) AS weight_x1e6,
+           CAST(CASE WHEN n_sel > 0 THEN (1000000 * chars_sel) // n_sel
+                ELSE 0 END AS BIGINT) AS mean_sel_x1e6,
+           CAST((1000000 * chars_all) // n AS BIGINT) AS mean_all_x1e6
+    FROM s ORDER BY lang, bucket
+    """,
+)
+def curation_propensity_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity reweighting audit for a deterministic biased
+    subsample (doc_id % 7 — the 'cheap labeling pass' shape) against
+    (lang × length-bucket) strata: per-stratum propensity n_sel/n, IPW
+    weight 1/propensity, and the selected-vs-population mean length that
+    shows what the reweighted estimator corrects. Every reported figure
+    is an exact integer micro-image (DIV), so the audit is hash-stable;
+    one combinable pass, |strata| output rows."""
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        F.least(F.floor(F.col("n_chars") / 150.0), F.lit(3)).cast("int").alias("bucket"),
+        "n_chars",
+        (F.col("doc_id") % 7 == 0).alias("sel"),
+    )
+    s = b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("sel"), 1)).cast("bigint").alias("n_sel"),
+        F.coalesce(F.sum(F.when(F.col("sel"), F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_sel"),
+        F.sum("n_chars").cast("bigint").alias("chars_all"),
+    )
+    return s.selectExpr(
+        "lang",
+        "bucket",
+        "n",
+        "n_sel",
+        "CAST(CASE WHEN n_sel > 0 THEN (1000000 * n) DIV n_sel ELSE 0 END"
+        " AS BIGINT) AS weight_x1e6",
+        "CAST(CASE WHEN n_sel > 0 THEN (1000000 * chars_sel) DIV n_sel"
+        " ELSE 0 END AS BIGINT) AS mean_sel_x1e6",
+        "CAST((1000000 * chars_all) DIV n AS BIGINT) AS mean_all_x1e6",
+    ).orderBy("lang", "bucket")

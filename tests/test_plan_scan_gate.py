@@ -39,6 +39,11 @@ ALLOWED = {
     # share one scan each; the two FK anti-joins are genuinely separate
     # column-pruned probes (orders appears in its own agg + both FK sides)
     "dq_constraints": 3,
+    # three genuinely distinct column-pruned probes of embeddings:
+    # candidate vectors (embedding col), neighbor labels (vec_id+label),
+    # and the |labels|-row histogram behind the recall denominator; the
+    # 10-row query panel is checkpointed and reused
+    "eval_pr_at_k": 3,
 }
 
 
