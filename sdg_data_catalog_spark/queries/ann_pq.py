@@ -677,3 +677,156 @@ def etl_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (round 11): vectors keep arriving after the
+# nightly build — the upsert job encodes ONLY the new batch with the frozen
+# codebook/centroid convention and APPENDS it into the cell_id-partitioned
+# layout. New files land inside existing cell partitions; base files are
+# never rewritten; the query path is unchanged (partition pruning sees one
+# more file per touched cell). sim_ann_upserted_topk hash-matches the same
+# oracle as the batch-built index, proving incremental ingest loses nothing.
+# ---------------------------------------------------------------------------
+
+_ANN_UPSERT_VERSION = "v1"
+
+
+def _ann_upsert_dir(sf_dir: str) -> str:
+    import os
+
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    return os.path.join(_SCRATCH, _sf_name(sf_dir), "ann_ivfpq_upsert")
+
+
+def _write_ann_meta(spark: SparkSession, out: str, cents, books) -> None:
+    import os
+
+    m, k, dsub = books.shape
+    meta = [
+        ("centroid", int(c), list(map(float, v)))
+        for c, v in sorted(cents.items())
+    ] + [
+        ("codebook", s * k + j, list(map(float, books[s][j])))
+        for s in range(m)
+        for j in range(k)
+    ]
+    spark.createDataFrame(
+        meta, "kind string, idx long, vals array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "meta"))
+
+
+def _ensure_ann_upsert_index(spark: SparkSession, sf_dir: str) -> str:
+    """Base build over vec_id % 5 != 0 (the nightly job missing the 20%
+    that arrives later), then the incremental job: encode ONLY
+    vec_id % 5 == 0 with the same frozen codebooks (the convention
+    derives them from vec_ids 0..31 regardless of which batch a vector
+    ships in — what makes incremental encoding provably consistent with
+    the batch build) and append into the partitioned layout."""
+    import os
+    import shutil
+
+    out = _ann_upsert_dir(sf_dir)
+    marker = os.path.join(out, f"_ANN_UPSERT_{_ANN_UPSERT_VERSION}")
+    if os.path.isfile(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    cents, books, base = _ivfpq_parts(
+        spark, sf_dir, subset=F.col("vec_id") % 5 != 0
+    )
+    codes_dir = os.path.join(out, "codes")
+    base.write.partitionBy("cell_id").mode("overwrite").parquet(codes_dir)
+    _write_ann_meta(spark, out, cents, books)
+    _, _, arriving = _ivfpq_parts(
+        spark, sf_dir, subset=F.col("vec_id") % 5 == 0
+    )
+    arriving.write.partitionBy("cell_id").mode("append").parquet(codes_dir)
+    with open(marker, "w") as fh:
+        fh.write(_ANN_UPSERT_VERSION)
+    return out
+
+
+@register(
+    "sink_ann_index_upsert",
+    oracle=f"""
+    WITH {_NORM_SQL},
+    cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+    dist AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT cell_id,
+           CAST(COUNT(CASE WHEN vec_id % 5 != 0 THEN 1 END) AS BIGINT)
+             AS n_base,
+           CAST(COUNT(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS BIGINT)
+             AS n_upserted,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assigned GROUP BY cell_id
+    """,
+)
+def sink_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: base build + append-only upsert of
+    the late-arriving 20% (see _ensure_ann_upsert_index), verified by the
+    per-cell census READ BACK from the written layout with the
+    base/upserted split derived from the data — the oracle recomputes
+    cell assignment from first principles over ALL vectors, so a vector
+    missing from either batch, double-encoded, or landed in the wrong
+    cell partition flips the hash. At 100 TB this is the hourly ingest
+    job: encode only the arrivals (codebooks frozen), one small append
+    per touched cell partition, zero base-file rewrites."""
+    import os
+
+    out = _ensure_ann_upsert_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
+        F.count(F.when(F.col("vec_id") % 5 != 0, 1)).cast("bigint").alias("n_base"),
+        F.count(F.when(F.col("vec_id") % 5 == 0, 1)).cast("bigint").alias("n_upserted"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+    )
+
+
+@register("sim_ann_upserted_topk", oracle=_IVFPQ_ORACLE)
+def sim_ann_upserted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 answered from the INCREMENTALLY-BUILT index — the
+    same oracle as sim_ann_indexed_topk (and the in-memory path), so the
+    chain batch-build ≡ persisted ≡ base+upsert is hash-proved end to
+    end: an incremental ingest pipeline can keep appending to the cell
+    partitions forever without the query path noticing. Plan shape is
+    identical to the indexed path: n_probe cell pruning = parquet
+    partition pruning over the (now multi-file) cell directories."""
+    import os
+
+    out = _ensure_ann_upsert_index(spark, sf_dir)
+    meta = spark.read.parquet(os.path.join(out, "meta")).collect()  # 272 rows
+    cents = {
+        int(r.idx): np.asarray(r.vals, dtype=np.float64)
+        for r in meta
+        if r.kind == "centroid"
+    }
+    m, k, dsub = 16, 16, 4
+    n_cw = sum(1 for r in meta if r.kind == "codebook")
+    if n_cw != m * k:
+        raise ValueError(f"ANN upsert meta holds {n_cw} codewords, expected {m * k}")
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for r in meta:
+        if r.kind == "codebook":
+            books[int(r.idx) // k][int(r.idx) % k] = np.asarray(
+                r.vals, dtype=np.float64
+            )
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+    probe_cells = sorted({cell for _, cell in probes})
+    encoded = (
+        spark.read.parquet(os.path.join(out, "codes"))
+        .filter(F.col("cell_id").isin(probe_cells))  # partition pruning
+        .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
+    )
+    return _ivfpq_score(spark, encoded, luts, probes, m)

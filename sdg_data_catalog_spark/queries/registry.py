@@ -226,6 +226,9 @@ _PRIORITY = (
     "agg_poisson_rate_test",
     "agg_percentile_exact",
     "curation_propensity_weights",
+    # round-11 incremental ANN index maintenance pair
+    "sink_ann_index_upsert",
+    "sim_ann_upserted_topk",
 )
 
 

@@ -226,3 +226,96 @@ def test_incremental_upsert_equals_batch_build(spark, sf_dir):
     incr = rows(_ann_index_dir(sf_dir) + "_incr")
     batch = rows(batch_dir)
     assert incr == batch and len(batch) > 0
+
+
+def test_upserted_index_equals_batch_build(spark, sf_dir):
+    """Incremental ≡ batch: the base+append code table holds exactly the
+    rows a one-shot full build encodes — same vec_ids, same cells, same
+    PQ codes. A vector missing from either batch, double-appended, or
+    encoded under drifted codebooks fails here."""
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ensure_ann_index,
+        _ensure_ann_upsert_index,
+    )
+
+    up = spark.read.parquet(
+        os.path.join(_ensure_ann_upsert_index(spark, sf_dir), "codes")
+    )
+    full = spark.read.parquet(
+        os.path.join(_ensure_ann_index(spark, sf_dir), "codes")
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (int(r.vec_id), int(r.cell_id), tuple(r.codes)) for r in df.collect()
+    )
+    a, b = canon(up), canon(full)
+    assert a == b and len(a) > 0
+
+
+def test_upserted_topk_equals_indexed_path(spark, sf_dir):
+    """The query path cannot tell the incrementally-maintained index from
+    the batch-built one."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    idx = sorted(
+        tuple(r) for r in qs["sim_ann_indexed_topk"](spark, sf_dir).collect()
+    )
+    ups = sorted(
+        tuple(r) for r in qs["sim_ann_upserted_topk"](spark, sf_dir).collect()
+    )
+    assert idx == ups and len(ups) > 0
+
+
+def test_upserted_topk_scan_is_partition_pruned(spark, sf_dir):
+    """Appending files inside cell partitions must not break the n_probe
+    partition pruning the layout exists for."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    df = all_queries()["sim_ann_upserted_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in l and "cell_id" in l for l in plan.splitlines()
+    ), plan[:2000]
+
+
+def test_upsert_appends_without_rewriting_base_files(spark, sf_dir):
+    """Append-only contract: rebuilding from scratch, the files written by
+    the base job are byte-identical after the upsert lands (the
+    incremental job may only ADD files)."""
+    import glob
+    import os
+    import shutil
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ann_upsert_dir,
+        _ensure_ann_upsert_index,
+        _ivfpq_parts,
+        _write_ann_meta,
+    )
+    from pyspark.sql import functions as F
+
+    out = _ann_upsert_dir(sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    codes_dir = os.path.join(out, "codes")
+    cents, books, base = _ivfpq_parts(
+        spark, sf_dir, subset=F.col("vec_id") % 5 != 0
+    )
+    base.write.partitionBy("cell_id").mode("overwrite").parquet(codes_dir)
+    snap = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(codes_dir, "**", "*.parquet"), recursive=True)
+    }
+    _write_ann_meta(spark, out, cents, books)
+    _, _, arriving = _ivfpq_parts(spark, sf_dir, subset=F.col("vec_id") % 5 == 0)
+    arriving.write.partitionBy("cell_id").mode("append").parquet(codes_dir)
+    with open(os.path.join(out, "_ANN_UPSERT_v1"), "w") as fh:
+        fh.write("v1")
+    after = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(codes_dir, "**", "*.parquet"), recursive=True)
+    }
+    assert set(snap) <= set(after) and len(after) > len(snap)
+    for p, meta in snap.items():
+        assert after[p] == meta, f"base file rewritten: {p}"
