@@ -451,6 +451,10 @@ def sim_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cw = sum(1 for r in meta if r.kind == "codebook")
     if n_cw != m * k:
         raise ValueError(f"ANN index meta holds {n_cw} codewords, expected {m * k}")
+    if len(cents) != N_CELLS:
+        raise ValueError(
+            f"ANN index meta holds {len(cents)} centroids, expected {N_CELLS}"
+        )
     books = np.zeros((m, k, dsub), dtype=np.float64)
     for r in meta:
         if r.kind == "codebook":
@@ -816,6 +820,10 @@ def sim_ann_upserted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cw = sum(1 for r in meta if r.kind == "codebook")
     if n_cw != m * k:
         raise ValueError(f"ANN upsert meta holds {n_cw} codewords, expected {m * k}")
+    if len(cents) != N_CELLS:
+        raise ValueError(
+            f"ANN upsert meta holds {len(cents)} centroids, expected {N_CELLS}"
+        )
     books = np.zeros((m, k, dsub), dtype=np.float64)
     for r in meta:
         if r.kind == "codebook":

@@ -136,68 +136,16 @@ _loaded = False
 # history of this comment for the per-round staging rationale). Alias IDs
 # whose targets are driver-green are deliberately absent: a green row on
 # the target is a green row on the ID.
-# Round-11 window: a pure certification rotation (r10 verdict #1). The 64
-# names below are exactly the registrations with no driver CORRECTNESS row
-# in the r01-r10 union — the round-10 batch-2..20 block. All 64 carry full
-# DuckDB oracles and were re-verified green with the driver-style
-# canonicalizer at sf0.01 before staging. With a 50-slot window, positions
-# 1-50 certify this round; the 14 tail names (ts_*/win_*/text_oov — chosen
-# as the tail purely by alphabetical order, nothing distinguishes them)
-# plus this round's few census promotions rotate in next round, after
-# which the backlog is zero. Round 11 otherwise holds new registrations to
-# a minimum so the debt cannot regrow past one window.
+# Round-12 window: zero-the-backlog rotation (r11 verdict #1). The 27 names
+# below are exactly the registrations with no driver CORRECTNESS row in the
+# r01-r11 union (recomputed from the raw JSON this round): the round-10
+# alphabetical tail (14) + round-11's 13 registrations. All 27 were
+# re-verified green under the driver's exact shape (tools/plain_sweep.py,
+# foreign cwd, plain session) at sf0.01 in round 11. Positions 28-50 are
+# round-12 registrations — policy since r11: new registrations per round
+# stay within the window headroom so the backlog can never exceed one
+# 50-slot window.
 _PRIORITY = (
-    "agg_chao1_richness",
-    "agg_cohort_ltv_curve",
-    "agg_crosstab_residuals",
-    "agg_good_turing",
-    "agg_hhi_concentration",
-    "agg_log_odds_monroe",
-    "agg_lorenz_curve",
-    "agg_mcc",
-    "agg_negbin_overdispersion",
-    "agg_power_analysis",
-    "agg_return_rate_by_brand",
-    "agg_session_depth_histogram",
-    "agg_simpson_diversity",
-    "agg_weibull_fit",
-    "agg_zipf_fit",
-    "curation_budget_by_utility",
-    "curation_filter_overlap",
-    "curation_loo_influence",
-    "curation_lsh_recall_eval",
-    "curation_submodular_facility",
-    "dedup_lsh_band_sweep",
-    "dq_freshness_sla",
-    "dq_primary_key_audit",
-    "dq_quality_corr_matrix",
-    "dq_referential_orphans",
-    "emb_pq_distortion",
-    "etl_cdc_compact",
-    "eval_auc_delong",
-    "eval_bleu_pairs",
-    "eval_cohens_kappa",
-    "eval_elo_batched",
-    "eval_krippendorff_alpha",
-    "eval_langid_confusion",
-    "eval_rouge_pairs",
-    "graph_adamic_adar",
-    "join_editdistance_blocked",
-    "join_range_band",
-    "lm_lambda_sweep",
-    "ml_knn_label_eval",
-    "ml_naive_bayes",
-    "mm_audio_vad",
-    "mm_tile_contrast",
-    "mm_wav_downsample",
-    "mm_wav_silence_trim",
-    "plan_backfill_batches",
-    "plan_partition_advisor",
-    "rank_plackett_luce",
-    "sample_balanced_downsample",
-    "sample_neyman_allocation",
-    "scan_csv_permissive",
-    # --- 50-slot window boundary: names below certify in round 12 ---
     "sim_ann_recall_eval",
     "sim_maxsim_late_interaction",
     "stream_hopping_topk",
@@ -212,12 +160,9 @@ _PRIORITY = (
     "win_ship_latency_percentiles",
     "win_sma_crossover",
     "win_streak_census",
-    # round-11 census promotions (r10 verdict #5) — certify with the tail
     "mm_resize_census",
     "mm_resize_jpeg_census",
     "text_compression_census",
-    # round-11 batch 2 (registry-audit gap fill) — certify with the tail;
-    # total round-12 backlog stays 25 ≤ one 50-slot window
     "agg_anova_oneway",
     "agg_wasserstein_1d",
     "lm_kl_divergence",
@@ -226,9 +171,9 @@ _PRIORITY = (
     "agg_poisson_rate_test",
     "agg_percentile_exact",
     "curation_propensity_weights",
-    # round-11 incremental ANN index maintenance pair
     "sink_ann_index_upsert",
     "sim_ann_upserted_topk",
+    # --- round-12 registrations (positions 28-50) appended below ---
 )
 
 

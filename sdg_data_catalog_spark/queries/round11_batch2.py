@@ -518,11 +518,16 @@ def eval_pr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ap_x2520")
     )
-    # recall denominator via the label histogram: r(q) = hist[label] − 1
+    # recall denominator via the label histogram: r(q) = hist[label] − 1.
+    # r=0 queries (label with no other member) are dropped to match the
+    # oracle's inner-join rtot semantics — its GROUP BY emits no row for
+    # them, and keeping them here would divide by zero.
     hist = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    rtot = q_lab.join(
-        F.broadcast(hist), F.col("q_lab") == F.col("label")
-    ).select("q_id", (F.col("cnt") - 1).alias("r"))
+    rtot = (
+        q_lab.join(F.broadcast(hist), F.col("q_lab") == F.col("label"))
+        .select("q_id", (F.col("cnt") - 1).alias("r"))
+        .filter(F.col("r") > 0)
+    )
     ks = spark.createDataFrame([(1,), (5,), (10,)], "k int")
     return (
         hits.join(F.broadcast(ks), F.col("rank") == F.col("k"))
