@@ -319,3 +319,81 @@ def test_upsert_appends_without_rewriting_base_files(spark, sf_dir):
     assert set(snap) <= set(after) and len(after) > len(snap)
     for p, meta in snap.items():
         assert after[p] == meta, f"base file rewritten: {p}"
+
+
+def test_upsert_multi_wave_appends_and_queries(spark, sf_dir):
+    """Repeated incremental ingest (r11 verdict #4): base build (60%),
+    query, wave 1 append (20%), query, wave 2 append (20%), query — with
+    byte-identity of every pre-existing file asserted after EACH wave
+    (appends may only ADD files, across arbitrarily many waves with
+    queries interleaved), the mid-wave query answering exactly what an
+    in-memory build over the same vector subset answers, and the final
+    directory's top-k equal to the one-shot batch index's. Proves the
+    marker/layout convention supports an ongoing ingest loop, not just
+    the single base+upsert wave the registered pair exercises."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ensure_ann_index,
+        _ivfpq_parts,
+        _ivfpq_query_luts,
+        _ivfpq_score,
+        _write_ann_meta,
+    )
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    out = os.path.join(_SCRATCH, _sf_name(sf_dir), "ann_ivfpq_multiwave")
+    shutil.rmtree(out, ignore_errors=True)
+    codes_dir = os.path.join(out, "codes")
+
+    cents, books, base = _ivfpq_parts(
+        spark, sf_dir, subset=F.col("vec_id") % 5 >= 2
+    )
+    base.write.partitionBy("cell_id").mode("overwrite").parquet(codes_dir)
+    _write_ann_meta(spark, out, cents, books)
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+
+    def snap():
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(
+                os.path.join(codes_dir, "**", "*.parquet"), recursive=True
+            )
+        }
+
+    def query_dir(path):
+        enc = spark.read.parquet(path).select(
+            "vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes"
+        )
+        return sorted(
+            tuple(r) for r in _ivfpq_score(spark, enc, luts, probes, 16).collect()
+        )
+
+    def query_mem(subset):
+        _, _, enc = _ivfpq_parts(spark, sf_dir, subset=subset)
+        return sorted(
+            tuple(r) for r in _ivfpq_score(spark, enc, luts, probes, 16).collect()
+        )
+
+    assert query_dir(codes_dir) == query_mem(F.col("vec_id") % 5 >= 2)
+
+    prev = snap()
+    for wave, subset in ((1, F.col("vec_id") % 5 == 1), (2, F.col("vec_id") % 5 == 0)):
+        _, _, arriving = _ivfpq_parts(spark, sf_dir, subset=subset)
+        arriving.write.partitionBy("cell_id").mode("append").parquet(codes_dir)
+        cur = snap()
+        assert set(prev) <= set(cur) and len(cur) > len(prev)
+        for p, meta in prev.items():
+            assert cur[p] == meta, f"wave {wave} rewrote pre-existing file {p}"
+        prev = cur
+        if wave == 1:
+            assert query_dir(codes_dir) == query_mem(F.col("vec_id") % 5 != 0)
+
+    final = query_dir(codes_dir)
+    batch = query_dir(os.path.join(_ensure_ann_index(spark, sf_dir), "codes"))
+    assert final == batch and len(batch) > 0
+    shutil.rmtree(out, ignore_errors=True)

@@ -108,3 +108,57 @@ def test_hdr_percentiles_bound_exact_percentiles(spark, sf_dir):
             target = vals[math.ceil(p * len(vals) / 100) - 1] / 1e6
             assert lo <= target < hi, (r.event_type, p, lo, target, hi)
             assert abs(hi - lo * 10) < 1e-9  # one decimal order of magnitude
+
+
+def test_mg_fold_prune_path_high_vocab():
+    """The production corpus's vocabulary (~dozens of tokens) never fills
+    the 400-slot summary, so the prune branch only ever runs here: drive
+    _mg_fold with a synthetic 5000-token vocabulary (heavy hitters + a
+    long uniform tail, shuffled across batches) and check the two
+    properties the operator relies on — the summary holds at most CAP
+    entries, and every token with partition count > n_p/DENOM survives
+    pruning (the pigeonhole guarantee phase 2 recounts against). Also
+    pins the '' sentinel's exact partition total and equivalence with a
+    reference dict-fold Misra-Gries."""
+    import random
+
+    from sdg_data_catalog_spark.queries.round7_batch6 import (
+        _MG_CAP,
+        _MG_DENOM,
+        _mg_fold,
+    )
+
+    rng = random.Random(1234)
+    stream: list[str] = []
+    for i in range(20):  # heavy hitters: well above n/DENOM
+        stream += [f"hot{i}"] * 1500
+    for i in range(5000):  # long tail
+        stream += [f"tail{i}"] * rng.randint(1, 8)
+    rng.shuffle(stream)
+    n = len(stream)
+    batches = [
+        pd.DataFrame({"token": stream[i : i + 4096]})
+        for i in range(0, n, 4096)
+    ]
+
+    out = next(_mg_fold(iter(batches)))
+    sentinel = out[out["token"] == ""]
+    summary = out[out["token"] != ""]
+    assert len(sentinel) == 1 and int(sentinel["c"].iloc[0]) == n
+    assert len(summary) <= _MG_CAP
+    survivors = set(summary["token"])
+    true_counts = Counter(stream)
+    for tok, c in true_counts.items():
+        if c * _MG_DENOM > n:
+            assert tok in survivors, f"heavy hitter {tok} ({c}) evicted"
+
+    # reference dict-fold MG with identical merge/prune semantics
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > _MG_CAP:
+            thresh = sorted(counters.values(), reverse=True)[_MG_CAP]
+            counters = {t: c - thresh for t, c in counters.items() if c > thresh}
+    got = dict(zip(summary["token"], summary["c"]))
+    assert got == {t: 0 for t in counters}, "summary token set drifted"
