@@ -123,6 +123,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round10_batch20",
     "sdg_data_catalog_spark.queries.round11_batch1",
     "sdg_data_catalog_spark.queries.round11_batch2",
+    "sdg_data_catalog_spark.queries.round12_batch1",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -174,6 +175,7 @@ _PRIORITY = (
     "sink_ann_index_upsert",
     "sim_ann_upserted_topk",
     # --- round-12 registrations (positions 28-50) appended below ---
+    "lda_input_census",
 )
 
 
