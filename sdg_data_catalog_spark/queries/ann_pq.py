@@ -154,22 +154,13 @@ WHERE rnk <= 10
 """
 
 
-def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
-    """The deterministic IVF-PQ build: (cents dict, codebooks ndarray,
-    encoded DataFrame of (vec_id, cell_id, codes)). Shared by the
-    in-memory query path, the persisted-index sink, the indexed query
-    path, and the incremental upsert so all of them provably compute the
-    same index. `subset` (an optional boolean Column over vec_id)
-    restricts WHICH vectors are encoded — the codebook/centroids always
-    derive from the full-corpus convention (vectors 0-31), which is what
-    makes incremental encoding consistent with the batch build."""
-    import pandas as pd
-
-    unit = _normalized(spark, sf_dir)
-    # centroid convention: the first N_CELLS vectors (dense vec_ids from 0 —
-    # enforced below by the 16..31 presence check), so the slice reads
-    # N_CELLS rows off the pushed-down scan instead of normalizing the
-    # whole corpus just to TakeOrdered 16 rows
+def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
+    """The frozen quantizer convention: (cents dict, cents_df, books).
+    Centroids = the first N_CELLS unit vectors; residual codewords =
+    unit vectors 16..31 against their assigned cells. Deriving both
+    from fixed vec_ids (never from whichever batch a vector ships in)
+    is what makes every encode path — batch, incremental upsert, and
+    the streaming ingest — provably produce identical codes."""
     cents_df = _normalized(spark, sf_dir, where=F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
@@ -177,7 +168,6 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
         int(r.cell_id): np.asarray(r.centroid, dtype=np.float64)
         for r in cents_df.collect()  # N_CELLS rows — bounded by design
     }
-    assigned = sim.ivf_assign(unit, N_CELLS, centroids=cents_df)
     book_rows = sorted(
         sim.ivf_assign(
             _normalized(
@@ -187,7 +177,7 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
             N_CELLS,
             centroids=cents_df,
         ).collect(),  # 16 rows — bounded by design (filter BEFORE the
-        # Python barrier; filtering the full `assigned` would re-run the
+        # Python barrier; filtering the full assignment would re-run the
         # whole-corpus assignment just to keep 16 rows)
         key=lambda r: int(r.vec_id),
     )
@@ -202,7 +192,18 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
         res_j = np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
         for s in range(m):
             books[s][j] = res_j[s * dsub : (s + 1) * dsub]
-    sc = spark.sparkContext
+    return cents, cents_df, books
+
+
+def _ivfpq_encode(assigned: DataFrame, cents, books) -> DataFrame:
+    """Residual-PQ encode of an assigned (vec_id, embedding, cell_id)
+    DataFrame under broadcast frozen codebooks — the one encode kernel
+    every ingest path (batch build, upsert, streaming foreachBatch)
+    shares, so code equality across paths is structural."""
+    import pandas as pd
+
+    m, k, dsub = books.shape
+    sc = assigned.sparkSession.sparkContext
     bc_cents, bc_books = sc.broadcast(cents), sc.broadcast(books)
 
     def _enc(batches):
@@ -223,14 +224,23 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
                 }
             )
 
-    src = (
-        assigned
-        if subset is None
-        else sim.ivf_assign(
-            _normalized(spark, sf_dir, where=subset), N_CELLS, centroids=cents_df
-        )
+    return assigned.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
+
+
+def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
+    """The deterministic IVF-PQ build: (cents dict, codebooks ndarray,
+    encoded DataFrame of (vec_id, cell_id, codes)). Shared by the
+    in-memory query path, the persisted-index sink, the indexed query
+    path, and the incremental upsert so all of them provably compute the
+    same index. `subset` (an optional boolean Column over vec_id)
+    restricts WHICH vectors are encoded — the codebook/centroids always
+    derive from the full-corpus convention (vectors 0-31), which is what
+    makes incremental encoding consistent with the batch build."""
+    cents, cents_df, books = _ivfpq_codebooks(spark, sf_dir)
+    src = sim.ivf_assign(
+        _normalized(spark, sf_dir, where=subset), N_CELLS, centroids=cents_df
     )
-    encoded = src.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
+    encoded = _ivfpq_encode(src, cents, books)
     return cents, books, encoded
 
 
@@ -838,3 +848,90 @@ def sim_ann_upserted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
     )
     return _ivfpq_score(spark, encoded, luts, probes, m)
+
+
+# ---------------------------------------------------------------------------
+# Streaming index ingest (round 12): the continuous version of the upsert
+# story — vector files land in a staging directory, a Structured Streaming
+# file source picks each one up, and foreachBatch encodes it under the SAME
+# frozen codebooks and appends into the cell_id-partitioned layout. The
+# checkpointed file source gives exactly-once file processing (a restart
+# re-reads nothing), foreachBatch shares _ivfpq_encode with the batch and
+# upsert builds, and the census oracle proves streamed ≡ batch from first
+# principles.
+# ---------------------------------------------------------------------------
+
+_ANN_STREAM_VERSION = "v1"
+
+
+def _ann_stream_dir(sf_dir: str) -> str:
+    import os
+
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    return os.path.join(_SCRATCH, _sf_name(sf_dir), "ann_ivfpq_stream")
+
+
+@register("stream_ann_ingest", oracle=_ANN_CENSUS_ORACLE)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index maintained BY A STREAM: the corpus lands as three
+    wave files in a staging directory (the stand-in for an hourly
+    landing zone; wave = vec_id % 3), a checkpointed Structured
+    Streaming file source consumes them one file per micro-batch
+    (maxFilesPerTrigger=1, availableNow), and foreachBatch runs the
+    shared assign+encode kernel (_ivfpq_codebooks/_ivfpq_encode — the
+    same code the batch build and the incremental upsert run) and
+    appends into the cell_id partitions. The registered result is the
+    per-cell census of the streamed index; the oracle recomputes the
+    assignment of the FULL corpus from first principles, so a green row
+    proves the streaming path dropped, duplicated, and misassigned
+    nothing. At 100 TB this is the steady-state ingest shape: the
+    checkpoint gives exactly-once file pickup across restarts, encode
+    is embarrassingly parallel per micro-batch, appends only ADD files
+    inside cell partitions (tests pin byte-identity of prior files),
+    and the query path is unchanged — partition pruning just sees one
+    more file per touched cell."""
+    import os
+    import shutil
+
+    out = _ann_stream_dir(sf_dir)
+    marker = os.path.join(out, f"_ANN_STREAM_{_ANN_STREAM_VERSION}")
+    codes_dir = os.path.join(out, "codes")
+    if not os.path.isfile(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        staging = os.path.join(out, "staging")
+        unit = _normalized(spark, sf_dir)
+        for wave in range(3):
+            # one file per wave: the landing-zone granularity this demo
+            # streams at (a real zone lands many files; the source picks
+            # up each exactly once either way)
+            unit.filter(F.col("vec_id") % 3 == wave).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+        cents, cents_df, books = _ivfpq_codebooks(spark, sf_dir)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staging)
+        )
+
+        def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+            assigned = sim.ivf_assign(batch_df, N_CELLS, centroids=cents_df)
+            _ivfpq_encode(assigned, cents, books).write.partitionBy(
+                "cell_id"
+            ).mode("append").parquet(codes_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", os.path.join(out, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write(_ANN_STREAM_VERSION)
+    codes = spark.read.parquet(codes_dir)
+    return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

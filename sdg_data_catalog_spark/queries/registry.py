@@ -176,6 +176,7 @@ _PRIORITY = (
     "sim_ann_upserted_topk",
     # --- round-12 registrations (positions 28-50) appended below ---
     "lda_input_census",
+    "stream_ann_ingest",
 )
 
 

@@ -397,3 +397,39 @@ def test_upsert_multi_wave_appends_and_queries(spark, sf_dir):
     batch = query_dir(os.path.join(_ensure_ann_index(spark, sf_dir), "codes"))
     assert final == batch and len(batch) > 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_ingest_codes_equal_batch_build(spark, sf_dir):
+    """The streamed index holds exactly the batch build's rows (vec_id,
+    cell_id, codes), the staging zone landed >= 3 wave files, the
+    checkpointed source processed them in >= 3 micro-batches (one file
+    per trigger), and re-running the registered query is idempotent
+    (the checkpoint marker prevents double ingest)."""
+    import glob
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ann_stream_dir,
+        _ensure_ann_index,
+    )
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    census1 = sorted(tuple(r) for r in qs["stream_ann_ingest"](spark, sf_dir).collect())
+    out = _ann_stream_dir(sf_dir)
+
+    staged = glob.glob(os.path.join(out, "staging", "*.parquet"))
+    assert len(staged) >= 3
+    offsets = glob.glob(os.path.join(out, "_chk", "offsets", "*"))
+    assert len(offsets) >= 3, f"expected >=3 micro-batches, saw {len(offsets)}"
+
+    canon = lambda path: sorted(  # noqa: E731
+        (int(r.vec_id), int(r.cell_id), tuple(r.codes))
+        for r in spark.read.parquet(path).collect()
+    )
+    streamed = canon(os.path.join(out, "codes"))
+    batch = canon(os.path.join(_ensure_ann_index(spark, sf_dir), "codes"))
+    assert streamed == batch and len(batch) > 0
+
+    census2 = sorted(tuple(r) for r in qs["stream_ann_ingest"](spark, sf_dir).collect())
+    assert census2 == census1
