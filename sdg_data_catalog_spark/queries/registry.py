@@ -124,6 +124,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round11_batch1",
     "sdg_data_catalog_spark.queries.round11_batch2",
     "sdg_data_catalog_spark.queries.round12_batch1",
+    "sdg_data_catalog_spark.queries.round12_batch2",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -177,6 +178,10 @@ _PRIORITY = (
     # --- round-12 registrations (positions 28-50) appended below ---
     "lda_input_census",
     "stream_ann_ingest",
+    "catalog_footer_stats",
+    "eval_bcubed_pairs",
+    "ts_resample_linear",
+    "dq_table_checksum",
 )
 
 

@@ -1,0 +1,431 @@
+"""Round-12 batch 2: storage-layer observability, clustering quality,
+time-series resampling, and cross-engine table fingerprints.
+
+- ``catalog_footer_stats`` — parquet FOOTER metadata (per-partition row
+  counts and column min/max read with pyarrow, no data pages touched)
+  certified against the data itself: the contract that makes min/max
+  zone pruning trustworthy. Footer reads run distributed (one task per
+  file via mapInPandas over a bounded file list) — the shape a 100-TB
+  manifest audit needs, since footers are KB-sized regardless of file
+  size.
+- ``eval_bcubed_pairs`` — the B³ clustering-quality decomposition
+  (Bagga & Baldwin 1998) of the deployed IVF cell assignment against
+  the gold labels: per (label, cell) the intersection/cluster/class
+  counts and the per-item precision/recall contributions. All counts
+  exact integers; each ratio a single per-row division (no cross-row
+  float sums — the aggregate B³ is a client-side fold over this bounded
+  table, computed in the tests).
+- ``ts_resample_linear`` — per-type hourly resampling by LINEAR
+  interpolation between neighboring observations (the locf twin's other
+  half): one union + two IGNORE NULLS windows per series, never a
+  per-grid-point scan.
+- ``dq_table_checksum`` — order-invariant cross-engine table
+  fingerprint: SUM over rows of a 32-bit md5 prefix of the
+  canonicalized key columns, exact in DECIMAL(38,0). The replication /
+  migration validation primitive: two engines (or two copies) holding
+  the same rows produce the same checksum regardless of row order or
+  partitioning.
+
+Reference analog: none direct — SURVEY §2.11 north-star surface
+(storage audit, cluster eval, resample, reconciliation).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.queries.registry import register
+
+_FOOTER_VERSION = "v1"
+
+
+def _footer_layout_dir(sf_dir: str) -> str:
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    return os.path.join(_SCRATCH, _sf_name(sf_dir), "orders_by_priority")
+
+
+def _ensure_footer_layout(spark: SparkSession, sf_dir: str) -> str:
+    """One-time partitioned copy of orders (partitionBy o_orderpriority,
+    one task per priority so each partition holds one file) — the
+    ingest-time layout the footer audit runs over."""
+    out = _footer_layout_dir(sf_dir)
+    marker = os.path.join(out, f"_FOOTER_LAYOUT_{_FOOTER_VERSION}")
+    if os.path.isfile(marker):
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.repartition("o_orderpriority")
+        .write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    with open(marker, "w") as fh:
+        fh.write(_FOOTER_VERSION)
+    return out
+
+
+@register(
+    "catalog_footer_stats",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def catalog_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit: per partition of the priority-partitioned orders
+    layout, row count and o_totalprice min/max read from PARQUET FOOTER
+    STATISTICS ONLY (pyarrow metadata — zero data pages), hash-checked
+    against the engine recomputing the same stats from the data. Green
+    means the footers a planner prunes on are faithful. The file list is
+    bounded (one per partition value) and enumerated driver-side; the
+    footer reads themselves run as a distributed map (footers are
+    KB-sized, so this audits a 100-TB lake at manifest cost)."""
+    import glob
+
+    out = _ensure_footer_layout(spark, sf_dir)
+    files = []
+    for d in sorted(glob.glob(os.path.join(out, "o_orderpriority=*"))):
+        prio = os.path.basename(d).split("=", 1)[1]
+        for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            files.append((prio, p))
+    if not files:
+        raise ValueError(f"no parquet files under {out}")
+    paths = spark.createDataFrame(files, "priority string, path string").repartition(
+        min(len(files), 32)
+    )
+
+    def _footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for prio, path in zip(pdf["priority"], pdf["path"]):
+                md = pq.ParquetFile(path).metadata
+                names = md.schema.names
+                ci = names.index("o_totalprice")
+                lo, hi, n = None, None, 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"footer stats missing in {path}")
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                    n += md.row_group(rg).num_rows
+                rows.append((prio, n, lo, hi))
+            yield pd.DataFrame(
+                rows, columns=["priority", "n_rows", "min_price", "max_price"]
+            )
+
+    per_file = paths.mapInPandas(
+        _footers, "priority string, n_rows long, min_price double, max_price double"
+    )
+    return (
+        per_file.groupBy("priority")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.min("min_price"), 2).alias("min_price"),
+            F.round(F.max("max_price"), 2).alias("max_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "eval_bcubed_pairs",
+    oracle="""
+    WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+                FROM embeddings),
+    en AS (SELECT vec_id, raw,
+                  sqrt(list_sum(list_transform(raw, y -> y*y))) AS nrm
+           FROM e0),
+    e AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS emb FROM en),
+    cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+    dist AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    al AS (
+      SELECT a.vec_id, a.cell_id, b.label
+      FROM assigned a JOIN embeddings b ON a.vec_id = b.vec_id
+    ),
+    cl AS (SELECT cell_id, label, CAST(COUNT(*) AS BIGINT) AS n_cl
+           FROM al GROUP BY 1, 2),
+    c AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_c FROM al GROUP BY 1),
+    l AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l FROM al GROUP BY 1)
+    SELECT cl.label, cl.cell_id, cl.n_cl, c.n_c, l.n_l,
+           ROUND(CAST(cl.n_cl AS DOUBLE) / c.n_c, 6) AS precision_i,
+           ROUND(CAST(cl.n_cl AS DOUBLE) / l.n_l, 6) AS recall_i
+    FROM cl JOIN c ON cl.cell_id = c.cell_id
+    JOIN l ON cl.label = l.label
+    ORDER BY cl.label, cl.cell_id
+    """,
+)
+def eval_bcubed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B³ decomposition of the deployed IVF clustering against gold
+    labels: for every (label, cell) intersection, the exact counts and
+    the per-item precision = n_cl/n_c and recall = n_cl/n_l every item
+    of that intersection contributes (Bagga & Baldwin 1998). The
+    corpus-level B³ P/R/F1 is Σ n_cl·contribution / N — a fold over
+    this |labels|×|cells|-bounded table, done client-side (tests) so no
+    cross-row float sum enters the hash-checked surface. Assignment is
+    the same broadcast-centroid map pass the ANN ladder deploys —
+    clustering eval costs one corpus scan plus vocabulary-sized
+    aggregates at any scale."""
+    from sdg_data_catalog_spark.operators import similarity as sim
+    from sdg_data_catalog_spark.queries.ann_pq import N_CELLS, _normalized
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(_normalized(spark, sf_dir), N_CELLS).select(
+        "vec_id", "cell_id"
+    )
+    al = assigned.join(emb.select("vec_id", "label"), "vec_id").localCheckpoint(
+        eager=False
+    )  # one corpus-sized relation consumed by three bounded aggregates
+    cl = al.groupBy("cell_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cl")
+    )
+    c = al.groupBy("cell_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    lt = al.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_l"))
+    return (
+        cl.join(F.broadcast(c), "cell_id")
+        .join(F.broadcast(lt), "label")
+        .select(
+            "label",
+            "cell_id",
+            "n_cl",
+            "n_c",
+            "n_l",
+            F.round(F.col("n_cl").cast("double") / F.col("n_c"), 6).alias(
+                "precision_i"
+            ),
+            F.round(F.col("n_cl").cast("double") / F.col("n_l"), 6).alias("recall_i"),
+        )
+        .orderBy("label", "cell_id")
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "ts_resample_linear",
+    oracle=f"""
+    WITH obs0 AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts)
+                                ORDER BY event_id) AS rn
+      FROM events
+    ),
+    obs AS (SELECT event_type, ts_us, value FROM obs0 WHERE rn = 1),
+    bounds AS (
+      SELECT event_type,
+             CAST(ceil(CAST(MIN(ts_us) AS DOUBLE) / {_HOUR_US}) AS BIGINT) AS h0,
+             MAX(ts_us) // {_HOUR_US} AS h1
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.h * {_HOUR_US} AS ts_us
+      FROM bounds b, unnest(range(b.h0, b.h1 + 1)) AS g(h)
+    ),
+    u AS (
+      SELECT event_type, ts_us, value, 0 AS kind FROM obs
+      UNION ALL
+      SELECT event_type, ts_us, NULL AS value, 1 AS kind FROM grid
+    ),
+    w AS (
+      SELECT event_type, ts_us, kind,
+             LAST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts_us, kind
+               ROWS UNBOUNDED PRECEDING) AS v_prev,
+             LAST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts_us, kind
+               ROWS UNBOUNDED PRECEDING) AS t_prev,
+             FIRST_VALUE(value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts_us, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+             FIRST_VALUE(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY ts_us, kind
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t_next
+      FROM u
+    )
+    SELECT event_type, ts_us AS grid_ts_us,
+           ROUND(CASE WHEN t_next = t_prev THEN v_prev
+                 ELSE v_prev + (v_next - v_prev)
+                      * (CAST(ts_us - t_prev AS DOUBLE) / (t_next - t_prev))
+                 END, 6) AS value_interp
+    FROM w
+    WHERE kind = 1 AND t_prev IS NOT NULL AND t_next IS NOT NULL
+    ORDER BY event_type, grid_ts_us
+    """,
+)
+def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling by linear interpolation, per event_type: the
+    other half of ts_resample_locf. Duplicate-timestamp observations
+    dedupe deterministically (first event_id wins), the per-type hourly
+    grid unions with the observations, and two IGNORE NULLS running
+    windows attach the straddling neighbors to every grid point — one
+    sort per series regardless of grid density, never a per-grid-point
+    probe. The interpolation is a single identical double expression
+    over exact integer timestamps, so both engines agree bitwise.
+    Obs-exactly-on-grid collapses to the observation (t_next = t_prev
+    guard). At 100 TB each series windows independently —
+    partitionBy(event_type) parallelism with no cross-series state."""
+    ev = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    obs0 = ev.select(
+        "event_type", ts_us.alias("ts_us"), "value", "event_id"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type", "ts_us").orderBy("event_id")
+        ),
+    )
+    obs = obs0.filter(F.col("rn") == 1).select("event_type", "ts_us", "value")
+    bounds = obs.groupBy("event_type").agg(
+        F.ceil(F.min("ts_us").cast("double") / F.lit(_HOUR_US))
+        .cast("bigint")
+        .alias("h0"),
+        (F.max("ts_us") / F.lit(_HOUR_US)).cast("bigint").alias("h1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    ).select("event_type", (F.col("h") * _HOUR_US).alias("ts_us"))
+    u = obs.withColumn("kind", F.lit(0)).unionByName(
+        grid.withColumn("value", F.lit(None).cast("double")).withColumn(
+            "kind", F.lit(1)
+        )
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("kind") == 0, F.col("ts_us"))
+    w = u.select(
+        "event_type",
+        "ts_us",
+        "kind",
+        F.last("value", ignorenulls=True).over(fwd).alias("v_prev"),
+        F.last(obs_ts, ignorenulls=True).over(fwd).alias("t_prev"),
+        F.first("value", ignorenulls=True).over(bwd).alias("v_next"),
+        F.first(obs_ts, ignorenulls=True).over(bwd).alias("t_next"),
+    )
+    interp = F.when(F.col("t_next") == F.col("t_prev"), F.col("v_prev")).otherwise(
+        F.col("v_prev")
+        + (F.col("v_next") - F.col("v_prev"))
+        * (
+            (F.col("ts_us") - F.col("t_prev")).cast("double")
+            / (F.col("t_next") - F.col("t_prev"))
+        )
+    )
+    return (
+        w.filter(
+            (F.col("kind") == 1)
+            & F.col("t_prev").isNotNull()
+            & F.col("t_next").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.col("ts_us").alias("grid_ts_us"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("event_type", "grid_ts_us")
+    )
+
+
+def _row_hash(*cols: str):
+    """32-bit md5 prefix of the '|'-joined canonicalized columns — the
+    same conv(substr(md5)) idiom the certified DSIR/fastText features
+    use; 32 bits keeps the per-row value far below the DECIMAL(38,0)
+    sum's exactness bound at any row count."""
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("decimal(38,0)")
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+    WITH o AS (
+      SELECT CAST('orders' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+               || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8))
+               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST('customer' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
+               || '|' || c_mktsegment), 1, 8))
+               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      FROM customer
+    ),
+    l AS (
+      SELECT CAST('lineitem' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(CAST(('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+               || '|' || CAST(l_partkey AS VARCHAR) || '|' || l_returnflag), 1, 8))
+               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+      FROM lineitem
+    )
+    SELECT * FROM o UNION ALL SELECT * FROM c UNION ALL SELECT * FROM l
+    ORDER BY tbl
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprints for replication / migration
+    validation: per table, row count plus the exact DECIMAL(38,0) sum
+    of a 32-bit md5 prefix over the canonicalized key columns. Any
+    dropped, duplicated, or mutated row moves the sum; row order and
+    partitioning cannot (addition commutes, and the decimal sum is
+    exact — no float folding). This op's green hash IS the cross-engine
+    reconciliation demo: Spark and DuckDB computing the same fingerprint
+    from independent scans. Map-side partial aggregation means one scan
+    per table and a 1-row shuffle at any scale."""
+
+    def cksum(df: DataFrame, tbl: str, *cols: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(_row_hash(*cols)).cast("decimal(38,0)").alias("checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        cksum(orders, "orders", "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .unionByName(cksum(customer, "customer", "c_custkey", "c_nationkey", "c_mktsegment"))
+        .unionByName(
+            cksum(lineitem, "lineitem", "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+        )
+        .orderBy("tbl")
+    )

@@ -1,0 +1,119 @@
+"""Twins for round-12 batch 2 (queries/round12_batch2.py). Oracle hashes
+are covered by test_contract.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from sdg_data_catalog_spark.queries.registry import all_queries
+
+
+def test_footer_stats_touch_no_data_pages(spark, sf_dir):
+    """The audit must be metadata-only: per-partition n_rows/min/max from
+    footers equal a pandas recompute, and the footer bytes themselves
+    are a tiny fraction of the file (the 100-TB manifest-cost claim)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sdg_data_catalog_spark.queries.round12_batch2 import (
+        _ensure_footer_layout,
+    )
+
+    out = all_queries()["catalog_footer_stats"](spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    g = orders.groupby("o_orderpriority")["o_totalprice"]
+    expect = pd.DataFrame(
+        {
+            "n_rows": g.size(),
+            "min_price": g.min().round(2),
+            "max_price": g.max().round(2),
+        }
+    ).reset_index()
+    got = out.sort_values("priority").reset_index(drop=True)
+    assert list(got["priority"]) == list(expect["o_orderpriority"])
+    assert list(got["n_rows"]) == list(expect["n_rows"])
+    assert np.allclose(got["min_price"], expect["min_price"])
+    assert np.allclose(got["max_price"], expect["max_price"])
+
+    layout = _ensure_footer_layout(spark, sf_dir)
+    files = glob.glob(os.path.join(layout, "**", "*.parquet"), recursive=True)
+    assert files
+    for p in files[:2]:
+        md = pq.ParquetFile(p).metadata
+        assert md.serialized_size < os.path.getsize(p) / 4
+
+
+def test_bcubed_aggregate_properties(spark, sf_dir):
+    """Fold the per-(label, cell) decomposition to corpus-level B³ P/R
+    and check the identities: both in (0, 1], Σ n_cl = N (every item in
+    exactly one intersection), and P == R == 1 iff clusters ≡ classes
+    (not the case for IVF cells vs labels, so strictly < 1 unless the
+    clustering is degenerate-perfect). Also recompute from raw parquet
+    with numpy."""
+    out = all_queries()["eval_bcubed_pairs"](spark, sf_dir).toPandas()
+    n = out["n_cl"].sum()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    assert n == len(emb)
+    p = float((out["n_cl"] * out["n_cl"] / out["n_c"]).sum() / n)
+    r = float((out["n_cl"] * out["n_cl"] / out["n_l"]).sum() / n)
+    assert 0.0 < p <= 1.0 and 0.0 < r <= 1.0
+    # per-item contributions in the table agree with the ratio columns
+    assert np.allclose(out["precision_i"], (out["n_cl"] / out["n_c"]).round(6))
+    assert np.allclose(out["recall_i"], (out["n_cl"] / out["n_l"]).round(6))
+    # class sizes: n_l sums (over distinct labels) to N
+    assert out.drop_duplicates("label")["n_l"].sum() == len(emb)
+
+
+def test_resample_linear_matches_numpy(spark, sf_dir):
+    """np.interp differential: per type, interpolate the deduped
+    observation series onto the hourly grid and compare."""
+    out = all_queries()["ts_resample_linear"](spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    hour = 3_600_000_000
+    for etype, grp in ev.groupby("event_type"):
+        obs = (
+            grp.sort_values(["ts_us", "event_id"])
+            .drop_duplicates("ts_us", keep="first")
+            .sort_values("ts_us")
+        )
+        h0 = int(np.ceil(obs["ts_us"].min() / hour))
+        h1 = int(obs["ts_us"].max() // hour)
+        grid = np.arange(h0, h1 + 1) * hour
+        # only grid points with both neighbors (inside the obs range)
+        grid = grid[(grid >= obs["ts_us"].min()) & (grid <= obs["ts_us"].max())]
+        want = np.interp(grid, obs["ts_us"], obs["value"])
+        got = out[out["event_type"] == etype].sort_values("grid_ts_us")
+        assert list(got["grid_ts_us"]) == list(grid)
+        assert np.allclose(got["value_interp"], want.round(6), atol=1e-6)
+
+
+def test_table_checksum_detects_mutation(spark, sf_dir):
+    """The fingerprint property: recompute the orders checksum in pure
+    Python (hashlib md5, same 32-bit prefix) and verify equality; then
+    verify a single mutated row WOULD move the sum (the detection
+    property replication validation relies on)."""
+    import hashlib
+
+    out = all_queries()["dq_table_checksum"](spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+
+    def h(row_str: str) -> int:
+        return int(hashlib.md5(row_str.encode()).hexdigest()[:8], 16)
+
+    want = sum(
+        h(f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.o_orderpriority}")
+        for r in orders.itertuples()
+    )
+    row = out[out["tbl"] == "orders"].iloc[0]
+    assert int(row["checksum"]) == want
+    assert int(row["n_rows"]) == len(orders)
+    # mutation detection: flipping one custkey changes the sum
+    r0 = orders.iloc[0]
+    mutated = want - h(
+        f"{r0.o_orderkey}|{r0.o_custkey}|{r0.o_orderstatus}|{r0.o_orderpriority}"
+    ) + h(f"{r0.o_orderkey}|{r0.o_custkey + 1}|{r0.o_orderstatus}|{r0.o_orderpriority}")
+    assert mutated != want
