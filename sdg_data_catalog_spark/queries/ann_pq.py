@@ -935,3 +935,29 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id")).agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+@register("sim_ann_streamed_topk", oracle=_IVFPQ_ORACLE)
+def sim_ann_streamed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k answered FROM THE STREAM-MAINTAINED INDEX — closes the
+    streaming loop the way sim_ann_upserted_topk closed the upsert one:
+    hash-matching the batch-built index's oracle proves batch ≡
+    persisted ≡ base+upsert ≡ STREAMED end to end, so an index kept
+    fresh by the micro-batch ingest answers queries identically to a
+    nightly rebuild. Codebooks are re-derived from the frozen
+    convention (they never drift with ingest), and the scan keeps the
+    cell_id partition pruning — streamed appends just add files inside
+    cells."""
+    import os
+
+    stream_ann_ingest(spark, sf_dir)  # ensure the streamed index exists
+    out = _ann_stream_dir(sf_dir)
+    cents, _, books = _ivfpq_codebooks(spark, sf_dir)
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+    probe_cells = sorted({cell for _, cell in probes})
+    encoded = (
+        spark.read.parquet(os.path.join(out, "codes"))
+        .filter(F.col("cell_id").isin(probe_cells))  # partition pruning
+        .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
+    )
+    return _ivfpq_score(spark, encoded, luts, probes, 16)

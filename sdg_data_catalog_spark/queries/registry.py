@@ -182,6 +182,7 @@ _PRIORITY = (
     "eval_bcubed_pairs",
     "ts_resample_linear",
     "dq_table_checksum",
+    "sim_ann_streamed_topk",
 )
 
 

@@ -433,3 +433,27 @@ def test_stream_ingest_codes_equal_batch_build(spark, sf_dir):
 
     census2 = sorted(tuple(r) for r in qs["stream_ann_ingest"](spark, sf_dir).collect())
     assert census2 == census1
+
+
+def test_streamed_topk_equals_indexed_path(spark, sf_dir):
+    """The query path cannot tell the stream-maintained index from the
+    batch-built one, and the probe restriction still prunes partitions."""
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    idx = sorted(
+        tuple(r) for r in qs["sim_ann_indexed_topk"](spark, sf_dir).collect()
+    )
+    st = sorted(
+        tuple(r) for r in qs["sim_ann_streamed_topk"](spark, sf_dir).collect()
+    )
+    assert idx == st and len(st) > 0
+    plan = (
+        qs["sim_ann_streamed_topk"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "PartitionFilters" in l and "cell_id" in l for l in plan.splitlines()
+    ), plan[:2000]
