@@ -183,6 +183,7 @@ _PRIORITY = (
     "ts_resample_linear",
     "dq_table_checksum",
     "sim_ann_streamed_topk",
+    "pipeline_pretrain_manifest",
 )
 
 

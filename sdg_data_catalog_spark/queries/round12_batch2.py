@@ -429,3 +429,180 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@register(
+    "pipeline_pretrain_manifest",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS uniq_ratio,
+             md5(array_to_string(
+                 list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM base WHERE ws_tokens >= 20 AND uniq_ratio >= 0.2),
+    s2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM s1) WHERE rn = 1
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS esh
+      FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0)
+      WHERE len(t) >= 3
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM s2 WHERE doc_id % 97 <> 0)
+      WHERE len(t) >= 3
+    ),
+    contaminated AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.sh = ev.esh),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT doc_id, ws_tokens,
+               SUM(ws_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM s3) WHERE cum <= 200000
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_id, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens FROM base
+      UNION ALL
+      SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+      FROM s1
+      UNION ALL
+      SELECT 2, 'dedup_exact', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+      FROM s2
+      UNION ALL
+      SELECT 3, 'decontaminate', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+      FROM s3
+      UNION ALL
+      SELECT 4, 'token_budget', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+      FROM s4
+    ) ORDER BY stage_id
+    """,
+)
+def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel report a pretraining-data run ships with: per stage of
+    the full curation chain — raw → quality gate → exact-fingerprint
+    dedup → decontamination against the eval split → token-budget cut —
+    the surviving doc count and token total. Every stage reuses the
+    exact semantics of its certified standalone operator (quality =
+    operators/curation.curate's gate, dedup = the fingerprint min-id
+    survivor, decontamination = dedup_decontaminate's 3-shingle
+    semi-join with eval = doc_id % 97, budget = the two-phase scalable
+    running sum), so the manifest certifies the COMPOSITION end to end.
+    Plan shape: one pass computes per-doc flags for stages 0-3 into a
+    checkpointed (doc_id, ws_tokens, flags) relation — no text column
+    retained — consumed by one conditional aggregate; the shingle
+    contamination join and the budget range-shuffle are the only other
+    corpus-scale work. At 100 TB each stage is exactly the standalone
+    operator's cost; nothing here is quadratic or driver-bound."""
+    from sdg_data_catalog_spark.functions import text as T
+    from sdg_data_catalog_spark.operators.curation import running_total
+
+    docs = table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        q["n_tokens"].cast("bigint").alias("ws_tokens"),
+        q["uniq_token_ratio"].alias("uniq_ratio"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    q_ok = (F.col("ws_tokens") >= 20) & (F.col("uniq_ratio") >= 0.2)
+    flagged = base.withColumn("q_ok", q_ok)
+    # dedup among quality survivors only: q_ok rows sort first in each fp
+    # group, so rn==1 ∧ q_ok ⇔ min-doc_id quality survivor of the group
+    wfp = Window.partitionBy("fp").orderBy(F.col("q_ok").desc(), F.col("doc_id"))
+    flagged = flagged.withColumn(
+        "s2", F.col("q_ok") & (F.row_number().over(wfp) == 1)
+    )
+    shingle = lambda t: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    toks = F.split(F.col("text"), " ")
+    ev_sh = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(shingle(F.split(F.col("text"), " "))).alias("esh"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3 if False else F.lit(True))
+        .distinct()
+    )
+    cand_sh = (
+        flagged.filter(F.col("s2") & (F.col("doc_id") % 97 != 0))
+        .filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingle(toks)).alias("sh"))
+        .distinct()
+    )
+    contaminated = cand_sh.join(ev_sh, cand_sh["sh"] == ev_sh["esh"]).select(
+        "doc_id"
+    ).distinct()
+    flags = (
+        flagged.join(
+            contaminated.withColumn("contam", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "ws_tokens",
+            "q_ok",
+            "s2",
+            (
+                F.col("s2")
+                & (F.col("doc_id") % 97 != 0)
+                & F.col("contam").isNull()
+            ).alias("s3"),
+        )
+        .localCheckpoint(eager=True)  # (doc_id, ws_tokens, 3 bools) — no text
+    )
+
+    def stage(sid: int, name: str, cond) -> DataFrame:
+        return flags.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(cond, F.col("ws_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    s4 = running_total(
+        flags.filter(F.col("s3")).select("doc_id", "ws_tokens"),
+        "doc_id",
+        F.col("ws_tokens").cast("bigint"),
+        "cum",
+    ).filter(F.col("cum") <= 200_000)
+    s4_row = s4.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("ws_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit(4).cast("int").alias("stage_id"),
+        F.lit("token_budget").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    return (
+        stage(0, "raw", F.lit(True))
+        .unionByName(stage(1, "quality", F.col("q_ok")))
+        .unionByName(stage(2, "dedup_exact", F.col("s2")))
+        .unionByName(stage(3, "decontaminate", F.col("s3")))
+        .unionByName(s4_row)
+        .orderBy("stage_id")
+    )

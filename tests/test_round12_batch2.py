@@ -117,3 +117,64 @@ def test_table_checksum_detects_mutation(spark, sf_dir):
         f"{r0.o_orderkey}|{r0.o_custkey}|{r0.o_orderstatus}|{r0.o_orderpriority}"
     ) + h(f"{r0.o_orderkey}|{r0.o_custkey + 1}|{r0.o_orderstatus}|{r0.o_orderpriority}")
     assert mutated != want
+
+
+def test_pretrain_manifest_funnel_properties(spark, sf_dir):
+    """Funnel invariants plus a pure-Python recompute of every stage."""
+    import hashlib
+    import re
+
+    out = (
+        all_queries()["pipeline_pretrain_manifest"](spark, sf_dir)
+        .toPandas()
+        .sort_values("stage_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["stage"]) == [
+        "raw",
+        "quality",
+        "dedup_exact",
+        "decontaminate",
+        "token_budget",
+    ]
+    # monotone funnel
+    assert all(
+        out["n_docs"].iloc[i] >= out["n_docs"].iloc[i + 1] for i in range(4)
+    )
+    assert all(
+        out["n_tokens"].iloc[i] >= out["n_tokens"].iloc[i + 1] for i in range(4)
+    )
+    assert out["n_tokens"].iloc[4] <= 200_000
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = []
+    for r in docs.itertuples():
+        toks = (r.text or "").split(" ")
+        uniq = len(set(toks)) / len(toks)
+        fp = hashlib.md5(
+            " ".join(sorted(set((r.text or "").lower().split(" ")))).encode()
+        ).hexdigest()
+        rows.append((r.doc_id, len(toks), uniq, fp, r.text))
+    df = pd.DataFrame(rows, columns=["doc_id", "ws", "uniq", "fp", "text"])
+    assert out["n_docs"].iloc[0] == len(df) and out["n_tokens"].iloc[0] == df["ws"].sum()
+    s1 = df[(df["ws"] >= 20) & (df["uniq"] >= 0.2)]
+    assert out["n_docs"].iloc[1] == len(s1)
+    s2 = s1.sort_values("doc_id").drop_duplicates("fp", keep="first")
+    assert out["n_docs"].iloc[2] == len(s2)
+
+    def sh3(text):
+        t = text.split(" ")
+        return {f"{t[i]} {t[i+1]} {t[i+2]}" for i in range(len(t) - 2)}
+
+    ev = set()
+    for r in docs[docs["doc_id"] % 97 == 0].itertuples():
+        ev |= sh3(r.text or "")
+    s3 = s2[
+        (s2["doc_id"] % 97 != 0)
+        & ~s2["text"].map(lambda t: bool(sh3(t or "") & ev))
+    ]
+    assert out["n_docs"].iloc[3] == len(s3) and out["n_tokens"].iloc[3] == s3["ws"].sum()
+    s3s = s3.sort_values("doc_id")
+    cum = s3s["ws"].cumsum()
+    s4 = s3s[cum <= 200_000]
+    assert out["n_docs"].iloc[4] == len(s4) and out["n_tokens"].iloc[4] == s4["ws"].sum()
