@@ -184,6 +184,7 @@ _PRIORITY = (
     "dq_table_checksum",
     "sim_ann_streamed_topk",
     "pipeline_pretrain_manifest",
+    "feat_target_encode",
 )
 
 

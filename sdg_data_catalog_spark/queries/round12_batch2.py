@@ -606,3 +606,68 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s4_row)
         .orderBy("stage_id")
     )
+
+
+@register(
+    "feat_target_encode",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos_all
+      FROM orders
+    ),
+    c AS (
+      SELECT o_orderpriority AS category,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pos
+      FROM orders GROUP BY 1
+    )
+    SELECT c.category, c.n, c.n_pos,
+           ROUND(CAST(c.n_pos AS DOUBLE) / c.n, 6) AS raw_rate,
+           ROUND((c.n_pos + 10.0 * (CAST(g.pos_all AS DOUBLE) / g.n_all))
+                 / (c.n + 10), 6) AS encoded
+    FROM c CROSS JOIN g
+    ORDER BY c.category
+    """,
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding (the classic categorical feature for
+    tabular models; Micci-Barreca 2001): per category the raw target
+    rate and the m-estimate shrunk toward the global prior,
+    enc = (n_pos + m·prior) / (n + m) with m=10 — rare categories pull
+    to the prior, frequent ones keep their rate. All counts exact
+    integers aggregated map-side (one scan, |categories|-row result);
+    the encode is scalar arithmetic on those counts, so both engines
+    agree bitwise. At 100 TB this is one partial-aggregated groupBy
+    plus a 1-row broadcast — the cheapest feature in the book, which is
+    why it's in every tabular pipeline."""
+    orders = table(spark, sf_dir, "orders")
+    pos = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    g = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(pos).cast("bigint").alias("pos_all"),
+    )
+    c = orders.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(pos).cast("bigint").alias("n_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(g))  # 1-row global prior attachment
+        .select(
+            "category",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (
+                    F.col("n_pos")
+                    + 10.0 * (F.col("pos_all").cast("double") / F.col("n_all"))
+                )
+                / (F.col("n") + 10),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("category")
+    )

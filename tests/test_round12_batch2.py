@@ -178,3 +178,21 @@ def test_pretrain_manifest_funnel_properties(spark, sf_dir):
     cum = s3s["ws"].cumsum()
     s4 = s3s[cum <= 200_000]
     assert out["n_docs"].iloc[4] == len(s4) and out["n_tokens"].iloc[4] == s4["ws"].sum()
+
+
+def test_target_encode_shrinkage_properties(spark, sf_dir):
+    """m-estimate identities: encoded lies strictly between the raw rate
+    and the global prior (unless they coincide), approaches the prior as
+    m/n grows, and a pandas recompute agrees."""
+    out = all_queries()["feat_target_encode"](spark, sf_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    prior = (orders["o_orderstatus"] == "F").mean()
+    g = orders.groupby("o_orderpriority")["o_orderstatus"]
+    for r in out.itertuples():
+        sub = orders[orders["o_orderpriority"] == r.category]
+        n, n_pos = len(sub), int((sub["o_orderstatus"] == "F").sum())
+        assert (r.n, r.n_pos) == (n, n_pos)
+        want = (n_pos + 10 * prior) / (n + 10)
+        assert abs(r.encoded - round(want, 6)) < 1e-9
+        lo, hi = sorted((r.raw_rate, prior))
+        assert lo - 1e-9 <= r.encoded <= hi + 1e-9
