@@ -961,3 +961,57 @@ def sim_ann_streamed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
     )
     return _ivfpq_score(spark, encoded, luts, probes, 16)
+
+
+@register(
+    "catalog_ann_index_audit",
+    oracle=f"""
+    WITH {_NORM_SQL},
+    cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+    dist AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_upserted,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM assigned GROUP BY cell_id ORDER BY cell_id
+    """,
+)
+def catalog_ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version audit over the incrementally-maintained index directory
+    (the catalog_diff_versions analogue for the ANN lake): per cell, how
+    many code rows came from the nightly base build vs the upsert wave,
+    plus the total — read from the PERSISTED layout, hash-checked
+    against the oracle recomputing assignment and wave membership from
+    first principles. The readout an index operator watches to decide
+    when accumulated appends justify a rewrite (small-file compaction /
+    retrain versioning). Wave identity is recovered from the ingest
+    convention (vec_id % 5 == 0 arrives late) — at 100 TB you'd carry a
+    batch_id column instead; the audit shape (census GROUP BY over the
+    pruned code table) is identical."""
+    import os
+
+    out = _ensure_ann_upsert_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    is_upsert = F.col("vec_id") % 5 == 0
+    return (
+        codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id"))
+        .agg(
+            F.sum(F.when(~is_upsert, 1).otherwise(0)).cast("bigint").alias("n_base"),
+            F.sum(F.when(is_upsert, 1).otherwise(0)).cast("bigint").alias("n_upserted"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .orderBy("cell_id")
+    )

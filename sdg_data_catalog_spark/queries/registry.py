@@ -185,6 +185,7 @@ _PRIORITY = (
     "sim_ann_streamed_topk",
     "pipeline_pretrain_manifest",
     "feat_target_encode",
+    "catalog_ann_index_audit",
 )
 
 
