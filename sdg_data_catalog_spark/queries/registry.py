@@ -186,6 +186,22 @@ _PRIORITY = (
     "pipeline_pretrain_manifest",
     "feat_target_encode",
     "catalog_ann_index_audit",
+    # window fill (slots 39-50): the OLDEST-certified names (round 1)
+    # re-enter the window so their rows refresh under current code —
+    # the hygiene test requires the head to come verbatim from this list
+    "q5_revenue_by_nation",
+    "q1_pricing_summary",
+    "join_fk",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "join_asof",
+    "join_isin_probe",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
 )
 
 
