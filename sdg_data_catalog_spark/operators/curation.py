@@ -48,14 +48,18 @@ def running_total(
     for pid in sorted(sums):
         offsets[pid] = acc
         acc += sums[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off = F.coalesce(offset_map[F.col("__pid")], F.lit(0))
+    else:
+        # empty input: create_map() with zero entries is VOID-typed and
+        # cannot be keyed by an int — there is nothing to offset anyway
+        off = F.lit(0)
     w = Window.partitionBy("__pid").orderBy(key_col)
     return (
-        ranged.withColumn(
-            out_col, F.sum("__v").over(w) + F.coalesce(offset_map[F.col("__pid")], F.lit(0))
-        )
+        ranged.withColumn(out_col, F.sum("__v").over(w) + off)
         .drop("__v", "__pid")
     )
 

@@ -362,3 +362,20 @@ def test_apply_canonical_is_a_total_survivorship_mapping(spark, sf_dir):
     for r in out:
         assert r.kept == (r.doc_id == r.canonical_id)
     assert len(kept_ids) < corpus_n  # planted twins actually collapsed
+
+
+def test_running_total_empty_input(spark):
+    """Empty-input edge (found at the 100x replica, round 12: the
+    pretrain manifest's decontamination stage can kill EVERY doc when
+    each distinct text also appears in the eval split, handing the
+    budget stage zero rows): running_total must return an empty frame
+    with the output column present, not crash on the VOID-typed empty
+    offset map."""
+    from pyspark.sql import functions as F
+
+    from sdg_data_catalog_spark.operators.curation import running_total
+
+    empty = spark.createDataFrame([], "doc_id long, ws_tokens long")
+    out = running_total(empty, "doc_id", F.col("ws_tokens").cast("bigint"), "cum")
+    assert out.columns == ["doc_id", "ws_tokens", "cum"]
+    assert out.count() == 0
