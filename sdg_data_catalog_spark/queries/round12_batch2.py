@@ -323,10 +323,18 @@ def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_us", "kind")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next neighbor" as a RUNNING frame over the REVERSED order — the
+    # (currentRow, unboundedFollowing) frame is O(n²) in Spark (the
+    # UnboundedFollowing frame rescans to partition end per row; measured
+    # 72 s vs 4 s on the 100x replica), while a running frame is
+    # incremental. Reverse order (ts DESC, kind DESC) puts the grid row
+    # (kind=1) BEFORE a same-ts observation (kind=0), so the running last
+    # still excludes an equal-ts observation from "next" — identical
+    # semantics to the oracle's FIRST_VALUE ... FOLLOWING frame.
     bwd = (
         Window.partitionBy("event_type")
-        .orderBy("ts_us", "kind")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("ts_us").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_ts = F.when(F.col("kind") == 0, F.col("ts_us"))
     w = u.select(
@@ -335,8 +343,8 @@ def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         F.last("value", ignorenulls=True).over(fwd).alias("v_prev"),
         F.last(obs_ts, ignorenulls=True).over(fwd).alias("t_prev"),
-        F.first("value", ignorenulls=True).over(bwd).alias("v_next"),
-        F.first(obs_ts, ignorenulls=True).over(bwd).alias("t_next"),
+        F.last("value", ignorenulls=True).over(bwd).alias("v_next"),
+        F.last(obs_ts, ignorenulls=True).over(bwd).alias("t_next"),
     )
     interp = F.when(F.col("t_next") == F.col("t_prev"), F.col("v_prev")).otherwise(
         F.col("v_prev")
