@@ -346,6 +346,10 @@ CURATION_SCALE = (
     "text_gopher_rules",
     "sketch_mg_heavy_hitters",
     "curation_contamination_report",
+    # round-12 addition (sf10 steady measured before inclusion: 6.7 s at
+    # the 100x replica — the certified end-to-end curation funnel; one
+    # flags pass + shingle equi-join + two-phase running sum)
+    "pipeline_pretrain_manifest",
 )
 
 # Headline set: the heaviest representative per operator family.
