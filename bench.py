@@ -346,9 +346,10 @@ CURATION_SCALE = (
     "text_gopher_rules",
     "sketch_mg_heavy_hitters",
     "curation_contamination_report",
-    # round-12 addition (sf10 steady measured before inclusion: 6.7 s at
-    # the 100x replica — the certified end-to-end curation funnel; one
-    # flags pass + shingle equi-join + two-phase running sum)
+    # round-12 addition (measured before inclusion: 4.3 s steady at
+    # sf0.1, 6.7 s at the 100x replica — mostly fixed multi-job cost:
+    # eager flags checkpoint + shingle equi-join + the running-total
+    # driver exchange; the certified end-to-end curation funnel)
     "pipeline_pretrain_manifest",
 )
 
