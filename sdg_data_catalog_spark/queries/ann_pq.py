@@ -890,7 +890,13 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     is embarrassingly parallel per micro-batch, appends only ADD files
     inside cell partitions (tests pin byte-identity of prior files),
     and the query path is unchanged — partition pruning just sees one
-    more file per touched cell."""
+    more file per touched cell. Exactly-once is GIVEN the marker-gated
+    rebuild: foreachBatch + parquet append is natively at-least-once (a
+    crash after a partial append but before the checkpoint commit would
+    replay the batch), and it is the missing-version-marker → full
+    rmtree+rebuild path below that restores the clean-slate guarantee —
+    a production ingest would instead write per-batch_id subdirectories
+    idempotently."""
     import os
     import shutil
 
@@ -1015,3 +1021,124 @@ def catalog_ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (round 13): the APPLY step catalog_ann_index_audit
+# motivates. Once the audit shows a cell has accumulated enough appended
+# files (base + upsert waves + streamed micro-batches), the operator
+# rewrites that cell's rows into ONE file inside a NEW atomically-published
+# version of the index (sources/atomic.py pointer flip), so in-flight
+# readers keep the old multi-file snapshot and new readers see the
+# compacted one. Query parity is hash-proved against the SAME oracle as
+# every other rung (batch ≡ persisted ≡ upsert ≡ streamed ≡ COMPACTED).
+# ---------------------------------------------------------------------------
+
+
+def _ann_compact_root(sf_dir: str) -> str:
+    import os
+
+    from sdg_data_catalog_spark.queries.scale_ops import _SCRATCH, _sf_name
+
+    return os.path.join(_SCRATCH, _sf_name(sf_dir), "ann_ivfpq_compact")
+
+
+def _ensure_ann_compacted(spark: SparkSession, sf_dir: str) -> str:
+    """Compact the incrementally-maintained index (base + upsert appends,
+    ≥2 files in every touched cell) into one file per cell, published as
+    an immutable version with an atomic LATEST flip. One shuffle keyed
+    on cell_id (hash partitioning puts each cell wholly in one task, so
+    partitionBy emits exactly one file per cell), no driver-side data
+    movement, and the old snapshot stays readable until retention prunes
+    it — the Delta/Iceberg OPTIMIZE shape on plain parquet. Idempotent:
+    a published version short-circuits (publish() replay semantics)."""
+    import os
+
+    from sdg_data_catalog_spark.sources.atomic import latest_version, publish
+
+    root = _ann_compact_root(sf_dir)
+    cur = latest_version(root)
+    if cur is not None:
+        return cur[0]
+    src = _ensure_ann_upsert_index(spark, sf_dir)
+    codes = spark.read.parquet(os.path.join(src, "codes"))
+    return publish(
+        codes.repartition("cell_id"),
+        root,
+        1,
+        partition_by=["cell_id"],
+    )
+
+
+@register(
+    "sink_ann_index_compact",
+    oracle=f"""
+    WITH {_NORM_SQL},
+    cents AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < 16),
+    dist AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d2 ASC, cell_id ASC) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(1 AS BIGINT) AS n_files
+    FROM assigned GROUP BY cell_id ORDER BY cell_id
+    """,
+)
+def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction of the ANN index — the rewrite
+    catalog_ann_index_audit's census exists to trigger: merge every
+    cell's base + upsert files into ONE file per cell inside a new
+    atomically-published version (see _ensure_ann_compacted). The
+    registered result is the post-compaction census READ BACK from the
+    published snapshot — per cell the vector count plus the DISTINCT
+    FILE COUNT (input_file_name()), which the oracle pins to exactly 1:
+    a green hash proves simultaneously that no row was lost or
+    duplicated by the rewrite (counts match the from-first-principles
+    assignment) AND that the small-file problem is actually gone (every
+    cell is one file). The upsert wave identity is deliberately absent
+    from the output: folding the appended rows into the base is the
+    point of compaction. At 100 TB this is nightly OPTIMIZE: one
+    cell-keyed shuffle, versioned publish, zero reader interruption."""
+    import os
+
+    vdir = _ensure_ann_compacted(spark, sf_dir)
+    codes = spark.read.parquet(vdir).withColumn("fname", F.input_file_name())
+    return (
+        codes.groupBy(F.col("cell_id").cast("bigint").alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("fname").cast("bigint").alias("n_files"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@register("sim_ann_compacted_topk", oracle=_IVFPQ_ORACLE)
+def sim_ann_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k answered FROM THE COMPACTED SNAPSHOT — the final rung of the
+    lifecycle equivalence chain: hash-matching the same oracle as the
+    batch / persisted / upserted / streamed paths proves OPTIMIZE is
+    invisible to queries. The scan shape actually improves: n_probe
+    partition pruning now opens exactly one file per probed cell instead
+    of base+appends."""
+    import os
+
+    vdir = _ensure_ann_compacted(spark, sf_dir)
+    cents, _, books = _ivfpq_codebooks(spark, sf_dir)
+    luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)
+    probe_cells = sorted({cell for _, cell in probes})
+    encoded = (
+        spark.read.parquet(vdir)
+        .filter(F.col("cell_id").isin(probe_cells))  # partition pruning
+        .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"), "codes")
+    )
+    return _ivfpq_score(spark, encoded, luts, probes, 16)

@@ -134,74 +134,75 @@ _loaded = False
 # Driver-window priority: the external correctness gate samples the FIRST 50
 # names of queries() in iteration order each round; _PRIORITY pins that
 # window. History: r1-r5 certified 244 names; r6-r8 rotated through the
-# registration backlog; r9 certified the round-8 batch-2..17 block (see git
-# history of this comment for the per-round staging rationale). Alias IDs
-# whose targets are driver-green are deliberately absent: a green row on
-# the target is a green row on the ID.
-# Round-12 window: zero-the-backlog rotation (r11 verdict #1). The 27 names
-# below are exactly the registrations with no driver CORRECTNESS row in the
-# r01-r11 union (recomputed from the raw JSON this round): the round-10
-# alphabetical tail (14) + round-11's 13 registrations. All 27 were
-# re-verified green under the driver's exact shape (tools/plain_sweep.py,
-# foreign cwd, plain session) at sf0.01 in round 11. Positions 28-50 are
-# round-12 registrations — policy since r11: new registrations per round
-# stay within the window headroom so the backlog can never exceed one
-# 50-slot window.
+# registration backlog; r9-r12 certified every remaining registration (the
+# r01-r12 union covers all 578 names — backlog zero since r12; see git
+# history of this comment for per-round staging). Alias IDs whose targets
+# are driver-green are deliberately absent: a green row on the target is a
+# green row on the ID.
+# Round-13 window (freshness rotation, r12 verdict #1/#4): positions 1-2
+# pin the two round-12 blemishes under their fixes — dq_table_checksum
+# (the only red row in the union; now null-safe, BIGINT-surfaced) and
+# pipeline_pretrain_manifest (eval-shingle guard restored). Positions 3-4
+# are the round-13 registrations (the ANN compaction pair closing the
+# lifecycle chain). Positions 5-50 re-certify the OLDEST driver rows:
+# all 31 remaining round-1 names plus the 15 alphabetically-first round-2
+# names — standing policy: rotate oldest-first until no op's latest row
+# is older than ~6 rounds.
 _PRIORITY = (
-    "sim_ann_recall_eval",
-    "sim_maxsim_late_interaction",
-    "stream_hopping_topk",
-    "stream_window_distinct",
-    "text_keyword_rake",
-    "text_oov_rate_by_source",
-    "text_pmi_pairs",
-    "ts_granger_lite",
-    "ts_spectral_peak",
-    "ts_week_over_week_growth",
-    "win_rfm_scores",
-    "win_ship_latency_percentiles",
-    "win_sma_crossover",
-    "win_streak_census",
-    "mm_resize_census",
-    "mm_resize_jpeg_census",
-    "text_compression_census",
-    "agg_anova_oneway",
-    "agg_wasserstein_1d",
-    "lm_kl_divergence",
-    "agg_holm_bonferroni",
-    "eval_pr_at_k",
-    "agg_poisson_rate_test",
-    "agg_percentile_exact",
-    "curation_propensity_weights",
-    "sink_ann_index_upsert",
-    "sim_ann_upserted_topk",
-    # --- round-12 registrations (positions 28-50) appended below ---
-    "lda_input_census",
-    "stream_ann_ingest",
-    "catalog_footer_stats",
-    "eval_bcubed_pairs",
-    "ts_resample_linear",
+    # -- pinned re-certifications (round-12 fixes) --
     "dq_table_checksum",
-    "sim_ann_streamed_topk",
     "pipeline_pretrain_manifest",
-    "feat_target_encode",
-    "catalog_ann_index_audit",
-    # window fill (slots 39-50): the OLDEST-certified names (round 1)
-    # re-enter the window so their rows refresh under current code —
-    # the hygiene test requires the head to come verbatim from this list
-    "q5_revenue_by_nation",
-    "q1_pricing_summary",
-    "join_fk",
-    "join_broadcast_dim",
-    "join_semi",
-    "join_anti",
-    "join_range",
-    "join_asof",
-    "join_isin_probe",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
+    # -- round-13 registrations --
+    "sink_ann_index_compact",
+    "sim_ann_compacted_topk",
+    # -- freshness rotation: all 31 remaining round-1-vintage rows --
+    "agg_corpus_stats",
+    "agg_minmax_row",
+    "agg_tf",
+    "agg_wordcount",
+    "dedup_exact_keys",
+    "filter_range_slice",
+    "proj_meta",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive_join",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "scan_pushdown_projection",
+    "setop_intersect",
+    "setop_union",
+    "text_clean_chain",
+    "text_stopword_removal",
+    "text_tfidf",
+    "topk_freq",
+    "topk_global",
+    "win_lag_lead",
+    "win_ntile_firstlast",
+    "win_range_between",
+    "win_rank_dense",
+    "win_rownum_topk",
+    "win_running_sum",
+    # -- freshness rotation: oldest round-2-vintage rows (15 of 49) --
+    "agg_percentiles",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_minhash_sig",
+    "dedup_simhash_pairs",
+    "filter_contains",
+    "filter_minwords",
+    "json_extract_props",
+    "json_parse_spans",
+    "json_serialize",
+    "math_softmax",
+    "mm_frame_sample",
+    "mm_metadata",
 )
 
 

@@ -444,9 +444,14 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("c").alias("nu"))
+    # guard: a 1-token doc would make sequence(1, 0) descend and index
+    # t[-1]/t[1] out of range; the oracle's range(1, len(t)) is empty for
+    # len=1 and so must this be (r13 shingle-hazard sweep)
     bigrams = toks.select(
         F.expr(
-            "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            "CASE WHEN size(t) >= 2 THEN"
+            " transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            " ELSE array() END"
         ).alias("bs")
     ).select(F.explode("bs").alias("b"))
     bi_counts = (

@@ -187,10 +187,15 @@ def eval_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi = pairs.select(
             "doc_id",
             F.lit(2).alias("n"),
+            # guard: a 1-token side would make sequence(1, 0) descend and
+            # slice(_, 0, 2) throw; the oracle's generate_series(1, 0) is
+            # empty and so must this be (r13 shingle-hazard sweep)
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(split({src_col}, ' ')) - 1),"
+                    f"CASE WHEN size(split({src_col}, ' ')) >= 2 THEN"
+                    f" transform(sequence(1, size(split({src_col}, ' ')) - 1),"
                     f" i -> concat_ws(' ', slice(split({src_col}, ' '), i, 2)))"
+                    f" ELSE array() END"
                 )
             ).alias("g"),
             F.lit(side).alias("side"),

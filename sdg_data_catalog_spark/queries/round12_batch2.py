@@ -20,10 +20,11 @@ time-series resampling, and cross-engine table fingerprints.
   half): one union + two IGNORE NULLS windows per series, never a
   per-grid-point scan.
 - ``dq_table_checksum`` — order-invariant cross-engine table
-  fingerprint: SUM over rows of a 32-bit md5 prefix of the
-  canonicalized key columns, exact in DECIMAL(38,0). The replication /
-  migration validation primitive: two engines (or two copies) holding
-  the same rows produce the same checksum regardless of row order or
+  fingerprint: SUM over rows of a null-safe 32-bit md5 prefix of the
+  canonicalized key columns, reduced mod 1e9+7 to a BIGINT (exact
+  DECIMAL(38,0) carrier internally). The replication / migration
+  validation primitive: two engines (or two copies) holding the same
+  rows produce the same checksum regardless of row order or
   partitioning.
 
 Reference analog: none direct — SURVEY §2.11 north-star surface
@@ -370,12 +371,27 @@ def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _row_hash(*cols: str):
-    """32-bit md5 prefix of the '|'-joined canonicalized columns — the
-    same conv(substr(md5)) idiom the certified DSIR/fastText features
-    use; 32 bits keeps the per-row value far below the DECIMAL(38,0)
-    sum's exactness bound at any row count."""
-    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
-    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("decimal(38,0)")
+    """Per-row 32-bit md5 prefix of the '|'-joined canonicalized columns,
+    reduced mod 1e9+7 — the exact idiom of the driver-certified
+    ``sample_balanced_downsample`` checksum (round10_batch18.py). Two
+    hardenings over the round-12 original (its driver row was the first
+    red ever recorded): (a) NULL-SAFE and byte-identical across engines —
+    every column is ``coalesce(cast(col as string), chr(1))`` on BOTH
+    sides, so Spark's null-skipping ``concat_ws`` and DuckDB's
+    null-propagating ``||`` can never diverge (neither ever sees a NULL,
+    and chr(1) cannot collide with real column text); (b) the value is a
+    plain BIGINT < 1e9, never a DECIMAL — intermediate sums are carried
+    in DECIMAL(38,0) for exactness but the surfaced checksum is reduced
+    back to BIGINT, eliminating every decimal-representation hazard in
+    pandas/Arrow canonicalization paths (DuckDB renders wide decimals as
+    float64 in ``.df()``; Spark surfaces Decimal objects)."""
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols]
+    )
+    return (
+        F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("bigint")
+        % 1_000_000_007
+    ).cast("decimal(38,0)")
 
 
 @register(
@@ -384,25 +400,33 @@ def _row_hash(*cols: str):
     WITH o AS (
       SELECT CAST('orders' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(CAST(CAST(('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-               || '|' || o_orderstatus || '|' || o_orderpriority), 1, 8))
-               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+               coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(o_orderstatus, chr(1)) || '|' ||
+               coalesce(o_orderpriority, chr(1))), 1, 8))
+               AS BIGINT) % 1000000007 AS DECIMAL(38,0)))
+               % 1000000007 AS BIGINT) AS checksum
       FROM orders
     ),
     c AS (
       SELECT CAST('customer' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(CAST(CAST(('0x' || substr(md5(
-               CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
-               || '|' || c_mktsegment), 1, 8))
-               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+               coalesce(CAST(c_custkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(c_nationkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(c_mktsegment, chr(1))), 1, 8))
+               AS BIGINT) % 1000000007 AS DECIMAL(38,0)))
+               % 1000000007 AS BIGINT) AS checksum
       FROM customer
     ),
     l AS (
       SELECT CAST('lineitem' AS VARCHAR) AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(CAST(CAST(('0x' || substr(md5(
-               CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-               || '|' || CAST(l_partkey AS VARCHAR) || '|' || l_returnflag), 1, 8))
-               AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+               coalesce(CAST(l_orderkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(l_linenumber AS VARCHAR), chr(1)) || '|' ||
+               coalesce(CAST(l_partkey AS VARCHAR), chr(1)) || '|' ||
+               coalesce(l_returnflag, chr(1))), 1, 8))
+               AS BIGINT) % 1000000007 AS DECIMAL(38,0)))
+               % 1000000007 AS BIGINT) AS checksum
       FROM lineitem
     )
     SELECT * FROM o UNION ALL SELECT * FROM c UNION ALL SELECT * FROM l
@@ -411,19 +435,26 @@ def _row_hash(*cols: str):
 )
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant table fingerprints for replication / migration
-    validation: per table, row count plus the exact DECIMAL(38,0) sum
-    of a 32-bit md5 prefix over the canonicalized key columns. Any
-    dropped, duplicated, or mutated row moves the sum; row order and
-    partitioning cannot (addition commutes, and the decimal sum is
-    exact — no float folding). This op's green hash IS the cross-engine
-    reconciliation demo: Spark and DuckDB computing the same fingerprint
-    from independent scans. Map-side partial aggregation means one scan
-    per table and a 1-row shuffle at any scale."""
+    validation: per table, row count plus a SUM (exact, carried in
+    DECIMAL(38,0)) of a null-safe 32-bit md5 row hash reduced mod 1e9+7,
+    surfaced as BIGINT. Any dropped, duplicated, or mutated row moves
+    the sum; row order and partitioning cannot (addition commutes mod p,
+    and the decimal carrier never overflows below ~1e29 rows). This op's
+    green hash IS the cross-engine reconciliation demo: Spark and DuckDB
+    computing the same fingerprint from independent scans. Map-side
+    partial aggregation means one scan per table and a 1-row shuffle at
+    any scale. NULL handling is explicit: every column is coalesced to a
+    chr(1) sentinel on BOTH engines before concatenation, so a NULL key
+    column changes the checksum identically everywhere rather than
+    silently dropping the row on the ||-propagating engine (the round-12
+    red-row lesson)."""
 
     def cksum(df: DataFrame, tbl: str, *cols: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(_row_hash(*cols)).cast("decimal(38,0)").alias("checksum"),
+            (F.sum(_row_hash(*cols)) % 1_000_000_007)
+            .cast("bigint")
+            .alias("checksum"),
         ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
 
     orders = table(spark, sf_dir, "orders")
@@ -545,10 +576,13 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     toks = F.split(F.col("text"), " ")
+    # the >=3-token guard must run BEFORE the explode: for shorter docs
+    # F.sequence(0, size-3) descends and element_at(t, 0) raises (array
+    # indices start at 1) — mirrors the oracle's WHERE len(t) >= 3
     ev_sh = (
         docs.filter(F.col("doc_id") % 97 == 0)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
         .select(F.explode(shingle(F.split(F.col("text"), " "))).alias("esh"))
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3 if False else F.lit(True))
         .distinct()
     )
     cand_sh = (

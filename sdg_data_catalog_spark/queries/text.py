@@ -186,9 +186,14 @@ def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = docs.agg(
         F.greatest(F.lit(5).cast("long"), F.floor(F.count(F.lit(1)) / 20)).alias("min_cnt")
     )
+    # guard: sequence(1, 0) DESCENDS in Spark, so a 1-token doc would
+    # reach element_at(t, 0) — a runtime error; the oracle's range(1, 1)
+    # is empty, and so must this be (r13 shingle-hazard sweep)
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat_ws(' ', element_at(split(text, ' '), i), element_at(split(text, ' '), i + 1)))"
+        " ELSE array() END"
     )
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
@@ -419,10 +424,14 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row O(vocab²) loop."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
+    # same guard as g3: 1-token docs must yield an empty bigram list, not
+    # a descending sequence reaching element_at(t, 0) (r13 hazard sweep)
     g2 = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat_ws(' ', element_at(split(text, ' '), i),"
         "                element_at(split(text, ' '), i + 1)))"
+        " ELSE array() END"
     )
     g3 = F.expr(
         "CASE WHEN size(split(text, ' ')) >= 3 THEN"

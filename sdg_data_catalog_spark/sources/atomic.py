@@ -53,6 +53,7 @@ def publish(
     version: int,
     keep: int = 2,
     gate: Callable[[DataFrame], DataFrame] | None = None,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Write ``df`` as snapshot ``version`` and atomically flip LATEST to it.
 
@@ -75,7 +76,13 @@ def publish(
     if cur is not None and cur[1] >= version:
         return vdir  # replay of a committed version: already published
     os.makedirs(root, exist_ok=True)
-    df.write.mode("overwrite").parquet(vdir)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        # partitioned snapshots (e.g. the ANN cell layout) keep their
+        # pruning keys across versions — the flip is no less atomic,
+        # the version dir just contains key=value subdirectories
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
     if gate is not None:
         report = gate(df.sparkSession.read.parquet(vdir))
         bad = {

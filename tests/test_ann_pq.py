@@ -457,3 +457,95 @@ def test_streamed_topk_equals_indexed_path(spark, sf_dir):
     assert any(
         "PartitionFilters" in l and "cell_id" in l for l in plan.splitlines()
     ), plan[:2000]
+
+
+def test_compaction_one_file_per_cell_and_lossless(spark, sf_dir):
+    """The OPTIMIZE contract: pre-compaction the upsert layout holds ≥2
+    files in at least one cell (base + appended wave); the published
+    compacted snapshot holds EXACTLY one file per cell; and the row
+    multiset is preserved (per-cell counts equal the audit's n_total,
+    and the full (vec_id, cell_id) set is identical)."""
+    import glob
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ensure_ann_compacted,
+        _ensure_ann_upsert_index,
+    )
+    from sdg_data_catalog_spark.queries.registry import all_queries
+
+    src = _ensure_ann_upsert_index(spark, sf_dir)
+    cell_files = {}
+    for d in glob.glob(os.path.join(src, "codes", "cell_id=*")):
+        cell_files[d] = glob.glob(os.path.join(d, "*.parquet"))
+    assert any(len(fs) >= 2 for fs in cell_files.values()), (
+        "upsert layout should hold multi-file cells pre-compaction"
+    )
+
+    vdir = _ensure_ann_compacted(spark, sf_dir)
+    for d in glob.glob(os.path.join(vdir, "cell_id=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+    census = (
+        all_queries()["sink_ann_index_compact"](spark, sf_dir)
+        .toPandas()
+        .set_index("cell_id")
+    )
+    audit = (
+        all_queries()["catalog_ann_index_audit"](spark, sf_dir)
+        .toPandas()
+        .set_index("cell_id")
+    )
+    assert (census["n_files"] == 1).all()
+    assert census["n_vectors"].sort_index().equals(
+        audit["n_total"].sort_index()
+    ), "compaction changed per-cell row counts"
+    before = {
+        (r.vec_id, r.cell_id)
+        for r in spark.read.parquet(os.path.join(src, "codes")).collect()
+    }
+    after = {(r.vec_id, r.cell_id) for r in spark.read.parquet(vdir).collect()}
+    assert before == after
+
+
+def test_compaction_is_atomic_and_idempotent(spark, sf_dir):
+    """The publish machinery holds for the ANN snapshot: LATEST points at
+    the compacted version, a re-run short-circuits to the same dir with
+    zero file churn, and the compacted top-k equals the multi-file
+    upserted path's answer row-for-row."""
+    import glob
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ann_compact_root,
+        _ensure_ann_compacted,
+    )
+    from sdg_data_catalog_spark.queries.registry import all_queries
+    from sdg_data_catalog_spark.sources.atomic import latest_version
+
+    vdir = _ensure_ann_compacted(spark, sf_dir)
+    root = _ann_compact_root(sf_dir)
+    cur = latest_version(root)
+    assert cur is not None and cur[0] == vdir and cur[1] == 1
+    snap = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+    }
+    assert _ensure_ann_compacted(spark, sf_dir) == vdir
+    after = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
+    }
+    assert snap == after, "idempotent re-run must not rewrite snapshot files"
+
+    compacted = (
+        all_queries()["sim_ann_compacted_topk"](spark, sf_dir)
+        .orderBy("query_id", "rnk")
+        .collect()
+    )
+    upserted = (
+        all_queries()["sim_ann_upserted_topk"](spark, sf_dir)
+        .orderBy("query_id", "rnk")
+        .collect()
+    )
+    assert [tuple(r) for r in compacted] == [tuple(r) for r in upserted]

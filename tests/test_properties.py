@@ -207,3 +207,52 @@ def test_bpe_encode_roundtrip_property(words):
     for word, syms in zip(words, encoded):
         assert "".join(syms).replace(EOW, "") == word
         assert len(syms) <= len(word)
+
+
+def test_shingle_ops_survive_short_docs(spark, tmp_path):
+    """Round-13 shingle-hazard sweep regression: every op that builds
+    n-grams with sequence(1, size-k) must yield EMPTY gram lists for
+    docs shorter than n (Spark's sequence(1, 0) descends, reaching
+    element_at(t, 0) / slice(t, 0, _) — runtime errors), exactly
+    matching the oracle's empty range(). Planted 1- and 2-token docs —
+    including at eval_rouge_pairs' sampled doc_ids — must neither crash
+    nor diverge."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from sdg_data_catalog_spark.oracle_check import compare
+    from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for doc_id in range(40):
+        if doc_id in (5, 15):      # eval_rouge_pairs candidates (%10 == 5)
+            text = "solo"
+        elif doc_id in (6, 26):    # rouge references (cand_id + 1)
+            text = "only"
+        elif doc_id in (1, 2):
+            text = "two tokens" if doc_id == 2 else "uno"
+        else:
+            text = " ".join(rng.choice(vocab, size=int(rng.integers(8, 30))))
+        rows.append((doc_id, text))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "synth"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    qs, ors = all_queries(), all_oracles()
+    for name in (
+        "text_ngram_bigrams",
+        "text_repetition_score",
+        "text_collocations",
+        "eval_rouge_pairs",
+    ):
+        err = compare(name, qs[name](spark, str(tmp_path)), ors[name], con)
+        assert err is None, f"{name}: {err}"

@@ -51,7 +51,6 @@ def test_lda_input_census_is_countvectorizer_vocab(spark, sf_dir):
     # guard the comparison itself: a frequency tie across the rank-64
     # boundary would make the top-64 SET engine-dependent; assert the
     # boundary is strict at this SF so the equality above is meaningful
-    full = all_queries()["lda_input_census"](spark, sf_dir)
     if len(census) == _LDA_VOCAB:
         tf_counts = sorted(census["tf"], reverse=True)
         # recompute count of the (64+1)-th term from raw data

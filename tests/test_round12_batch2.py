@@ -91,32 +91,148 @@ def test_resample_linear_matches_numpy(spark, sf_dir):
         assert np.allclose(got["value_interp"], want.round(6), atol=1e-6)
 
 
-def test_table_checksum_detects_mutation(spark, sf_dir):
-    """The fingerprint property: recompute the orders checksum in pure
-    Python (hashlib md5, same 32-bit prefix) and verify equality; then
-    verify a single mutated row WOULD move the sum (the detection
-    property replication validation relies on)."""
+_CKSUM_P = 1_000_000_007
+
+
+def _cksum_py(row_strs) -> int:
+    """Pure-Python replica of the op's checksum: 32-bit md5 prefix per
+    row, reduced mod 1e9+7 per row and again over the sum."""
     import hashlib
 
+    return (
+        sum(
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _CKSUM_P
+            for s in row_strs
+        )
+        % _CKSUM_P
+    )
+
+
+def test_table_checksum_detects_mutation(spark, sf_dir):
+    """The fingerprint property: recompute the orders checksum in pure
+    Python (hashlib md5, same 32-bit prefix, same mod-1e9+7 reduction)
+    and verify equality; then verify a single mutated row WOULD move the
+    sum (the detection property replication validation relies on)."""
     out = all_queries()["dq_table_checksum"](spark, sf_dir).toPandas()
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
 
-    def h(row_str: str) -> int:
-        return int(hashlib.md5(row_str.encode()).hexdigest()[:8], 16)
-
-    want = sum(
-        h(f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.o_orderpriority}")
+    strs = [
+        f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|{r.o_orderpriority}"
         for r in orders.itertuples()
-    )
+    ]
+    want = _cksum_py(strs)
     row = out[out["tbl"] == "orders"].iloc[0]
     assert int(row["checksum"]) == want
     assert int(row["n_rows"]) == len(orders)
     # mutation detection: flipping one custkey changes the sum
     r0 = orders.iloc[0]
-    mutated = want - h(
-        f"{r0.o_orderkey}|{r0.o_custkey}|{r0.o_orderstatus}|{r0.o_orderpriority}"
-    ) + h(f"{r0.o_orderkey}|{r0.o_custkey + 1}|{r0.o_orderstatus}|{r0.o_orderpriority}")
+    mutated = _cksum_py(
+        [f"{r0.o_orderkey}|{r0.o_custkey + 1}|{r0.o_orderstatus}|{r0.o_orderpriority}"]
+        + strs[1:]
+    )
     assert mutated != want
+
+
+def test_table_checksum_null_short_nonascii(spark, tmp_path):
+    """The round-12 red-row regression test: on a crafted corpus with
+    planted NULLs (int and string columns), empty/1-char strings, and
+    non-ASCII text, Spark and DuckDB produce the SAME BIGINT checksum —
+    i.e. the coalesce-to-chr(1) canonicalization is byte-identical on
+    both engines and no row is silently dropped from the sum by
+    NULL-propagating concatenation."""
+    import duckdb
+
+    from sdg_data_catalog_spark.oracle_check import compare
+    from sdg_data_catalog_spark.queries.registry import all_oracles
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": pd.array([1, 2, None, 4, 5], dtype="Int64"),
+            "o_custkey": pd.array([None, 20, 30, 40, 50], dtype="Int64"),
+            "o_orderstatus": ["F", None, "", "O", "P"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", None, "", "héllo‡ 日本語"],
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": pd.array([1, None], dtype="Int64"),
+            "c_nationkey": pd.array([None, 2], dtype="Int64"),
+            "c_mktsegment": ["x", None],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, 2, None], dtype="Int64"),
+            "l_linenumber": pd.array([1, None, 3], dtype="Int64"),
+            "l_partkey": pd.array([None, 8, 9], dtype="Int64"),
+            "l_returnflag": ["A", "ü", None],
+        }
+    )
+    for name, df in (("orders", orders), ("customer", customer), ("lineitem", lineitem)):
+        df.to_parquet(tmp_path / f"{name}.parquet")
+    con = duckdb.connect()
+    for name in ("orders", "customer", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM"
+            f" read_parquet('{tmp_path / name}.parquet')"
+        )
+    got = all_queries()["dq_table_checksum"](spark, str(tmp_path))
+    err = compare(
+        "dq_table_checksum", got, all_oracles()["dq_table_checksum"], con
+    )
+    assert err is None, err
+    # every row participates: n_rows equals the full table sizes
+    pdf = got.toPandas().set_index("tbl")
+    assert int(pdf.loc["orders", "n_rows"]) == 5
+    assert int(pdf.loc["customer", "n_rows"]) == 2
+    assert int(pdf.loc["lineitem", "n_rows"]) == 3
+    # and the planted NULL actually moved the checksum vs a non-null twin
+    strs_null = _cksum_py(["1|\x01|x", "\x01|2|\x01"])
+    strs_zero = _cksum_py(["1|0|x", "0|2|0"])
+    assert strs_null != strs_zero
+
+
+def test_pretrain_manifest_short_docs(spark, tmp_path):
+    """Planted 1- and 2-token docs (including in the eval split) must not
+    crash the shingle legs (F.sequence would descend for <3 tokens) and
+    must match the oracle end to end — the round-12 dead-filter
+    regression test."""
+    import duckdb
+
+    from sdg_data_catalog_spark.oracle_check import compare
+    from sdg_data_catalog_spark.queries.registry import all_oracles
+
+    rng = np.random.default_rng(13)
+    rows = []
+    # eval-split doc_ids are multiples of 97: plant short docs there too
+    for doc_id in [0, 97, 194]:
+        rows.append((doc_id, "one" if doc_id == 0 else "two tokens"))
+    rows.append((1, "solo"))
+    rows.append((2, "two words"))
+    vocab = [f"w{i}" for i in range(40)]
+    for doc_id in range(3, 60):
+        if doc_id % 97 == 0:
+            continue
+        n = int(rng.integers(25, 60))
+        rows.append((doc_id, " ".join(rng.choice(vocab, size=n))))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "synth"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = all_queries()["pipeline_pretrain_manifest"](spark, str(tmp_path))
+    err = compare(
+        "pipeline_pretrain_manifest",
+        got,
+        all_oracles()["pipeline_pretrain_manifest"],
+        con,
+    )
+    assert err is None, err
 
 
 def test_pretrain_manifest_funnel_properties(spark, sf_dir):
