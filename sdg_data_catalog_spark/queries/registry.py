@@ -143,11 +143,11 @@ _loaded = False
 # Round-13 window (freshness rotation, r12 verdict #1/#4): positions 1-2
 # pin the two round-12 blemishes under their fixes — dq_table_checksum
 # (the only red row in the union; now null-safe, BIGINT-surfaced) and
-# pipeline_pretrain_manifest (eval-shingle guard restored). Positions 3-5
+# pipeline_pretrain_manifest (eval-shingle guard restored). Positions 3-6
 # are the round-13 registrations (the ANN compaction pair closing the
 # lifecycle chain, plus the column-level reconciliation drill-down).
-# Positions 6-50 re-certify the OLDEST driver rows:
-# all 31 remaining round-1 names plus the 14 alphabetically-first round-2
+# Positions 7-50 re-certify the OLDEST driver rows:
+# all 31 remaining round-1 names plus the 13 alphabetically-first round-2
 # names — standing policy: rotate oldest-first until no op's latest row
 # is older than ~6 rounds.
 _PRIORITY = (
@@ -158,6 +158,7 @@ _PRIORITY = (
     "sink_ann_index_compact",
     "sim_ann_compacted_topk",
     "dq_column_checksums",
+    "dedup_winnowing_pairs",
     # -- freshness rotation: all 31 remaining round-1-vintage rows --
     "agg_corpus_stats",
     "agg_minmax_row",
@@ -190,7 +191,7 @@ _PRIORITY = (
     "win_rank_dense",
     "win_rownum_topk",
     "win_running_sum",
-    # -- freshness rotation: oldest round-2-vintage rows (14 of 49) --
+    # -- freshness rotation: oldest round-2-vintage rows (13 of 49) --
     "agg_percentiles",
     "dedup_components",
     "dedup_exact",
@@ -204,7 +205,6 @@ _PRIORITY = (
     "json_parse_spans",
     "json_serialize",
     "math_softmax",
-    "mm_frame_sample",
 )
 
 

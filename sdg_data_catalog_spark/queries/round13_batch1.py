@@ -1,4 +1,5 @@
-"""Round-13 batch 1: column-level cross-engine reconciliation.
+"""Round-13 batch 1: column-level cross-engine reconciliation and the
+winnowing rung of the dedup ladder.
 
 - ``dq_column_checksums`` — the drill-down ``dq_table_checksum`` hands an
   operator when a table fingerprint mismatches: per (table, column), the
@@ -10,6 +11,12 @@
   table computes every column's pair of aggregates (a single agg node —
   no per-column scans), then a stack() unpivot to rows; at any scale the
   shuffle is one row per table.
+
+- ``dedup_winnowing_pairs`` — MOSS winnowing fingerprints (Schleimer,
+  Wilkerson & Aiken, SIGMOD 2003): window-minimum k-gram hashes with a
+  POSITIONAL guarantee (any shared run of >= k+w-1 tokens shares a
+  fingerprint), candidate pairs via a df-capped fingerprint-bucket join —
+  the deterministic-recall sibling of the MinHash band join.
 
 Reference analog: none direct — SURVEY §2.11 north-star surface
 (cross-engine reconciliation, extending the round-12/13 fingerprint op).
@@ -92,3 +99,122 @@ def dq_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("tbl", "col_name")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): the dedup-ladder rung between exact fingerprints and
+# MinHash. Each document contributes the MINIMUM k-gram hash of every
+# w-hash sliding window (then distinct) — the guarantee is positional:
+# any shared token run of length >= k + w - 1 yields at least one shared
+# fingerprint, so candidate recall over long overlapping spans is exact,
+# not probabilistic like MinHash bands. Candidate generation is a
+# fingerprint-bucket join (never all-pairs), with a document-frequency
+# cap dropping boilerplate fingerprints the way the LSH path caps hot
+# bands.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 4   # tokens per gram
+_WIN_W = 5   # hashes per winnowing window
+_WIN_CAP = 50          # fingerprint document-frequency cap (boilerplate)
+_WIN_MIN_SHARED = 2    # candidate threshold
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, strpos(text, ' ') + 1) AS text FROM documents
+    ),
+    tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM corpus),
+    hs AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {_WIN_K} THEN
+                 list_transform(range(1, len(t) - {_WIN_K} + 2),
+                   i -> CAST(('0x' || substr(md5(
+                     array_to_string(t[i:i+{_WIN_K}-1], ' ')), 1, 8)) AS BIGINT))
+               ELSE [] END AS h
+        FROM tk
+    ),
+    fps AS (
+        SELECT doc_id,
+               CASE WHEN len(h) >= {_WIN_W} THEN
+                 list_distinct(list_transform(range(1, len(h) - {_WIN_W} + 2),
+                   j -> list_min(h[j:j+{_WIN_W}-1])))
+               WHEN len(h) >= 1 THEN [list_min(h)]
+               ELSE [] END AS fps
+        FROM hs
+    ),
+    fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fps),
+    rare AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS df
+                             FROM fp GROUP BY fp)
+             WHERE df <= {_WIN_CAP}),
+    fpr AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup candidate pairs over the planted near-dup
+    corpus (orig + first-token-dropped copy, the ladder's shared
+    fixture): per doc the distinct window-minimum 32-bit k-gram hashes
+    (k=4 tokens, w=5 windows — any shared run of >= 8 tokens MUST share
+    a fingerprint: the winnowing guarantee, which MinHash can only offer
+    probabilistically), then pairs sharing >= 2 rare fingerprints via a
+    fingerprint-bucket join. Plan shape for 100 TB: the k-gram hash array
+    is staged as a COLUMN so each md5 is computed once (inlining it in
+    the window lambda would re-evaluate the whole array per window —
+    O(n²) md5s per doc); fingerprints ~ 2n/(w+1) per doc explode into a
+    (doc, fp) relation; the df cap kills boilerplate hot buckets exactly
+    like the LSH band cap; the pair join is bucket-local and never
+    materializes non-candidate pairs. All integers — hash-certifiable."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    t = "split(lower(text), ' ')"
+    h_expr = (
+        f"CASE WHEN size({t}) >= {_WIN_K} THEN"
+        f" transform(sequence(1, size({t}) - {_WIN_K} + 1),"
+        f" i -> cast(conv(substr(md5(array_join(slice({t}, i, {_WIN_K}), ' ')),"
+        f" 1, 8), 16, 10) as bigint))"
+        f" ELSE array() END"
+    )
+    fps_expr = (
+        f"CASE WHEN size(h) >= {_WIN_W} THEN"
+        f" array_distinct(transform(sequence(1, size(h) - {_WIN_W} + 1),"
+        f" j -> array_min(slice(h, j, {_WIN_W}))))"
+        f" WHEN size(h) >= 1 THEN array(array_min(h))"
+        f" ELSE array() END"
+    )
+    fp = (
+        corpus.select("doc_id", F.expr(h_expr).alias("h"))
+        .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _WIN_CAP)
+        .select("fp")
+    )
+    fpr = fp.join(rare, "fp")
+    a = fpr.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpr.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )

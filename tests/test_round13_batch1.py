@@ -92,3 +92,123 @@ def test_column_checksums_single_scan_per_table(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("orders.parquet") <= 1
     assert plan.lower().count("customer.parquet") <= 1
+
+
+def test_winnowing_guarantee_finds_planted_neardups(spark, sf_dir):
+    """Exact pure-Python recompute of the whole op (fingerprints, df cap,
+    pair threshold) over the planted near-dup corpus: the engine's pair
+    set and per-pair n_shared must match the reference implementation
+    row-for-row. Subsumes the winnowing guarantee: a first-token-dropped
+    copy's fingerprint set is a subset of the original's, so every pair
+    the reference surfaces, the engine must too."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from sdg_data_catalog_spark.queries.round13_batch1 import (
+        _WIN_CAP,
+        _WIN_K,
+        _WIN_MIN_SHARED,
+        _WIN_W,
+    )
+
+    out = all_queries()["dedup_winnowing_pairs"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def winnow(text: str) -> set[int]:
+        t = text.lower().split(" ")
+        h = [
+            int(
+                hashlib.md5(" ".join(t[i : i + _WIN_K]).encode()).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(t) - _WIN_K + 1)
+        ]
+        if len(h) >= _WIN_W:
+            return {min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
+        return {min(h)} if h else set()
+
+    fps = {}
+    for r in docs.itertuples():
+        fps[r.doc_id] = winnow(r.text)
+        fps[r.doc_id + 1_000_000] = winnow(r.text.split(" ", 1)[1])
+        # the copy's fingerprints are a subset of the original's
+        assert fps[r.doc_id + 1_000_000] <= fps[r.doc_id]
+    df = Counter(f for s in fps.values() for f in s)
+    buckets = defaultdict(list)
+    for d, s in fps.items():
+        for f in s:
+            if df[f] <= _WIN_CAP:
+                buckets[f].append(d)
+    shared: Counter = Counter()
+    for ds in buckets.values():
+        ds.sort()
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                shared[(ds[i], ds[j])] += 1
+    want = {p: c for p, c in shared.items() if c >= _WIN_MIN_SHARED}
+    got = {
+        (int(r.doc_a), int(r.doc_b)): int(r.n_shared) for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_winnowing_matches_python_recompute_and_short_docs(spark, tmp_path):
+    """Pure-Python winnowing over a tiny corpus with planted short docs
+    (0 grams, <w windows): fingerprint sets match the engine exactly and
+    nothing crashes on 1-3-token docs."""
+    import hashlib
+
+    import duckdb
+
+    from sdg_data_catalog_spark.oracle_check import compare
+    from sdg_data_catalog_spark.queries.registry import all_oracles
+    from sdg_data_catalog_spark.queries.round13_batch1 import (
+        _WIN_K,
+        _WIN_W,
+    )
+
+    rows = [
+        (0, "one"),
+        (1, "two tokens"),
+        (2, "just three tokens here"),  # 4 tokens: 1 gram, <w windows
+        (3, "a b c d e f g h i j k l m n o p"),
+        (4, "a b c d e f g h i j k l m n o q"),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "synth"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = all_queries()["dedup_winnowing_pairs"](spark, str(tmp_path))
+    err = compare(
+        "dedup_winnowing_pairs", got, all_oracles()["dedup_winnowing_pairs"], con
+    )
+    assert err is None, err
+
+    def winnow(text: str) -> set[int]:
+        t = text.lower().split(" ")
+        h = [
+            int(
+                hashlib.md5(
+                    " ".join(t[i : i + _WIN_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(t) - _WIN_K + 1)
+        ]
+        if len(h) >= _WIN_W:
+            return {min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
+        return {min(h)} if h else set()
+
+    # docs 3 and 4 share all but the final token: 16 tokens, 13 grams,
+    # the first 8 windows are over identical grams -> shared fps >= 2
+    shared = winnow(rows[3][1]) & winnow(rows[4][1])
+    pdf = got.toPandas()
+    pair = pdf[(pdf["doc_a"] == 3) & (pdf["doc_b"] == 4)]
+    assert len(pair) == 1
+    assert int(pair["n_shared"].iloc[0]) == len(shared) >= 2
