@@ -196,10 +196,15 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN size(h) >= 1 THEN array(array_min(h))"
         f" ELSE array() END"
     )
+    # (doc_id, fp) is referenced FOUR times downstream (df census + cap
+    # join + both pair-join sides): materialize it once or the corpus
+    # scan AND the per-gram md5 array re-expand 4x (the plan scan gate
+    # caught exactly this — 8 documents scans before the checkpoint)
     fp = (
         corpus.select("doc_id", F.expr(h_expr).alias("h"))
         .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     rare = (
         fp.groupBy("fp")
