@@ -1051,21 +1051,27 @@ def _ensure_ann_compacted(spark: SparkSession, sf_dir: str) -> str:
     partitionBy emits exactly one file per cell), no driver-side data
     movement, and the old snapshot stays readable until retention prunes
     it — the Delta/Iceberg OPTIMIZE shape on plain parquet. Idempotent:
-    a published version short-circuits (publish() replay semantics)."""
+    a published version short-circuits (publish() replay semantics).
+    The published version NUMBER is derived from the source layout's
+    version string, so a rebuilt upsert index (a future _ANN_UPSERT_
+    VERSION bump) re-compacts as a NEW snapshot instead of serving the
+    stale one — snapshot freshness is tied to source version, not to
+    mere existence."""
     import os
 
     from sdg_data_catalog_spark.sources.atomic import latest_version, publish
 
+    src_ver = int(_ANN_UPSERT_VERSION.lstrip("v"))
     root = _ann_compact_root(sf_dir)
     cur = latest_version(root)
-    if cur is not None:
+    if cur is not None and cur[1] >= src_ver:
         return cur[0]
     src = _ensure_ann_upsert_index(spark, sf_dir)
     codes = spark.read.parquet(os.path.join(src, "codes"))
     return publish(
         codes.repartition("cell_id"),
         root,
-        1,
+        src_ver,
         partition_by=["cell_id"],
     )
 
