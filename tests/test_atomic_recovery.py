@@ -65,3 +65,42 @@ def test_publish_crash_before_flip_is_invisible_then_retryable(spark, tmp_path):
     # Replaying the now-committed version is a no-op (idempotent retry).
     publish(spark.range(99).withColumnRenamed("id", "k"), root, 1)
     assert read_latest(spark, root).count() == 7
+
+
+def test_publish_partitioned_snapshot(spark, tmp_path):
+    """publish(partition_by=...) writes key=value subdirectories inside
+    the version dir, the pointer flip and replay-idempotence semantics
+    are unchanged, readers see the partition column back, and a
+    partition-filtered read of the published snapshot prunes to the
+    matching subdirectory (the layout the ANN compaction relies on)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "p")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+    )
+    vdir = publish(df.repartition("part"), root, 1, partition_by=["part"])
+    assert latest_version(root)[1] == 1
+    parts = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(vdir, "part=*"))
+    )
+    assert parts == ["part=0", "part=1", "part=2", "part=3"]
+    back = read_latest(spark, root)
+    assert back.count() == 100
+    assert set(back.columns) == {"k", "part"}
+    # pruning: a partition predicate on the published snapshot scans one dir
+    plan = (
+        back.filter(F.col("part") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "part=2" in plan or "PartitionFilters" in plan
+    assert back.filter(F.col("part") == 2).count() == 25
+    # replay of the committed version is still a no-op
+    publish(spark.range(3).select(F.col("id").alias("k"), F.lit(0).alias("part")),
+            root, 1, partition_by=["part"])
+    assert read_latest(spark, root).count() == 100
