@@ -1026,12 +1026,15 @@ def catalog_ann_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Small-file compaction (round 13): the APPLY step catalog_ann_index_audit
 # motivates. Once the audit shows a cell has accumulated enough appended
-# files (base + upsert waves + streamed micro-batches), the operator
-# rewrites that cell's rows into ONE file inside a NEW atomically-published
-# version of the index (sources/atomic.py pointer flip), so in-flight
-# readers keep the old multi-file snapshot and new readers see the
-# compacted one. Query parity is hash-proved against the SAME oracle as
-# every other rung (batch ≡ persisted ≡ upsert ≡ streamed ≡ COMPACTED).
+# files, the operator rewrites that cell's rows into ONE file inside a NEW
+# atomically-published version of the index (sources/atomic.py pointer
+# flip), so in-flight readers keep the old multi-file snapshot and new
+# readers see the compacted one. The source here is the upsert layout
+# (base + appended wave — the audited one); the stream-maintained layout
+# is file-per-micro-batch in exactly the same cell-partitioned shape, so
+# the identical rewrite applies. Query parity is hash-proved against the
+# SAME oracle as every other rung (batch ≡ persisted ≡ upsert ≡ streamed
+# ≡ COMPACTED).
 # ---------------------------------------------------------------------------
 
 
