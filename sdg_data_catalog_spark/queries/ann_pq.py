@@ -1117,8 +1117,6 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the output: folding the appended rows into the base is the
     point of compaction. At 100 TB this is nightly OPTIMIZE: one
     cell-keyed shuffle, versioned publish, zero reader interruption."""
-    import os
-
     vdir = _ensure_ann_compacted(spark, sf_dir)
     codes = spark.read.parquet(vdir).withColumn("fname", F.input_file_name())
     return (
@@ -1139,8 +1137,6 @@ def sim_ann_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible to queries. The scan shape actually improves: n_probe
     partition pruning now opens exactly one file per probed cell instead
     of base+appends."""
-    import os
-
     vdir = _ensure_ann_compacted(spark, sf_dir)
     cents, _, books = _ivfpq_codebooks(spark, sf_dir)
     luts, probes = _ivfpq_query_luts(spark, sf_dir, cents, books)

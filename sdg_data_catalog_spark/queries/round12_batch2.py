@@ -581,8 +581,8 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # indices start at 1) — mirrors the oracle's WHERE len(t) >= 3
     ev_sh = (
         docs.filter(F.col("doc_id") % 97 == 0)
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select(F.explode(shingle(F.split(F.col("text"), " "))).alias("esh"))
+        .filter(F.size(toks) >= 3)
+        .select(F.explode(shingle(toks)).alias("esh"))
         .distinct()
     )
     cand_sh = (

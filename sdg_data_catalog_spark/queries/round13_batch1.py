@@ -65,21 +65,16 @@ def dq_column_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack() unpivots the 1-row result to (col_name, n_nulls, checksum)
     rows driver-light."""
 
+    from sdg_data_catalog_spark.queries.round12_batch2 import _row_hash
+
     def colsums(df: DataFrame, tbl: str, cols) -> DataFrame:
         aggs = []
         for c in cols:
-            h = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x01"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % _P
-            ).cast("decimal(38,0)")
+            # single-column case of the table fingerprint's _row_hash
+            # (concat_ws of one arg is the arg): ONE implementation of
+            # the cross-engine canonicalization idiom, not two that can
+            # drift
+            h = _row_hash(c)
             aggs.append(
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
                 .cast("bigint")

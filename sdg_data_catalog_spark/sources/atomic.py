@@ -74,7 +74,11 @@ def publish(
     vname = f"v{version:09d}"
     vdir = os.path.join(root, "versions", vname)
     if cur is not None and cur[1] >= version:
-        return vdir  # replay of a committed version: already published
+        # replay of a committed version: already published. If retention
+        # has since pruned that version's dir, hand back the LIVE snapshot
+        # instead of a dangling path — the replayer's data is stale either
+        # way, and readers must get a directory that exists.
+        return vdir if os.path.isdir(vdir) else cur[0]
     os.makedirs(root, exist_ok=True)
     writer = df.write.mode("overwrite")
     if partition_by:

@@ -94,6 +94,24 @@ def test_column_checksums_single_scan_per_table(spark, sf_dir):
     assert plan.lower().count("customer.parquet") <= 1
 
 
+def _winnow_py(text: str) -> set[int]:
+    """Module-level pure-Python reference of the op's winnowing: k-gram
+    32-bit md5 prefixes, window-minimum fingerprints, the <w fallback.
+    Shared by both winnowing tests so the reference cannot drift."""
+    import hashlib
+
+    from sdg_data_catalog_spark.queries.round13_batch1 import _WIN_K, _WIN_W
+
+    t = text.lower().split(" ")
+    h = [
+        int(hashlib.md5(" ".join(t[i : i + _WIN_K]).encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - _WIN_K + 1)
+    ]
+    if len(h) >= _WIN_W:
+        return {min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
+    return {min(h)} if h else set()
+
+
 def test_winnowing_guarantee_finds_planted_neardups(spark, sf_dir):
     """Exact pure-Python recompute of the whole op (fingerprints, df cap,
     pair threshold) over the planted near-dup corpus: the engine's pair
@@ -101,7 +119,6 @@ def test_winnowing_guarantee_finds_planted_neardups(spark, sf_dir):
     row-for-row. Subsumes the winnowing guarantee: a first-token-dropped
     copy's fingerprint set is a subset of the original's, so every pair
     the reference surfaces, the engine must too."""
-    import hashlib
     from collections import Counter, defaultdict
 
     from sdg_data_catalog_spark.queries.round13_batch1 import (
@@ -114,25 +131,18 @@ def test_winnowing_guarantee_finds_planted_neardups(spark, sf_dir):
     out = all_queries()["dedup_winnowing_pairs"](spark, sf_dir).toPandas()
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
 
-    def winnow(text: str) -> set[int]:
-        t = text.lower().split(" ")
-        h = [
-            int(
-                hashlib.md5(" ".join(t[i : i + _WIN_K]).encode()).hexdigest()[:8],
-                16,
-            )
-            for i in range(len(t) - _WIN_K + 1)
-        ]
-        if len(h) >= _WIN_W:
-            return {min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
-        return {min(h)} if h else set()
-
     fps = {}
     for r in docs.itertuples():
-        fps[r.doc_id] = winnow(r.text)
-        fps[r.doc_id + 1_000_000] = winnow(r.text.split(" ", 1)[1])
-        # the copy's fingerprints are a subset of the original's
-        assert fps[r.doc_id + 1_000_000] <= fps[r.doc_id]
+        fps[r.doc_id] = _winnow_py(r.text)
+        # mirror the op's substr(text, instr+1): a spaceless doc copies whole
+        copy = r.text.split(" ", 1)[1] if " " in r.text else r.text
+        fps[r.doc_id + 1_000_000] = _winnow_py(copy)
+        # subset property: holds whenever the copy winnows over proper
+        # windows (>= w hashes); in the <w fallback the copy keeps only
+        # min(h) while the original may winnow a different minimum, so
+        # the guard is required, not cosmetic
+        if len(copy.split(" ")) >= _WIN_K + _WIN_W - 1:
+            assert fps[r.doc_id + 1_000_000] <= fps[r.doc_id]
     df = Counter(f for s in fps.values() for f in s)
     buckets = defaultdict(list)
     for d, s in fps.items():
@@ -156,16 +166,10 @@ def test_winnowing_matches_python_recompute_and_short_docs(spark, tmp_path):
     """Pure-Python winnowing over a tiny corpus with planted short docs
     (0 grams, <w windows): fingerprint sets match the engine exactly and
     nothing crashes on 1-3-token docs."""
-    import hashlib
-
     import duckdb
 
     from sdg_data_catalog_spark.oracle_check import compare
     from sdg_data_catalog_spark.queries.registry import all_oracles
-    from sdg_data_catalog_spark.queries.round13_batch1 import (
-        _WIN_K,
-        _WIN_W,
-    )
 
     rows = [
         (0, "one"),
@@ -190,24 +194,9 @@ def test_winnowing_matches_python_recompute_and_short_docs(spark, tmp_path):
     )
     assert err is None, err
 
-    def winnow(text: str) -> set[int]:
-        t = text.lower().split(" ")
-        h = [
-            int(
-                hashlib.md5(
-                    " ".join(t[i : i + _WIN_K]).encode()
-                ).hexdigest()[:8],
-                16,
-            )
-            for i in range(len(t) - _WIN_K + 1)
-        ]
-        if len(h) >= _WIN_W:
-            return {min(h[j : j + _WIN_W]) for j in range(len(h) - _WIN_W + 1)}
-        return {min(h)} if h else set()
-
     # docs 3 and 4 share all but the final token: 16 tokens, 13 grams,
     # the first 8 windows are over identical grams -> shared fps >= 2
-    shared = winnow(rows[3][1]) & winnow(rows[4][1])
+    shared = _winnow_py(rows[3][1]) & _winnow_py(rows[4][1])
     pdf = got.toPandas()
     pair = pdf[(pdf["doc_a"] == 3) & (pdf["doc_b"] == 4)]
     assert len(pair) == 1
