@@ -104,3 +104,21 @@ def test_publish_partitioned_snapshot(spark, tmp_path):
     publish(spark.range(3).select(F.col("id").alias("k"), F.lit(0).alias("part")),
             root, 1, partition_by=["part"])
     assert read_latest(spark, root).count() == 100
+
+
+def test_publish_replay_of_pruned_version_returns_live_snapshot(spark, tmp_path):
+    """Replaying a version that retention has already pruned must hand
+    back the LIVE snapshot directory, never a dangling path."""
+    import os
+
+    root = str(tmp_path / "r")
+    for v in (1, 2, 3):
+        publish(
+            spark.range(v * 10).withColumnRenamed("id", "k"), root, v, keep=2
+        )
+    assert latest_version(root)[1] == 3
+    assert not os.path.isdir(os.path.join(root, "versions", "v000000001"))
+    got = publish(spark.range(5).withColumnRenamed("id", "k"), root, 1, keep=2)
+    assert os.path.isdir(got)
+    assert got == latest_version(root)[0]
+    assert read_latest(spark, root).count() == 30
