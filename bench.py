@@ -589,7 +589,12 @@ def _duckdb_baseline(names, sf_dir, tables=None, reps: int = 3) -> dict[str, flo
     reps=1 at the sf100 tier: the warm+3-timed default costs ~9 min there
     (win_rownum_topk's oracle fetches 45M rows per run), which would eat
     the whole tier budget; one warmed run matches the tier's reduced-rep
-    spark side and is recorded as such."""
+    spark side and is recorded as such. Caveat for readers of the sf100
+    record: single-rep DuckDB readings at this tier are cache-state
+    volatile — q18's baseline measured 14.6 / 35.0 / 67.9 s across three
+    equal-code runs (PERF.md §Round-13 head-to-head), so per-query sf100
+    ratios carry a 2-3x measurement band; Spark's walls were stable
+    within ±25% across the same runs."""
     try:
         from sdg_data_catalog_spark.catalog import TABLES
 
