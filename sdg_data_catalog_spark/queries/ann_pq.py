@@ -1055,21 +1055,25 @@ def _ensure_ann_compacted(spark: SparkSession, sf_dir: str) -> str:
     movement, and the old snapshot stays readable until retention prunes
     it — the Delta/Iceberg OPTIMIZE shape on plain parquet. Idempotent:
     a published version short-circuits (publish() replay semantics).
-    The published version NUMBER is derived from the source layout's
-    version string, so a rebuilt upsert index (a future _ANN_UPSERT_
-    VERSION bump) re-compacts as a NEW snapshot instead of serving the
-    stale one — snapshot freshness is tied to source version, not to
-    mere existence."""
+    The published version NUMBER is the source layout's marker-file
+    mtime_ns — a CONTENT signal, not just the _ANN_UPSERT_VERSION
+    constant: any rebuild of the upsert index (a version-string bump, a
+    crash-recovery rmtree+rebuild, a regenerated sf fixture at the same
+    path) rewrites the marker and therefore re-compacts as a new
+    snapshot instead of serving the stale one. An unchanged layout keeps
+    its marker mtime, so re-runs still short-circuit with zero file
+    churn."""
     import os
 
     from sdg_data_catalog_spark.sources.atomic import latest_version, publish
 
-    src_ver = int(_ANN_UPSERT_VERSION.lstrip("v"))
+    src = _ensure_ann_upsert_index(spark, sf_dir)
+    marker = os.path.join(src, f"_ANN_UPSERT_{_ANN_UPSERT_VERSION}")
+    src_ver = os.stat(marker).st_mtime_ns
     root = _ann_compact_root(sf_dir)
     cur = latest_version(root)
     if cur is not None and cur[1] >= src_ver:
         return cur[0]
-    src = _ensure_ann_upsert_index(spark, sf_dir)
     codes = spark.read.parquet(os.path.join(src, "codes"))
     return publish(
         codes.repartition("cell_id"),

@@ -126,6 +126,7 @@ _MODULES = (
     "sdg_data_catalog_spark.queries.round12_batch1",
     "sdg_data_catalog_spark.queries.round12_batch2",
     "sdg_data_catalog_spark.queries.round13_batch1",
+    "sdg_data_catalog_spark.queries.round14_batch1",
     # aliases must load last: they bind SURVEY §2 exact IDs to the above
     "sdg_data_catalog_spark.queries.aliases",
 )
@@ -140,71 +141,76 @@ _loaded = False
 # history of this comment for per-round staging). Alias IDs whose targets
 # are driver-green are deliberately absent: a green row on the target is a
 # green row on the ID.
-# Round-13 window (freshness rotation, r12 verdict #1/#4): positions 1-2
-# pin the two round-12 blemishes under their fixes — dq_table_checksum
-# (the only red row in the union; now null-safe, BIGINT-surfaced) and
-# pipeline_pretrain_manifest (eval-shingle guard restored). Positions 3-6
-# are the round-13 registrations (the ANN compaction pair closing the
-# lifecycle chain, plus the column-level reconciliation drill-down).
-# Positions 7-50 re-certify the OLDEST driver rows:
-# all 31 remaining round-1 names plus the 13 alphabetically-first round-2
-# names — standing policy: rotate oldest-first until no op's latest row
-# is older than ~6 rounds.
+# Round-14 window (freshness rotation, r13 verdict #1/#2/#3/#4):
+# position 1 re-certifies dq_column_checksums under its lineitem
+# extension (the drill-down now covers every table its parent
+# fingerprint covers). Positions 2-4 are the round-14 registrations:
+# catalog_retention_prune (closing the versioned-store lifecycle) and
+# the two xxhash64 production twins (rows-only by necessity — DuckDB
+# has no xxhash64; their certification rides on the md5 twins' green
+# hash rows over the SHARED implementation plus pure-Python XXH64
+# differential tests). Positions 5-6 lead the rotation with the two
+# r02-vintage rows whose green rows predate the round-13 shingle
+# hardening (their certifications are stale against shipped code);
+# positions 7-40 are the remaining 34 r02-vintage rows; positions
+# 41-50 the 10 alphabetically-first r03-vintage rows. After this
+# round's driver run, no op's latest row predates r03.
 _PRIORITY = (
-    # -- pinned re-certifications (round-12 fixes) --
-    "dq_table_checksum",
-    "pipeline_pretrain_manifest",
-    # -- round-13 registrations --
-    "sink_ann_index_compact",
-    "sim_ann_compacted_topk",
+    # -- pinned re-certification (lineitem extension) --
     "dq_column_checksums",
-    "dedup_winnowing_pairs",
-    # -- freshness rotation: all 31 remaining round-1-vintage rows --
-    "agg_corpus_stats",
-    "agg_minmax_row",
-    "agg_tf",
-    "agg_wordcount",
-    "dedup_exact_keys",
-    "filter_range_slice",
-    "proj_meta",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive_join",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "scan_pushdown_projection",
-    "setop_intersect",
-    "setop_union",
-    "text_clean_chain",
-    "text_stopword_removal",
-    "text_tfidf",
-    "topk_freq",
-    "topk_global",
-    "win_lag_lead",
-    "win_ntile_firstlast",
-    "win_range_between",
-    "win_rank_dense",
-    "win_rownum_topk",
-    "win_running_sum",
-    # -- freshness rotation: oldest round-2-vintage rows (13 of 49) --
-    "agg_percentiles",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_pairs",
-    "dedup_minhash_sig",
-    "dedup_simhash_pairs",
-    "filter_contains",
-    "filter_minwords",
-    "json_extract_props",
-    "json_parse_spans",
-    "json_serialize",
-    "math_softmax",
+    # -- round-14 registrations --
+    "catalog_retention_prune",
+    "dq_table_checksum_fast",
+    "dedup_winnowing_fast",
+    # -- rotation head: r02 rows stale against the r13 shingle hardening --
+    "text_ngram_bigrams",
+    "text_repetition_score",
+    # -- freshness rotation: remaining 34 r02-vintage rows --
+    "mm_frame_sample",
+    "mm_metadata",
+    "mm_payload_fingerprint",
+    "pipeline_curation",
+    "pivot_user_events",
+    "q22_idle_customers",
+    "scan_csv",
+    "scan_jsonl",
+    "scan_xml",
+    "setop_except",
+    "sim_ann_lsh_bucket",
+    "sim_cosine_neardup",
+    "sim_knn_bruteforce",
+    "sim_norm_stats",
+    "str_lower",
+    "str_rm_punct",
+    "str_rm_url",
+    "str_stem",
+    "str_stopwords",
+    "str_tokenize",
+    "str_ws_norm",
+    "stream_dedup",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_budget",
+    "unpivot_stack",
+    "vectorize_pad",
+    "win_user_running",
+    # -- freshness rotation: alphabetically-first r03-vintage rows (10 of 50) --
+    "agg_bucketed",
+    "bpe_pair_counts",
+    "catalog_stats",
+    "dedup_decontaminate",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_semantic",
+    "diag_partition_skew",
+    "emb_quantize_int8",
+    "emb_random_projection",
 )
 
 

@@ -32,9 +32,14 @@ from sdg_data_catalog_spark.queries.registry import register
 
 _P = 1_000_000_007
 
+# Every table the parent fingerprint (dq_table_checksum) covers, same
+# column sets — the drill-down must be able to localize a divergence in
+# ANY table the fingerprint can flag, lineitem (the largest, most
+# divergence-prone) included.
 _COLSETS = (
     ("orders", ("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")),
     ("customer", ("c_custkey", "c_mktsegment", "c_nationkey")),
+    ("lineitem", ("l_linenumber", "l_orderkey", "l_partkey", "l_returnflag")),
 )
 
 
@@ -168,7 +173,26 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) md5s per doc); fingerprints ~ 2n/(w+1) per doc explode into a
     (doc, fp) relation; the df cap kills boilerplate hot buckets exactly
     like the LSH band cap; the pair join is bucket-local and never
-    materializes non-candidate pairs. All integers — hash-certifiable."""
+    materializes non-candidate pairs. All integers — hash-certifiable.
+
+    The md5-prefix gram hash exists to match the DuckDB oracle
+    byte-for-byte; it is ~5x the cost of a native hash at scale. The
+    production twin `dedup_winnowing_fast` (round14_batch1.py) runs the
+    SAME plan via `_winnow_pairs` with JVM-native xxhash64 grams."""
+    return _winnow_pairs(
+        spark,
+        sf_dir,
+        lambda gram: (
+            f"cast(conv(substr(md5({gram}), 1, 8), 16, 10) as bigint)"
+        ),
+    )
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str, gram_hash) -> DataFrame:
+    """The one winnowing implementation, parameterized ONLY by the
+    gram-hash SQL (``gram_hash`` maps a gram string expr to a BIGINT hash
+    expr) so the certified-oracle path and the production-hash twin
+    cannot drift in plan shape, guards, cap, or threshold."""
     docs = table(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select(
@@ -177,11 +201,11 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = "split(lower(text), ' ')"
+    gram = f"array_join(slice({t}, i, {_WIN_K}), ' ')"
     h_expr = (
         f"CASE WHEN size({t}) >= {_WIN_K} THEN"
         f" transform(sequence(1, size({t}) - {_WIN_K} + 1),"
-        f" i -> cast(conv(substr(md5(array_join(slice({t}, i, {_WIN_K}), ' ')),"
-        f" 1, 8), 16, 10) as bigint))"
+        f" i -> {gram_hash(gram)})"
         f" ELSE array() END"
     )
     fps_expr = (

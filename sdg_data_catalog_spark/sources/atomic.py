@@ -69,7 +69,16 @@ def publish(
     any violations > 0 quarantines the batch (staged dir removed, pointer
     untouched, QualityGateError raised) so readers keep the previous
     snapshot. This is the publish discipline a 100 TB pipeline needs:
-    a bad batch must never become LATEST."""
+    a bad batch must never become LATEST.
+
+    ``partition_by`` + ``gate`` interaction (no current caller combines
+    them): the gate validates a RE-READ of the staged dir, and a
+    partitioned re-read moves the partition columns to the end of the
+    schema and may narrow their types via partition-value inference
+    (a long written as a partition key reads back as int). A gate that
+    checks schema or per-column stats must canonicalize column order and
+    cast partition keys before comparing, or it will flag every
+    partitioned publish."""
     cur = latest_version(root)
     vname = f"v{version:09d}"
     vdir = os.path.join(root, "versions", vname)
@@ -109,6 +118,35 @@ def publish(
     for old in names[:-keep]:  # retention floor for in-flight readers
         shutil.rmtree(os.path.join(vroot, old), ignore_errors=True)
     return vdir
+
+
+def prune(root: str, keep: int = 2) -> list[int]:
+    """Retention as a first-class operation: remove superseded snapshot
+    dirs beyond the newest ``keep``, returning the pruned version numbers.
+
+    Two invariants a side-effect-of-publish pruner doesn't owe you:
+    (a) the LIVE snapshot (whatever LATEST points at) is NEVER removed,
+    even when a rollback has repointed LATEST at a version older than
+    the newest ``keep`` — retention must not evict what readers resolve;
+    (b) pruning only ever deletes immutable, superseded version dirs, so
+    a crash mid-prune leaves a strictly smaller history and a valid
+    pointer — re-running completes the job (idempotent).
+
+    After a version is pruned, a replayed ``publish`` of it returns the
+    live snapshot dir (see publish's replay clamp), and ``read_version``
+    of it raises — history past the horizon is genuinely gone, which is
+    the point: at 100 TB, unbounded version history IS the storage leak.
+    """
+    cur = latest_version(root)
+    if cur is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    vroot = os.path.join(root, "versions")
+    names = sorted(n for n in os.listdir(vroot) if n.startswith("v"))
+    live = f"v{cur[1]:09d}"
+    doomed = [n for n in names[: -keep if keep else None] if n != live]
+    for name in doomed:
+        shutil.rmtree(os.path.join(vroot, name), ignore_errors=True)
+    return [int(n[1:]) for n in doomed]
 
 
 def read_latest(spark: SparkSession, root: str) -> DataFrame:

@@ -526,7 +526,18 @@ def test_compaction_is_atomic_and_idempotent(spark, sf_dir):
     vdir = _ensure_ann_compacted(spark, sf_dir)
     root = _ann_compact_root(sf_dir)
     cur = latest_version(root)
-    assert cur is not None and cur[0] == vdir and cur[1] == 1
+    assert cur is not None and cur[0] == vdir
+    # version = upsert marker mtime_ns (the content-freshness signal)
+    import os as _os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ANN_UPSERT_VERSION,
+        _ensure_ann_upsert_index,
+    )
+
+    src = _ensure_ann_upsert_index(spark, sf_dir)
+    marker = _os.path.join(src, f"_ANN_UPSERT_{_ANN_UPSERT_VERSION}")
+    assert cur[1] == _os.stat(marker).st_mtime_ns
     snap = {
         p: (os.path.getsize(p), os.path.getmtime(p))
         for p in glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
@@ -549,3 +560,34 @@ def test_compaction_is_atomic_and_idempotent(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in compacted] == [tuple(r) for r in upserted]
+
+
+def test_compaction_refreshes_when_source_rebuilt(spark, sf_dir):
+    """The ADVICE-flagged staleness hazard: a rebuilt upsert index with an
+    UNCHANGED version string but different content must invalidate the
+    compacted snapshot. Rebuilds rewrite the marker file, so bumping its
+    mtime (what any rmtree+rebuild does) must make the next ensure publish
+    a NEW version; an untouched marker must keep short-circuiting."""
+    import os
+
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        _ANN_UPSERT_VERSION,
+        _ann_compact_root,
+        _ensure_ann_compacted,
+        _ensure_ann_upsert_index,
+    )
+    from sdg_data_catalog_spark.sources.atomic import latest_version
+
+    vdir = _ensure_ann_compacted(spark, sf_dir)
+    root = _ann_compact_root(sf_dir)
+    v_before = latest_version(root)[1]
+    assert _ensure_ann_compacted(spark, sf_dir) == vdir  # untouched: cached
+
+    src = _ensure_ann_upsert_index(spark, sf_dir)
+    marker = os.path.join(src, f"_ANN_UPSERT_{_ANN_UPSERT_VERSION}")
+    os.utime(marker)  # simulate a rebuild finishing now
+    vdir2 = _ensure_ann_compacted(spark, sf_dir)
+    v_after = latest_version(root)[1]
+    assert v_after > v_before and vdir2 != vdir
+    # and the refreshed snapshot is itself stable again
+    assert _ensure_ann_compacted(spark, sf_dir) == vdir2

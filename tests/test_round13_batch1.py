@@ -66,10 +66,22 @@ def test_column_checksums_null_safe_cross_engine(spark, tmp_path):
             "c_mktsegment": [None],
         }
     )
-    for name, df in (("orders", orders), ("customer", customer)):
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, None], dtype="Int64"),
+            "l_linenumber": pd.array([None, 2], dtype="Int64"),
+            "l_partkey": pd.array([7, 8], dtype="Int64"),
+            "l_returnflag": ["R", None],
+        }
+    )
+    for name, df in (
+        ("orders", orders),
+        ("customer", customer),
+        ("lineitem", lineitem),
+    ):
         df.to_parquet(tmp_path / f"{name}.parquet")
     con = duckdb.connect()
-    for name in ("orders", "customer"):
+    for name in ("orders", "customer", "lineitem"):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM"
             f" read_parquet('{tmp_path / name}.parquet')"
@@ -82,16 +94,31 @@ def test_column_checksums_null_safe_cross_engine(spark, tmp_path):
     pdf = got.toPandas().set_index(["tbl", "col_name"])
     assert int(pdf.loc[("orders", "o_orderkey"), "n_nulls"]) == 1
     assert int(pdf.loc[("customer", "c_custkey"), "n_nulls"]) == 1
+    assert int(pdf.loc[("lineitem", "l_orderkey"), "n_nulls"]) == 1
+    assert int(pdf.loc[("lineitem", "l_returnflag"), "n_nulls"]) == 1
+
+
+def test_column_checksums_cover_every_fingerprinted_table(spark, sf_dir):
+    """The drill-down covers exactly the tables (and columns) its parent
+    dq_table_checksum fingerprints — a table the fingerprint can flag but
+    the drill-down can't localize would make the pair useless."""
+    out = all_queries()["dq_column_checksums"](spark, sf_dir).toPandas()
+    assert set(out["tbl"]) == {"orders", "customer", "lineitem"}
+    got_lineitem = set(out[out["tbl"] == "lineitem"]["col_name"])
+    assert got_lineitem == {
+        "l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"
+    }
 
 
 def test_column_checksums_single_scan_per_table(spark, sf_dir):
     """The 2·n_cols aggregates must fold into ONE scan per table — the
-    plan contains exactly one orders scan and one customer scan (not one
-    per column)."""
+    plan contains exactly one scan per audited table (orders, customer,
+    lineitem), not one per column."""
     df = all_queries()["dq_column_checksums"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("orders.parquet") <= 1
     assert plan.lower().count("customer.parquet") <= 1
+    assert plan.lower().count("lineitem.parquet") <= 1
 
 
 def _winnow_py(text: str) -> set[int]:
