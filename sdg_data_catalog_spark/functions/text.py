@@ -22,6 +22,15 @@ STOPWORDS = (
     "to", "was", "were", "will", "with",
 )
 
+# Engine-identical whitespace classes (round-14 regex-dialect sweep):
+# Java's \s is [ \t\n\x0b\f\r] but DuckDB's RE2 \s omits \x0b (vertical
+# tab, common in scraped text), so a literal \s in a regex shared with a
+# DuckDB oracle silently diverges on real corpora. Spelling the class
+# out makes Spark and every oracle agree on ALL input; on \x0b-free text
+# the patterns are byte-equivalent to the previous \s forms.
+WS = r"[ \t\n\x0b\f\r]"
+NOT_WS = r"[^ \t\n\x0b\f\r]"
+
 
 def lower(col: Column) -> Column:
     """TM_1 cell 2."""
@@ -30,27 +39,27 @@ def lower(col: Column) -> Column:
 
 def strip_urls(col: Column) -> Column:
     """TM_1 cell 4: https?://\\S+ | www.\\S+ -> ''."""
-    return F.regexp_replace(col, r"https?://\S+|www\.\S+", "")
+    return F.regexp_replace(col, rf"https?://{NOT_WS}+|www\.{NOT_WS}+", "")
 
 
 def strip_number_words(col: Column) -> Column:
     """TM_1 cells 6-7: drop words containing a digit (\\S*\\d\\S*)."""
-    return F.regexp_replace(col, r"\S*\d\S*", "")
+    return F.regexp_replace(col, rf"{NOT_WS}*\d{NOT_WS}*", "")
 
 
 def strip_punct(col: Column) -> Column:
     """TM_1 cell 8: remove [^\\w\\s]."""
-    return F.regexp_replace(col, r"[^\w\s]", "")
+    return F.regexp_replace(col, r"[^\w \t\n\x0b\f\r]", "")
 
 
 def strip_emails(col: Column) -> Column:
     """TM_1 cell 9: remove \\S*@\\S*."""
-    return F.regexp_replace(col, r"\S*@\S*", "")
+    return F.regexp_replace(col, rf"{NOT_WS}*@{NOT_WS}*", "")
 
 
 def collapse_ws(col: Column) -> Column:
     """TM_1 cells 5,10; paper_processing.py:100,113: \\s+ -> ' ', trim."""
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, rf"{WS}+", " "))
 
 
 def clean_chain(col: Column) -> Column:
@@ -80,7 +89,7 @@ def token_count_ws(col: Column) -> Column:
 def token_count_bpe_ish(col: Column) -> Column:
     """BPE-ish sub-token count: alpha runs, digit runs, and single
     non-alnum marks — the cheap proxy for tokenizer budget estimation."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"), 0))
 
 
 def fingerprint(col: Column) -> Column:
@@ -104,7 +113,7 @@ def quality_features(col: Column) -> dict[str, Column]:
         "n_tokens": n_tokens,
         "avg_token_len": (n_chars - (n_tokens - 1)) / n_tokens,  # chars net of separators
         "stopword_ratio": n_stop / n_tokens,
-        "punct_ratio": F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0)) / n_chars,
+        "punct_ratio": F.size(F.regexp_extract_all(col, F.lit(r"[^\w \t\n\x0b\f\r]"), 0)) / n_chars,
         "digit_ratio": F.size(F.regexp_extract_all(col, F.lit(r"[0-9]"), 0)) / n_chars,
         "uniq_token_ratio": F.size(F.array_distinct(toks)) / n_tokens,
     }

@@ -83,7 +83,7 @@ def filter_emptysent(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            array_to_string(
              list_filter(string_split(text || ' ' || CAST(n_chars AS VARCHAR), ' '),
-                         x -> NOT regexp_matches(x, '^[0-9]+$')), '|') AS word_tokens
+                         x -> NOT regexp_matches(x, '^[0-9]+\\z')), '|') AS word_tokens
     FROM documents
     """,
 )
@@ -97,7 +97,7 @@ def filter_notdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.concat_ws(" ", "text", "n_chars"), " ")
     return docs.select(
         "doc_id",
-        F.array_join(F.filter(toks, lambda x: ~x.rlike("^[0-9]+$")), "|").alias("word_tokens"),
+        F.array_join(F.filter(toks, lambda x: ~x.rlike(r"^[0-9]+\z")), "|").alias("word_tokens"),
     )
 
 

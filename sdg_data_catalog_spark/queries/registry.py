@@ -149,11 +149,16 @@ _loaded = False
 # the two xxhash64 production twins (rows-only by necessity — DuckDB
 # has no xxhash64; their certification rides on the md5 twins' green
 # hash rows over the SHARED implementation plus pure-Python XXH64
-# differential tests). Positions 5-6 lead the rotation with the two
+# differential tests). Positions 5-9 re-certify the regex-dialect-sweep
+# hardenings not already in the rotation (the \s -> explicit-class and
+# $ -> \z rewrites — engine-identical semantics, but their green rows
+# predate the change); the other hardened ops (str_rm_url, str_rm_punct,
+# str_stem, str_tokenize, str_ws_norm, text_token_budget,
+# text_quality_score) are r02-vintage and re-certify via the rotation
+# below anyway. Positions 10-11 lead the rotation with the two
 # r02-vintage rows whose green rows predate the round-13 shingle
-# hardening (their certifications are stale against shipped code);
-# positions 7-40 are the remaining 34 r02-vintage rows; positions
-# 41-50 the 10 alphabetically-first r03-vintage rows. After this
+# hardening; then the remaining 34 r02-vintage rows; the final
+# positions take the alphabetically-first r03-vintage rows. After this
 # round's driver run, no op's latest row predates r03.
 _PRIORITY = (
     # -- pinned re-certification (lineitem extension) --
@@ -162,6 +167,12 @@ _PRIORITY = (
     "catalog_retention_prune",
     "dq_table_checksum_fast",
     "dedup_winnowing_fast",
+    # -- regex-dialect hardenings needing fresh rows (not in rotation) --
+    "str_rm_numwords",
+    "str_rm_email",
+    "text_clean_chain",
+    "filter_notdigit",
+    "dedup_url_canonical",
     # -- rotation head: r02 rows stale against the r13 shingle hardening --
     "text_ngram_bigrams",
     "text_repetition_score",
@@ -200,17 +211,12 @@ _PRIORITY = (
     "unpivot_stack",
     "vectorize_pad",
     "win_user_running",
-    # -- freshness rotation: alphabetically-first r03-vintage rows (10 of 50) --
+    # -- freshness rotation: alphabetically-first r03-vintage rows --
     "agg_bucketed",
     "bpe_pair_counts",
     "catalog_stats",
     "dedup_decontaminate",
     "dedup_incremental",
-    "dedup_lines",
-    "dedup_semantic",
-    "diag_partition_skew",
-    "emb_quantize_int8",
-    "emb_random_projection",
 )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.functions import text as T
 from sdg_data_catalog_spark.queries.registry import register
 
 
@@ -65,7 +66,7 @@ def str_len_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            regexp_replace('see http://' || source || '.example.org/a?b=1 or www.x.org end ' || substr(text, 1, 30),
-                          'https?://\S+|www\.\S+', '', 'g') AS no_urls
+                          'https?://[^ \t\n\x0b\f\r]+|www\.[^ \t\n\x0b\f\r]+', '', 'g') AS no_urls
     FROM documents
     """,
 )
@@ -76,7 +77,7 @@ def str_rm_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").substr(1, 30),
     )
     return _docs(spark, sf_dir).select(
-        "doc_id", F.regexp_replace(noisy, r"https?://\S+|www\.\S+", "").alias("no_urls")
+        "doc_id", F.regexp_replace(noisy, rf"https?://{T.NOT_WS}+|www\.{T.NOT_WS}+", "").alias("no_urls")
     )
 
 
@@ -84,7 +85,7 @@ def str_rm_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_ws_norm",
     oracle=r"""
     SELECT doc_id,
-           trim(regexp_replace(replace(substr(text, 1, 60), ' ', '   '), '\s+', ' ', 'g')) AS normalized
+           trim(regexp_replace(replace(substr(text, 1, 60), ' ', '   '), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS normalized
     FROM documents
     """,
 )
@@ -92,7 +93,7 @@ def str_ws_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cells 5,10 / paper_processing.py:100,113: collapse whitespace."""
     padded = F.replace(F.col("text").substr(1, 60), F.lit(" "), F.lit("   "))
     return _docs(spark, sf_dir).select(
-        "doc_id", F.trim(F.regexp_replace(padded, r"\s+", " ")).alias("normalized")
+        "doc_id", F.trim(F.regexp_replace(padded, rf"{T.WS}+", " ")).alias("normalized")
     )
 
 
@@ -100,7 +101,7 @@ def str_ws_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_rm_numwords",
     oracle=r"""
     SELECT doc_id,
-           regexp_replace(substr(text, 1, 40) || ' a1b 42 x9 ok', '\S*\d\S*', '', 'g') AS no_numwords
+           regexp_replace(substr(text, 1, 40) || ' a1b 42 x9 ok', '[^ \t\n\x0b\f\r]*\d[^ \t\n\x0b\f\r]*', '', 'g') AS no_numwords
     FROM documents
     """,
 )
@@ -108,7 +109,7 @@ def str_rm_numwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cells 6-7: remove words containing digits."""
     noisy = F.concat(F.col("text").substr(1, 40), F.lit(" a1b 42 x9 ok"))
     return _docs(spark, sf_dir).select(
-        "doc_id", F.regexp_replace(noisy, r"\S*\d\S*", "").alias("no_numwords")
+        "doc_id", F.regexp_replace(noisy, rf"{T.NOT_WS}*\d{T.NOT_WS}*", "").alias("no_numwords")
     )
 
 
@@ -116,7 +117,7 @@ def str_rm_numwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_rm_punct",
     oracle=r"""
     SELECT doc_id,
-           regexp_replace(substr(text, 1, 40) || ' a,b.c!d?e;f', '[^\w\s]', '', 'g') AS no_punct
+           regexp_replace(substr(text, 1, 40) || ' a,b.c!d?e;f', '[^\w \t\n\x0b\f\r]', '', 'g') AS no_punct
     FROM documents
     """,
 )
@@ -124,7 +125,7 @@ def str_rm_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_1 cell 8: strip punctuation."""
     noisy = F.concat(F.col("text").substr(1, 40), F.lit(" a,b.c!d?e;f"))
     return _docs(spark, sf_dir).select(
-        "doc_id", F.regexp_replace(noisy, r"[^\w\s]", "").alias("no_punct")
+        "doc_id", F.regexp_replace(noisy, r"[^\w \t\n\x0b\f\r]", "").alias("no_punct")
     )
 
 
@@ -133,7 +134,7 @@ def str_rm_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT doc_id,
            regexp_replace('contact ' || source || '@mail.example.org next ' || substr(text, 1, 30),
-                          '\S*@\S*\s?', '', 'g') AS no_emails
+                          '[^ \t\n\x0b\f\r]*@[^ \t\n\x0b\f\r]*[ \t\n\x0b\f\r]?', '', 'g') AS no_emails
     FROM documents
     """,
 )
@@ -144,7 +145,7 @@ def str_rm_email(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").substr(1, 30),
     )
     return _docs(spark, sf_dir).select(
-        "doc_id", F.regexp_replace(noisy, r"\S*@\S*\s?", "").alias("no_emails")
+        "doc_id", F.regexp_replace(noisy, rf"{T.NOT_WS}*@{T.NOT_WS}*{T.WS}?", "").alias("no_emails")
     )
 
 
@@ -214,7 +215,7 @@ def str_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            array_to_string(
              list_transform(string_split(substr(text, 1, 120), ' '),
-                            x -> regexp_replace(x, '(ing|ed|s)$', '')), '|') AS stemmed
+                            x -> regexp_replace(x, '(ing|ed|s)\z', '')), '|') AS stemmed
     FROM documents
     """,
 )
@@ -226,7 +227,7 @@ def str_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.array_join(
-            F.transform(toks, lambda x: F.regexp_replace(x, r"(ing|ed|s)$", "")), "|"
+            F.transform(toks, lambda x: F.regexp_replace(x, r"(ing|ed|s)\z", "")), "|"
         ).alias("stemmed"),
     )
 
@@ -235,15 +236,15 @@ def str_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_tokenize",
     oracle=r"""
     SELECT doc_id,
-           array_to_string(string_split_regex(trim(substr(text, 1, 120)), '\s+'), '|') AS tokens,
-           CAST(len(string_split_regex(trim(substr(text, 1, 120)), '\s+')) AS INT) AS n_tokens
+           array_to_string(string_split_regex(trim(substr(text, 1, 120)), '[ \t\n\x0b\f\r]+'), '|') AS tokens,
+           CAST(len(string_split_regex(trim(substr(text, 1, 120)), '[ \t\n\x0b\f\r]+')) AS INT) AS n_tokens
     FROM documents
     """,
 )
 def str_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TM_2 cell 4 / utils/utils.py:18-20: whitespace-regex tokenizer.
     '|'-joined token output for canon safety; n_tokens keeps the size."""
-    toks = F.split(F.trim(F.col("text").substr(1, 120)), r"\s+")
+    toks = F.split(F.trim(F.col("text").substr(1, 120)), rf"{T.WS}+")
     return _docs(spark, sf_dir).select(
         "doc_id", F.array_join(toks, "|").alias("tokens"), F.size(toks).alias("n_tokens")
     )

@@ -27,11 +27,11 @@ _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + ")"
                regexp_replace(
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(lower(text), 'https?://\\S+|www\\.\\S+', '', 'g'),
-                           '\\S*\\d\\S*', '', 'g'),
-                       '\\S*@\\S*', '', 'g'),
-                   '[^\\w\\s]', '', 'g'),
-               '\\s+', ' ', 'g')) AS cleaned
+                           regexp_replace(lower(text), 'https?://[^ \\t\\n\\x0b\\f\\r]+|www\\.[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+                           '[^ \\t\\n\\x0b\\f\\r]*\\d[^ \\t\\n\\x0b\\f\\r]*', '', 'g'),
+                       '[^ \\t\\n\\x0b\\f\\r]*@[^ \\t\\n\\x0b\\f\\r]*', '', 'g'),
+                   '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g'),
+               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS cleaned
     FROM documents
     """,
 )
@@ -245,7 +245,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]'))) AS BIGINT) AS bpe_ish_tokens
     FROM documents
     GROUP BY lang
     """,

@@ -192,10 +192,10 @@ def canonicalize_url(col):
     u = F.lower(col)
     u = F.regexp_replace(u, r"^http://", "https://")
     u = F.regexp_replace(u, r":443/", "/")
-    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"#[\s\S]*", "")
     u = F.regexp_replace(u, r"[?&]utm_[^&#]*", "")
-    u = F.regexp_replace(u, r"\?$", "")
-    return F.regexp_replace(u, r"/$", "")
+    u = F.regexp_replace(u, r"\?\z", "")
+    return F.regexp_replace(u, r"/\z", "")
 
 
 _CANON_SQL = """
@@ -206,10 +206,10 @@ _CANON_SQL = """
             regexp_replace(
               regexp_replace(lower(url), '^http://', 'https://'),
               ':443/', '/'),
-            '#.*$', ''),
+            '#[\\s\\S]*', ''),
           '[?&]utm_[^&#]*', '', 'g'),
-        '\\?$', ''),
-      '/$', '')
+        '\\?\\z', ''),
+      '/\\z', '')
 """
 
 

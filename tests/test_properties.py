@@ -256,3 +256,57 @@ def test_shingle_ops_survive_short_docs(spark, tmp_path):
     ):
         err = compare(name, qs[name](spark, str(tmp_path)), ors[name], con)
         assert err is None, f"{name}: {err}"
+
+
+def test_regex_ops_survive_hostile_whitespace(spark, tmp_path):
+    """Round-14 regex-dialect sweep regression: Java's \\s includes
+    vertical tab (\\x0b); RE2's (DuckDB) does not — and Java's $ matches
+    before a trailing newline while RE2's only matches end-of-text. Every
+    op that shares a \\s/\\S/$-bearing regex with its oracle now spells
+    the whitespace class out ([ \\t\\n\\x0b\\f\\r]) and anchors with \\z,
+    so a corpus PLANTED with vertical tabs, trailing newlines, tabs, and
+    non-ASCII must stay engine-identical. The pre-hardening regexes fail
+    this test on the \\x0b and trailing-\\n rows."""
+    import duckdb
+    import pandas as pd
+
+    from sdg_data_catalog_spark.oracle_check import compare
+    from sdg_data_catalog_spark.queries.registry import all_oracles, all_queries
+
+    rows = [
+        (0, "plain words only here today"),
+        (1, "vertical\x0btab and\x0bmore words"),          # \s divergence
+        (2, "running jumped cats\n"),                      # $ vs \z (stem)
+        (3, "tab\tseparated\ttokens here"),
+        (4, "123\n 456 weird\x0b789 mixed12"),             # notdigit + numwords
+        (5, "form\x0cfeed carriage\rreturn lines\nhere"),
+        (6, "emails a@b.x\x0bc@d.y and http://u.v/w\nnext"),
+        (7, "Ωmega 日本語 mixed ascii words"),              # non-ASCII
+        (8, "ending with newline then spaces  \n"),
+        (9, "s ed ing bare suffix tokens s\n"),
+    ]
+    docs = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs["lang"] = "en"
+    docs["source"] = "synth"
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    qs, ors = all_queries(), all_oracles()
+    for name in (
+        "str_rm_url",
+        "str_ws_norm",
+        "str_rm_numwords",
+        "str_rm_punct",
+        "str_rm_email",
+        "str_stem",
+        "str_tokenize",
+        "text_clean_chain",
+        "text_token_budget",
+        "filter_notdigit",
+    ):
+        err = compare(name, qs[name](spark, str(tmp_path)), ors[name], con)
+        assert err is None, f"{name}: {err}"
