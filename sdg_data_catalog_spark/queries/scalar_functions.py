@@ -211,7 +211,9 @@ def str_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "str_stem",
-    oracle="""
+    # raw string: '\z' must reach DuckDB as backslash-z (Python would keep
+    # it anyway for an unknown escape, but that path is deprecated)
+    oracle=r"""
     SELECT doc_id,
            array_to_string(
              list_transform(string_split(substr(text, 1, 120), ' '),
