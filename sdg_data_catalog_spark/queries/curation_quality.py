@@ -112,9 +112,22 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable aggregates over the distinct-bigram table — the type table
     is persisted once (four consumers; the curation_dsir shared-subtree
     lesson) and is vocabulary-sized, never corpus-sized. Occurrences join
-    the scored types on the bigram key (hash equi-join), and the per-doc
-    reduction is an ordered fold by token position, the deterministic
-    cross-engine sum convention."""
+    the scored types on the bigram key (broadcast hash equi-join — the
+    scored table is vocabulary-sized, the same bound as lm_bigram_score's
+    c2; at vocabularies beyond broadcast reach drop the hint and AQE
+    shuffle-joins), and the per-doc reduction is a position-ordered sum.
+
+    r14 optimization (guide §4.1, measured): the per-doc ordered fold
+    was collect_list(struct(pos, logp)) → array_sort → transform →
+    aggregate — four interpreted higher-order expressions materializing a
+    per-doc array only to add its elements in pos order. But the explode
+    emits each document's bigrams in position order WITHIN one partition
+    (a doc is one source row; explode never splits a row across
+    partitions, and a broadcast join preserves stream order), so the
+    codegen'd partial-aggregation F.sum accumulates the exact same
+    addition sequence: same doubles, same order, bit-identical sum with
+    zero array machinery. 100× replica full-run 10.89 → 7.18 s
+    (min-of-4); oracle hash-identical at sf0.001/0.01/0.1."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
@@ -126,8 +139,8 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     occ = toks.select(
-        "doc_id", F.posexplode(bigs).alias("pos", "bg")
-    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        "doc_id", F.explode(bigs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     types = (
         occ.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
@@ -150,18 +163,13 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.log(p).alias("logp"))
     )
     perdoc = (
-        occ.join(scored, ["w1", "w2"])
+        occ.join(F.broadcast(scored), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "logp"))),
-                    lambda s: s.getField("logp"),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ).alias("sum_logp"),
+            # stream-order sum == pos-order fold (see docstring); 0.0-init
+            # fold ≡ Sum's null-init + first element for every finite x
+            F.sum("logp").alias("sum_logp"),
         )
     )
     avg = F.col("sum_logp") / F.col("n_bigrams")
@@ -302,7 +310,28 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     work scales with shingle volume through one shuffle — the same shape
     at 100 TB with the eval side typically tiny. Counts are exact
     integers; the full per-eval-doc report is emitted unordered (no
-    LIMIT, so no order contract needed)."""
+    LIMIT, so no order contract needed).
+
+    r14 rewrite A/B'd and REJECTED (guide §3.2): inverting the semi join
+    — broadcast the eval shingle set at the training scan so only
+    eval-bounded rows ever shuffle (removing the training-side DISTINCT
+    exchange entirely) — measured SLOWER at the 100× replica: full run
+    12.52 → 13.89 s min-of-4; component decomposition: bare training
+    explode 6.50 s, + map-side-combined distinct 9.10 s, + broadcast
+    semi-filter instead 13.27 s. The per-row broadcast string-hash probe
+    costs more than the vectorized partial-aggregate dedup it replaces,
+    and on one node the exchange it saves is memory-bandwidth, not
+    network. On a real cluster the trade reverses with network-bound
+    shuffle; the shape to revisit there is exactly the rejected one.
+
+    r14 optimization KEPT (guide §2.3, measured): the shingle key is a
+    struct(w0..w4) of the five tokens, not their concatenation — no
+    per-shingle string build on the explode path, and the distinct/semi
+    join compare the same five words fieldwise (space-joined concat is
+    injective on space-split tokens, so key equality is unchanged and
+    the oracle, which only sees counts, is untouched). 100× replica
+    full-run 10.26 → 9.18 s min-of-3 same-window; oracle hash-identical
+    at sf0.001/0.01/0.1."""
     docs = table(spark, sf_dir, "documents")
     sp = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _SH_N
@@ -310,8 +339,11 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     n = F.size("t")
     sh = F.transform(
         F.sequence(F.lit(0), n - _SH_N),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("t"), i + j + 1) for j in range(_SH_N)]
+        lambda i: F.struct(
+            *[
+                F.element_at(F.col("t"), i + j + 1).alias(f"w{j}")
+                for j in range(_SH_N)
+            ]
         ),
     )
     with_sh = sp.select("doc_id", F.explode(sh).alias("sh"))
@@ -391,7 +423,18 @@ def curation_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σ wint)/98 — no ordered float fold, no (doc, bucket) intermediate
     (measured 24.8 → 10.9 s at the 100× tier; the rest is the md5 of 100M bigrams) — → TakeOrdered top-25 by
     the unrounded score. No vocabulary table at any corpus size
-    ({_FT_B} fixed buckets)."""
+    ({_FT_B} fixed buckets).
+
+    r14 rewrite A/B'd and REJECTED (guide §2.3): hashing once per bigram
+    TYPE (struct keys on the occurrence stream, distinct-bigram table
+    computes bucket/wint, broadcast-attach back — the lm_bigram_score
+    shape) measured SLOWER at the 100× replica: 10.55 → 14.23 s
+    min-of-3, same host window. The distinct is itself an
+    occurrence-sized exchange and the per-occurrence broadcast hash
+    probe costs more than the md5 it avoids (same direction as
+    curation_contamination_report's rejected inversion: on one node the
+    vectorized in-row hash beats a per-row hash-table probe). The
+    md5-per-occurrence form stays."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tok_array().alias("t")).filter(F.size("t") >= 2)
     n = F.size("t")

@@ -63,7 +63,12 @@ def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
-    mwl = F.length(F.regexp_replace("text", " ", "")) / n_words.cast("double")
+    # r14 (guide §4.1): split-on-'␣' keeps empties, so n_spaces =
+    # n_words − 1 and the non-space char count is length − n_spaces —
+    # identical to length(regexp_replace(text,' ','')) without the
+    # whole-text regex rewrite pass (2.42 → 1.74 s min-of-5 at the
+    # 100× replica, oracle-green at sf0.001/0.01/0.1)
+    mwl = (F.length("text") - n_words + 1) / n_words.cast("double")
     stops = F.filter(
         words, lambda w: w.isin("the", "a", "of", "to", "and", "in")
     )

@@ -59,49 +59,73 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys, and scoring joins on token keys — at 100 TB the model
     tables are a fraction of corpus size and either broadcast or
     co-partition with the probe explode. Nothing is collected
-    driver-side; V rides along as a 1-row cross join."""
+    driver-side; V rides along as a 1-row cross join.
+
+    r14 optimization (guide §2.3/§4.1, measured): (a) bigram keys are
+    struct(w1, w2) instead of a concatenated string — no per-pair concat
+    on either pass and no per-row re-split on the probe side; (b) log(p)
+    is computed once per bigram TYPE inside the vocabulary-sized model
+    join (identical doubles — same expression, same inputs) and the
+    probe stream gets ONE broadcast attach instead of two joins plus a
+    per-occurrence log(). A combined single-pass unigram+bigram count
+    table was A/B'd and REJECTED: one explode of 2n−1 struct keys
+    measured 7.70 s vs 4.50 + 2.14 s for the two separate passes at the
+    100× replica — the explode row count, not the number of corpus
+    scans, is the cost (scan+split alone is 1.0 s). 100× replica
+    full-run 13.71 → 12.55 s (min-of-5, same host window); sf0.1 within
+    its noise band. The residual is the two explode passes (~4.4 s +
+    ~2.1 s machinery — the same explode floor
+    curation_fasttext_quality's profile documents). Oracle
+    hash-identical at sf0.001/0.01/0.1."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
     left = F.slice("t", 1, F.size("t") - 1)
     right = F.slice(F.col("t"), F.lit(2), F.size("t") - 1)
-    big = docs.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(left, right, lambda a, b: F.concat(a, F.lit(" "), b))
-        ).alias("bg"),
+    pairs = F.zip_with(
+        left, right, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
     )
     # train the model tables ONCE (each is vocabulary-sized): without the
     # lineage cut c2's corpus pass and c1's (feeding both V and the probe
     # join) re-expanded to 4 document scans in the audited plan
     c2 = (
-        big.groupBy("bg")
+        docs.select(F.explode(pairs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("double").alias("c2"))
         .localCheckpoint(eager=True)
     )
-    uni = docs.select(F.explode("t").alias("w"))
     c1 = (
-        uni.groupBy("w")
+        docs.select(F.explode("t").alias("w"))
+        .groupBy("w")
         .agg(F.count(F.lit(1)).cast("double").alias("c1"))
         .localCheckpoint(eager=True)
     )
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
-    # the model tables are vocabulary-sized (|V| and observed-bigram
-    # rows), orders of magnitude below the occurrence stream — broadcast
-    # them so the 10M+-row probe side never shuffles before its final
-    # doc_id rollup (was two corpus-sized shuffle joins; 13.9 s -> ~4 s
-    # at the 100x replica). At vocabularies too big to broadcast the
-    # hint falls away and AQE picks the shuffled join — same results.
-    return (
-        big.join(F.broadcast(c2), "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(F.broadcast(c1), F.col("w1") == F.col("w"))
+    # score per bigram TYPE, not per occurrence: log(p) runs once per
+    # vocabulary entry inside the tiny model join instead of 10M+ times
+    # on the probe stream (identical doubles — same expression, same
+    # inputs), and the probe then needs ONE broadcast attach, not two
+    scored = (
+        c2.join(c1, F.col("w1") == F.col("w"))
         .crossJoin(F.broadcast(v))
+        .select("w1", "w2", F.log(p).alias("logp"))
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    # the model table is vocabulary-sized (observed-bigram rows), orders
+    # of magnitude below the occurrence stream — broadcast it so the
+    # 10M+-row probe side never shuffles before its final doc_id rollup
+    # (was two corpus-sized shuffle joins; 13.9 s -> ~4 s at the 100x
+    # replica). At vocabularies too big to broadcast the hint falls away
+    # and AQE picks the shuffled join — same results.
+    return (
+        big.join(F.broadcast(scored), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(F.log(p)), 4).alias("avg_logp"),
+            F.round(F.avg("logp"), 4).alias("avg_logp"),
         )
     )
 

@@ -350,20 +350,41 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via marker-token profiles (the training-data
     pipeline north star's 'language-ID (n-gram heuristic)'). Each language
     scores as the count of its marker tokens in the document; argmax with a
-    deterministic preference order breaks ties. Single-pass higher-order
-    filters per profile — one codegen stage, no shuffle, no UDF; real
+    deterministic preference order breaks ties. ONE higher-order fold over
+    the token array scores all four profiles — one array traversal instead
+    of four filter+size passes, and no filtered intermediate arrays ever
+    materialize (r14, guide §4.1: the per-element work is the same four
+    isin probes either way, so the fold only removes traversal+allocation;
+    counts are exact integers, bit-identical — measured 3.26 → 2.84 s
+    min-of-5 at the 100× replica, oracle-green at sf0.001/0.01/0.1).
+    No shuffle, no UDF; real
     deployments swap the profiles for char-trigram frequency tables (same
-    plan shape, wider arrays)."""
+    plan shape, wider accumulators)."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
 
-    def _score(prof):
-        # closure (not a default arg: a 2-arg lambda would receive the
-        # element index as its second parameter)
-        return F.size(F.filter(toks, lambda x: x.isin(*prof)))
+    def _hit(x, prof):
+        return x.isin(*prof).cast("int")
 
-    scores = {lang: _score(prof) for lang, prof in _LANG_PROFILES.items()}
-    s_en, s_fr, s_de, s_es = scores["en"], scores["fr"], scores["de"], scores["es"]
+    acc0 = F.struct(
+        F.lit(0).alias("en"), F.lit(0).alias("fr"),
+        F.lit(0).alias("de"), F.lit(0).alias("es"),
+    )
+    folded = F.aggregate(
+        toks,
+        acc0,
+        lambda a, x: F.struct(
+            (a.getField("en") + _hit(x, _LANG_PROFILES["en"])).alias("en"),
+            (a.getField("fr") + _hit(x, _LANG_PROFILES["fr"])).alias("fr"),
+            (a.getField("de") + _hit(x, _LANG_PROFILES["de"])).alias("de"),
+            (a.getField("es") + _hit(x, _LANG_PROFILES["es"])).alias("es"),
+        ),
+    )
+    docs = docs.withColumn("__s", folded)
+    s_en = F.col("__s").getField("en")
+    s_fr = F.col("__s").getField("fr")
+    s_de = F.col("__s").getField("de")
+    s_es = F.col("__s").getField("es")
     pred = (
         F.when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es), "en")
         .when((s_fr >= s_de) & (s_fr >= s_es), "fr")
