@@ -253,19 +253,24 @@ def fpm_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= F.ceil(F.lit(0.002) * F.col("n")))
         .select(F.col("l_suppkey").cast("string").alias("item"))
     )
-    # Bounded driver read: #frequent singles <= sum(basket sizes)/(0.002·n)
-    # = avg_basket/minSupport (~2000 here) REGARDLESS of corpus size — the
-    # same bounded-scalar class as the PQ codebook collects.
-    flist = sorted(r.item for r in freq_items.collect())
+    # r14 (guide §3.1/§4.1, measured): the Apriori pre-filter is a
+    # broadcast LEFT join against the frequent-item table instead of the
+    # former driver collect() + ~2000-literal array_intersect — the same
+    # bounded table, but it never leaves the cluster, the per-row probe
+    # is a hash lookup instead of a 2000-element array scan, and the
+    # giant literal expression tree is gone from the plan. collect_set
+    # skips NULLs, so orders whose items are ALL pruned keep their basket
+    # row with an empty items array — basket COUNT (and therefore
+    # MLlib's ceil(minSupport·n) threshold and the result) is exactly
+    # unchanged.
     baskets = (
-        pairs_src.groupBy("l_orderkey")
-        .agg(F.collect_set(F.col("l_suppkey").cast("string")).alias("all_items"))
-        .select(
-            "l_orderkey",
-            F.array_intersect(
-                "all_items", F.array(*[F.lit(x) for x in flist])
-            ).alias("items"),
+        pairs_src.join(
+            F.broadcast(freq_items.withColumnRenamed("item", "fitem")),
+            pairs_src["l_suppkey"].cast("string") == F.col("fitem"),
+            "left",
         )
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("fitem").alias("items"))
     )
     # FP-Growth makes TWO passes (item counting, then tree mining), each of
     # which would otherwise re-execute the basket lineage; cache for the

@@ -241,10 +241,16 @@ def feat_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset_ner/ner_pipeline.py:111-115, which require a driver-resident
     dict."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    # r14 (guide §4.1): regexp_extract_all('[a-z]+') emits the same
+    # maximal letter runs as split-on-'[^a-z]+' + drop-empties, with no
+    # empty-token rows ever exploded (the curation_quality tokenization
+    # lesson, ~1.7x on explode paths)
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
     bucket = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 64
     ).alias("bucket")

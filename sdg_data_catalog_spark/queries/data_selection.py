@@ -765,6 +765,11 @@ def agg_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable DISTINCT. Jaccard = |∩| / (|A| + |B| − |∩|), all exact
     integers until the final division."""
     docs = table(spark, sf_dir, "documents")
+    # r14 A/B'd and REJECTED: regexp_extract_all('[a-z]+') tokenization
+    # (the curation_quality idiom) measured 6.56 → 6.87 s at the 100×
+    # replica — this op is bound by the (source, bucket) DISTINCT and the
+    # per-token md5, not the split, and the extract-all array build costs
+    # more than the empty-token filter it removes here.
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
     ).filter(F.col("tok") != "")

@@ -218,7 +218,16 @@ def _winnow_pairs(spark: SparkSession, sf_dir: str, gram_hash) -> DataFrame:
     # (doc_id, fp) is referenced FOUR times downstream (df census + cap
     # join + both pair-join sides): materialize it once or the corpus
     # scan AND the per-gram md5 array re-expand 4x (the plan scan gate
-    # caught exactly this — 8 documents scans before the checkpoint)
+    # caught exactly this — 8 documents scans before the checkpoint).
+    # r14 A/B'd and REJECTED, both at the 100× replica vs 48.3 s here:
+    # (a) df cap as count(*)-over-fp window on the raw explode (no
+    # distinct, no census join): 65.3 s — WindowExec's sort + per-group
+    # buffering of the occurrence-sized relation costs more than the
+    # hash-agg census + join; (b) no-distinct + count(*) census + eager
+    # checkpoint of the capped relation: 54.8 s — the extra serial
+    # materialization barrier outweighs the removed distinct exchange
+    # (ReuseExchange already absorbs the twice-instantiated census).
+    # The .distinct() also pre-shuffles by (doc_id, fp) which AQE reuses.
     fp = (
         corpus.select("doc_id", F.expr(h_expr).alias("h"))
         .select("doc_id", F.explode(F.expr(fps_expr)).alias("fp"))
