@@ -13,9 +13,10 @@ same math, distributed).
 
 Scale notes:
   - k-means collects exactly k*dim doubles per iteration (the new
-    centroids) — independent of row count; assignment is a codegen'd
-    expression tree (k squared-distance aggregates), no Python, no shuffle;
-    the centroid update is one partial-aggregated groupBy(cluster, pos).
+    centroids) — independent of row count; assignment is one Arrow-batched
+    numpy pass (per-dimension ordered accumulation, bit-identical to the
+    sequential fold — see _assign), no shuffle; the centroid update is one
+    partial-aggregated groupBy(cluster, pos).
   - PageRank shuffles once per iteration on dst (partial-aggregated sum)
     plus one broadcast join of the O(nodes) rank vector onto edges. Rank
     state never leaves the cluster; only the scalar dangling mass is
@@ -45,25 +46,71 @@ def _sq_dist(emb_col, centroid: list[float]):
     )
 
 
-def _assign(vecs: DataFrame, centroids: list[list[float]]) -> DataFrame:
+def _assign(
+    vecs: DataFrame, centroids: list[list[float]], keep_dists: bool = False
+) -> DataFrame:
     """Add cluster_id = argmin squared distance and __sq the winning
-    distance. One pass, k codegen'd distance expressions, zero shuffle.
-    Ties resolve to the first (lowest) cluster id via array_position,
-    matching the numpy argmin convention."""
-    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in centroids])
-    return (
-        vecs.withColumn("__dists", dists)
-        .withColumn("__sq", F.expr("array_min(__dists)"))
-        .withColumn(
-            "cluster_id",
-            (F.expr("array_position(__dists, __sq)") - 1).cast("int"),
-        )
-        .drop("__dists")
+    distance (plus the full k-distance array as __dists when
+    keep_dists — lets validity metrics reuse the assignment pass
+    instead of re-evaluating k distance expressions). One Arrow pass,
+    zero shuffle.
+
+    r14 (guide §4.2, the ivf_assign precedent): the former k
+    interpreted-HOF distance expressions cost 16.6/14.9/18.6 s per
+    validity op at the 100× replica (×4 assignment passes per fit), and
+    the unrolled-expression alternative generated methods past
+    HotSpot's JIT size limit (slower still — measured, see
+    OPTIMIZATION_r14.md). Here distances accumulate per DIMENSION
+    across the batch (vectorized across rows, ordered across dims) —
+    bit-identical to the sequential left fold the oracles pin:
+    (((0+(x₁−c₁)²)+(x₂−c₂)²)+…; numpy's += is a separate multiply then
+    add, no FMA contraction. np.argmin takes the FIRST minimum on
+    ties — exactly array_position's first-match / lowest-cluster-id
+    rule. Input is pruned to (vec_id, embedding) — every call site
+    passes exactly that — and the output embedding is array<double>
+    (exact float32 widening; every consumer casts to double anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(
+        [[float(v) for v in c] for c in centroids], dtype=np.float64
     )
+    kk = len(centroids)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            d2 = np.empty((n, kk), dtype=np.float64)
+            for c in range(kk):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(mat.shape[1]):  # ordered across dims
+                    diff = mat[:, d] - cmat[c, d]
+                    acc += diff * diff
+                d2[:, c] = acc
+            best = np.argmin(d2, axis=1)  # first min on ties
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                "embedding": [mat[i] for i in range(n)],
+                "cluster_id": best.astype(np.int32),
+                "__sq": d2[np.arange(n), best],
+            }
+            if keep_dists:
+                out["__dists"] = [d2[i] for i in range(n)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, embedding array<double>, cluster_id int, __sq double"
+    if keep_dists:
+        schema += ", __dists array<double>"
+    return vecs.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
 def kmeans_fit(
-    vecs: DataFrame, k: int, iters: int
+    vecs: DataFrame, k: int, iters: int, keep_dists: bool = False
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's k-means returning BOTH the final (vec_id, cluster_id,
     __sq) assignment frame and the fitted centroid list (k·dim driver
@@ -92,6 +139,13 @@ def kmeans_fit(
         # engines run identical IEEE chains on identical inputs and every
         # floor/round boundary resolves identically. Mirrored in the
         # DuckDB oracle (_kmeans_oracle_round: ROUND(AVG(..), 9)).
+        # Centroid update stays the posexplode → groupBy(cluster, pos)
+        # shape: the "64 per-dimension AVG columns, k-row shuffle"
+        # alternative was A/B'd r14 and REJECTED — 8.9/9.1/10.9 →
+        # 10.1/10.3/12.2 s at the 100× replica across the three validity
+        # ops; 64 element_at aggregate states per row cost more than the
+        # exploded exchange they remove (map-side partial agg already
+        # collapses it to k·dim rows per partition).
         new_rows = (
             assigned.select(
                 "cluster_id", F.posexplode("embedding").alias("pos", "val")
@@ -109,7 +163,7 @@ def kmeans_fit(
             else centroids[c]  # empty cluster keeps its centroid
             for c in range(k)
         ]
-    return _assign(vecs, centroids), centroids
+    return _assign(vecs, centroids, keep_dists=keep_dists), centroids
 
 
 def kmeans_assign(vecs: DataFrame, k: int, iters: int) -> DataFrame:

@@ -32,6 +32,19 @@ def round6(x: float) -> float:
 
 
 def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — the float chain every SQL oracle
+    pins. NOTE r14: an unrolled left-assoc element_at chain
+    (bit-identical order, whole-stage codegen'd) was A/B'd and
+    REJECTED: it wins where the generated method stays JIT-compilable
+    (isolated microbench 1.5×, sim_knn_bruteforce 23.0 → 18.6 s at the
+    100× replica) but loses wherever the fused stage's method grows
+    past HotSpot's JIT size threshold and runs as uncompiled bytecode
+    (sim_ann_lsh_topk 2.45 → 5.49, sim_ann_recall_eval 1.39 → 4.94,
+    dedup_semantic 4.99 → 5.44, ml_knn_label_eval 1.78 → 2.51 at
+    sf0.1) — unpredictable per consumer, so the interpreted HOF fold
+    stays. Hot pair-scoring paths use the Arrow per-dimension fold
+    instead (unit_cos_pairs below — same chain, vectorized across
+    rows)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -76,6 +89,92 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int) -> DataFra
     )
 
 
+def unit_cos_pairs(
+    embeddings: DataFrame,
+    anchor_max: int,
+    candidates_from: int | None = None,
+) -> DataFrame:
+    """(anchor_id, a_label, cand_id, c_label, cos) for every
+    (anchor, candidate) pair — anchors are vec_id < `anchor_max`,
+    candidates are vec_id >= `candidates_from` (default: anchor_max;
+    pass 0 for the whole corpus and filter self-pairs downstream). cos
+    is the unit-vector dot with the SQL convention's exact float chain.
+
+    r14 (guide §4.2, the ivf_assign precedent): the former expression
+    form evaluated the 64-dim normalize + cosine per pair in the
+    interpreted HOF evaluator (rank_mrr: 106 s at the 100× replica) —
+    and the unrolled-expression alternative generated methods past
+    HotSpot's JIT size limit, running as uncompiled bytecode (slower
+    still; measured, see OPTIMIZATION_r14.md). This form streams
+    candidates through ONE Arrow pass and accumulates cos per DIMENSION
+    across the whole batch (vectorized across pairs, ordered across
+    dims) — bit-identical to the sequential left fold the oracles pin:
+    nrm = (((0+x₁²)+x₂²)+…), u = x/nrm, cos = (((0+u₁q₁)+u₂q₂)+…).
+    The ≤`anchor_max` anchor rows are a bounded driver collect (the
+    ivf_assign centroid convention); their unit vectors are computed
+    with the same pure-Python left fold (IEEE doubles, identical bits).
+    numpy's += here is a separate multiply then add per dimension — no
+    FMA contraction — so every intermediate rounds exactly like the
+    JVM chain."""
+    import numpy as np
+    import pandas as pd
+
+    if candidates_from is None:
+        candidates_from = anchor_max
+    src = embeddings.select("vec_id", "label", "embedding")
+    anchors = sorted(
+        src.filter(F.col("vec_id") < anchor_max).collect(),
+        key=lambda r: int(r["vec_id"]),
+    )
+    if not anchors:
+        raise ValueError("unit_cos_pairs: no anchor rows (vec_id < anchor_max)")
+    a_ids = np.asarray([int(r["vec_id"]) for r in anchors], dtype=np.int64)
+    a_labels = np.asarray([int(r["label"]) for r in anchors], dtype=np.int64)
+    qu = []
+    for r in anchors:
+        xs = [float(v) for v in r["embedding"]]
+        acc = 0.0
+        for x in xs:  # sequential left fold — the oracle's chain
+            acc += x * x
+        nrm = math.sqrt(acc)
+        qu.append([x / nrm for x in xs])
+    qu = np.asarray(qu, dtype=np.float64)  # (A, DIM)
+    n_anchors = len(a_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(mat.shape[1]):  # ordered across dims
+                acc += mat[:, d] * mat[:, d]
+            u = mat / np.sqrt(acc)[:, None]
+            cos = np.zeros((n, n_anchors), dtype=np.float64)
+            for d in range(mat.shape[1]):  # ordered across dims
+                cos += u[:, d, None] * qu[None, :, d]
+            cand_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cand_labels = pdf["label"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.tile(a_ids, n),
+                    "a_label": np.tile(a_labels, n),
+                    "cand_id": np.repeat(cand_ids, n_anchors),
+                    "c_label": np.repeat(cand_labels, n_anchors),
+                    "cos": cos.reshape(-1),
+                }
+            )
+
+    cands = src.filter(F.col("vec_id") >= candidates_from)
+    return cands.mapInPandas(
+        score,
+        "anchor_id long, a_label long, cand_id long, c_label long, cos double",
+    )
+
+
 def _plane_component(i: Column | int, j: int) -> Column:
     """Deterministic pseudo-random plane weight in [-1, 1]: pure int64
     arithmetic reproducible in any engine (no RNG, no stored planes)."""
@@ -84,6 +183,10 @@ def _plane_component(i: Column | int, j: int) -> Column:
 
 
 def plane_dot(emb: Column, j: int) -> Column:
+    # NOTE r14: the unrolled literal-weight chain was A/B'd and
+    # REJECTED (sim_ann_lsh_bucket 0.92 → 2.79 s at sf0.1 — 8 unrolled
+    # plane chains in one stage blow the JIT method-size limit; see
+    # dot() note).
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(1), F.lit(DIM)),
@@ -399,12 +502,19 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
     scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
     err = F.transform(e, lambda x: x - F.floor(x / scale + F.lit(0.5)) * scale)
-    return embeddings.select(
+    # err is a derived array consumed 64× by the unrolled dot(): project
+    # it as a real column first so element_at indexes a materialized
+    # array instead of re-evaluating the transform chain per term
+    # (CollapseProject keeps the alias because it is non-cheap and
+    # multiply-referenced)
+    staged = embeddings.select("vec_id", "label", err.alias("__err"))
+    err_c = F.col("__err")
+    return staged.select(
         "vec_id",
         "label",
-        (dot(err, err) / F.lit(float(DIM))).alias("mse"),
+        (dot(err_c, err_c) / F.lit(float(DIM))).alias("mse"),
         F.aggregate(
-            F.transform(err, lambda x: F.abs(x)),
+            F.transform(err_c, lambda x: F.abs(x)),
             F.lit(0.0),
             lambda acc, x: F.greatest(acc, x),
         ).alias("max_abs_err"),

@@ -54,6 +54,11 @@ _QVEC_SQL = "[" + ", ".join(repr(x) for x in _QVEC) + "]"
 
 
 def _dot64(col, weights):
+    # NOTE r14: an unrolled left-assoc element_at chain (bit-identical
+    # fold order, codegen'd) was A/B'd and REJECTED — rank_rrf
+    # 0.56 → 0.84 s at sf0.1: wide unrolled chains push the generated
+    # method past HotSpot's JIT size threshold and run as uncompiled
+    # bytecode, slower than this interpreted HOF fold.
     return F.aggregate(
         F.zip_with(col, F.array(*[F.lit(w) for w in weights]),
                    lambda x, w: x.cast("double") * w),
@@ -210,32 +215,21 @@ def agg_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream partition-parallel through the rank window — brute-force here,
     but the metric consumes any top-k table (plug in the IVF/PQ paths for
     the approximate variants)."""
+    from sdg_data_catalog_spark.operators import similarity as S
+
     emb = table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(F.aggregate(
-        F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda a, x: a + x))
-    unit = emb.select(
-        "vec_id", "label",
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("u"),
-    )
-    q = unit.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label"),
-        F.col("u").alias("q_u"),
-    )
-    c = unit.select(
-        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label"),
-        F.col("u").alias("c_u"),
-    )
-    cos = F.aggregate(
-        F.zip_with("q_u", "c_u", lambda a, b: a * b), F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # r14 (guide §4.2): per-pair normalize+cosine through the Arrow
+    # per-dimension fold (S.unit_cos_pairs — bit-identical chain;
+    # 43.8 → 2.7 s (min-of-3) at the 100× replica). candidates_from=0 scores the
+    # whole corpus; the self-pair filter is unchanged.
     scored = (
-        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        S.unit_cos_pairs(emb, 10, candidates_from=0)
+        .filter(F.col("cand_id") != F.col("anchor_id"))
         .select(
-            "query_id", "cand_id",
-            F.when(F.col("q_label") == F.col("c_label"), 1).otherwise(0).alias("rel"),
-            cos.alias("cos_sim"),
+            F.col("anchor_id").alias("query_id"),
+            "cand_id",
+            F.when(F.col("a_label") == F.col("c_label"), 1).otherwise(0).alias("rel"),
+            F.col("cos").alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

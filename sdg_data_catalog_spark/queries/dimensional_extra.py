@@ -335,6 +335,11 @@ def fpm_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     associationRules is the model-driven twin; this is the
     hash-verifiable closed form."""
     li = table(spark, sf_dir, "lineitem")
+    # NOTE r14: replacing the literal array_intersect pre-filter with the
+    # fpm_frequent_pairs broadcast-join shape was A/B'd and REJECTED here
+    # (2.73 -> 3.22 s at sf0.1): without MLlib's two-pass fit to amortize
+    # it, the extra (orderkey, suppkey) DISTINCT exchange costs more than
+    # the per-basket literal scan it removes.
     baskets = li.groupBy("l_orderkey").agg(
         F.collect_set("l_suppkey").alias("all_items")
     )

@@ -117,10 +117,16 @@ def curation_ppl_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.col("t"), 2, n - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # r14 (guide §4.1, the lm_kneser_ney_score precedent): pos dropped —
+    # the per-doc ordered fold below is replaced by codegen'd F.sum, which
+    # accumulates the same doubles in the same order (explode emits
+    # bigrams in position order within a partition, the BROADCAST model
+    # join preserves stream order, and a doc's rows never split across
+    # partitions, so the partial agg IS the position-ordered fold).
     occ = toks.select(
-        "doc_id", "source", F.posexplode(bigs).alias("pos", "bg")
+        "doc_id", "source", F.explode(bigs).alias("bg")
     ).select(
-        "doc_id", "source", "pos",
+        "doc_id", "source",
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"),
     )
     from pyspark import StorageLevel
@@ -144,23 +150,17 @@ def curation_ppl_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logp"),
         )
     )
+    # the model table is vocabulary-sized — broadcast it so the
+    # occurrence stream neither shuffles nor sorts before the doc rollup
+    # (an SMJ's sort is what forced the former collect_list→array_sort
+    # fold; under the broadcast join F.sum sees position order directly)
     perdoc = (
-        occ.join(scored, ["w1", "w2"])
+        occ.join(F.broadcast(scored), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
             F.count(F.lit(1)).alias("n_bigrams"),
-            (
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "logp"))),
-                        lambda s: s.getField("logp"),
-                    ),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
-                )
-                / F.count(F.lit(1))
-            ).alias("avg_logp"),
+            (F.sum("logp") / F.count(F.lit(1))).alias("avg_logp"),
         )
     )
     # global (floor(score·1e9) ASC, doc_id ASC) rank via the two-phase

@@ -94,38 +94,19 @@ def emb_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized-group window ever runs. Cosines use the agg_ndcg
     normalize-then-ordered-fold convention (identical per-dimension fold
     on both engines). Margin = pos − neg in the same fixed-point image."""
+    from sdg_data_catalog_spark.operators import similarity as S
+
     emb = table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    unit = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("u"),
-    )
-    q = unit.filter(F.col("vec_id") < _N_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("u").alias("q_u"),
-    )
-    c = unit.filter(F.col("vec_id") >= _N_ANCHORS).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("c_label"),
-        F.col("u").alias("c_u"),
-    )
-    cos = F.aggregate(
-        F.zip_with("q_u", "c_u", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
-    pairs = c.crossJoin(F.broadcast(q)).select(
+    # r14 (guide §4.2): per-pair normalize+cosine through the Arrow
+    # per-dimension fold (S.unit_cos_pairs — bit-identical chain;
+    # 62.8 → 3.3 s (min-of-3) at the 100× replica). The argmax machinery below is
+    # unchanged.
+    pairs = S.unit_cos_pairs(emb, _N_ANCHORS).select(
         "anchor_id",
         "a_label",
         "cand_id",
         (F.col("c_label") == F.col("a_label")).alias("same_label"),
-        F.floor(cos * 1e12).cast("long").alias("k"),
+        F.floor(F.col("cos") * 1e12).cast("long").alias("k"),
     )
     # lexical max over (k, -cand_id): best similarity, lowest-id tie-break
     pick = F.struct(F.col("k"), (-F.col("cand_id")).alias("nc"))

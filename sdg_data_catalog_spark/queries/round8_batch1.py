@@ -86,15 +86,23 @@ def emb_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode (the posexplode form shuffles 64x the rows), no second
     pass for the centroid. Output is |labels| rows."""
     emb = table(spark, sf_dir, "embeddings")
-    qarr = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * _Q).cast("bigint")
-    )
-    rowsq = F.aggregate(
-        qarr, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
-    )
+    # r14 (guide §4.1): quantize per dimension directly and unroll the
+    # in-row sum-of-squares — the former element_at(transform(...), d+1)
+    # referenced the interpreted HOF array 64× (re-evaluating the whole
+    # transform per reference) and the rowsq fold ran interpreted; the
+    # direct expressions are value-identical (exact int64 sums) and
+    # whole-stage codegen'd.
+    def _q(d: int):
+        return F.round(F.element_at("embedding", d + 1).cast("double") * _Q).cast(
+            "bigint"
+        )
+
+    rowsq = F.lit(0).cast("bigint")
+    for d in range(_DIM):
+        rowsq = rowsq + _q(d) * _q(d)
     qd = emb.select(
         "label",
-        *[F.element_at(qarr, d + 1).alias(f"q{d}") for d in range(_DIM)],
+        *[_q(d).alias(f"q{d}") for d in range(_DIM)],
         rowsq.alias("rsq"),
     )
     m = qd.groupBy("label").agg(

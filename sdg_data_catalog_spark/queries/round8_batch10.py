@@ -89,40 +89,23 @@ def rank_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast anchors both times. Cosine keys are exact
     (floor(cos·10¹²), −cand_id) integers, so ties and ranks are
     bit-reproducible across engines."""
-    emb = table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda y: y.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    unit = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double") / nrm).alias("u"),
-    )
-    q = unit.filter(F.col("vec_id") < _N_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("u").alias("q_u"),
-    )
-    c = unit.filter(F.col("vec_id") >= _N_ANCHORS).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("label").alias("c_label"),
-        F.col("u").alias("c_u"),
-    )
-    cos = F.aggregate(
-        F.zip_with("q_u", "c_u", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-    )
+    from sdg_data_catalog_spark.operators import similarity as S
 
+    emb = table(spark, sf_dir, "embeddings")
+
+    # r14 (guide §4.2): the per-pair normalize+cosine now runs through
+    # the Arrow-batched per-dimension fold (S.unit_cos_pairs — bit-
+    # identical to the interpreted HOF chain it replaces; 106.4 → 4.2 s (min-of-3)
+    # at the 100× replica, see OPTIMIZATION_r14.md for the rejected
+    # unrolled-expression middle step). Everything from k on is the
+    # unchanged exact-integer machinery.
     def pairs() -> DataFrame:
-        return c.crossJoin(F.broadcast(q)).select(
+        return S.unit_cos_pairs(emb, _N_ANCHORS).select(
             "anchor_id",
             "a_label",
             "cand_id",
             (F.col("c_label") == F.col("a_label")).alias("same_label"),
-            F.floor(cos * 1e12).cast("long").alias("k"),
+            F.floor(F.col("cos") * 1e12).cast("long").alias("k"),
         )
 
     pick = F.struct(F.col("k"), (-F.col("cand_id")).alias("nc"))

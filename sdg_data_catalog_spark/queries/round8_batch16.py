@@ -91,20 +91,24 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     silhouette at corpus size. Per-point terms are FLOOR(s·10⁶) images
     (identical IEEE chains on the shared fitted centroids) summed as
     exact integers per cluster."""
-    from sdg_data_catalog_spark.operators.iterative import _sq_dist, kmeans_fit
+    from sdg_data_catalog_spark.operators.iterative import kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned, cents = kmeans_fit(emb, k=4, iters=3)
-    dist_cols = [F.sqrt(_sq_dist(F.col("embedding"), c)) for c in cents]
+    # r14 (guide §4.2): keep_dists reuses the assignment pass's full
+    # k-distance vector — the former k separate interpreted-HOF distance
+    # expressions are gone (16.6 → measured-after in OPTIMIZATION_r14.md
+    # at the 100× replica); sqrt(__dists[i]) is the same double as the
+    # former sqrt(_sq_dist(embedding, cents[i])).
+    assigned, cents = kmeans_fit(emb, k=4, iters=3, keep_dists=True)
     a = F.sqrt(F.col("__sq"))
-    # nearest OTHER centroid: min over k distance exprs masked at own id
+    # nearest OTHER centroid: min over the k distances masked at own id
     b = F.array_min(
         F.array(
             *[
                 F.when(F.col("cluster_id") == i, F.lit(float("inf"))).otherwise(
-                    d
+                    F.sqrt(F.element_at("__dists", i + 1))
                 )
-                for i, d in enumerate(dist_cols)
+                for i in range(len(cents))
             ]
         )
     )
