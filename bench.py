@@ -619,6 +619,27 @@ def _duckdb_baseline(names, sf_dir, tables=None, reps: int = 3) -> dict[str, flo
 _FLOORS_PATH = os.path.join(_REPO, "BENCH_FLOORS.json")
 
 
+def _load_floors() -> dict:
+    try:
+        return json.load(open(_FLOORS_PATH))
+    except Exception:
+        return {}
+
+
+def _save_floor_key(key: str, value) -> None:
+    """Best-effort write of one BENCH_FLOORS.json entry (floors are an
+    optimization aid, never a gate on the record existing)."""
+    floors = _load_floors()
+    if floors.get(key) == value:
+        return
+    floors[key] = value
+    try:
+        with open(_FLOORS_PATH, "w") as fh:
+            json.dump(floors, fh, indent=1)
+    except Exception:
+        pass
+
+
 def _host_health_probe(tier: str, sf_dir: str, tables=None) -> dict:
     """Detect a degraded host BEFORE timing a tier (r8 lesson: the official
     sf10 record was taken inside a window where DuckDB itself ran 44%
@@ -1137,6 +1158,36 @@ def main() -> None:
             _, _, sf100_timings, sf100_reps = _bench_spark(
                 qs, spot, spark, sf100_dir, reps=2, per_query_gc=True
             )
+            # r15 (verdict item 2): per-QUERY floor gate for the reps=2
+            # coin-flip tier — r14 run 2 recorded q18 at 47.5 s on a path
+            # git-unchanged since r11. When a query reads > 2× its best
+            # ever recorded sf100 time (BENCH_FLOORS.json "sf100_queries",
+            # ratchet-down only), it gets 2 EXTRA reps (same prebuilt-plan
+            # + GC-barrier methodology, min over ALL reps actually run —
+            # more samples of the same estimator, never fewer); a query
+            # still above 2× floor after re-repping is annotated in the
+            # record as an outlier so the figure is never adopted blind.
+            qfloors = dict(_load_floors().get("sf100_queries") or {})
+            sf100_outliers, sf100_rerepped = {}, []
+            for qn in list(sf100_timings):
+                fl = qfloors.get(qn)
+                if (
+                    fl
+                    and sf100_timings[qn] > 2.0 * fl
+                    and len(sf100_rerepped) < 4
+                    and _remaining() > 420
+                ):
+                    _gc_barrier(spark)
+                    df = qs[qn](spark, sf100_dir)
+                    extra = [round(_execute(df), 4) for _ in range(2)]
+                    sf100_reps[qn] = sf100_reps.get(qn, []) + extra
+                    sf100_timings[qn] = min([sf100_timings[qn]] + extra)
+                    sf100_rerepped.append(qn)
+                if fl and sf100_timings[qn] > 2.0 * fl:
+                    sf100_outliers[qn] = {"floor": fl, "sec": sf100_timings[qn]}
+                best = sf100_timings[qn]
+                qfloors[qn] = round(min(fl, best), 4) if fl else round(best, 4)
+            _save_floor_key("sf100_queries", qfloors)
             sf100_base = _duckdb_baseline(
                 spot, sf100_dir, tables=SF1_TABLES, reps=1
             )
@@ -1149,6 +1200,10 @@ def main() -> None:
                 "plans": _resolved_plans(sf100_dir),
                 "note": note,
             }
+            if sf100_rerepped:
+                result["sf100"]["rerepped"] = sorted(sf100_rerepped)
+            if sf100_outliers:
+                result["sf100"]["outliers"] = sf100_outliers
         except Exception as e:  # noqa: BLE001
             result["skipped"]["sf100"] = f"error: {str(e).splitlines()[0][:120]}"
 
@@ -1195,8 +1250,18 @@ def main() -> None:
     # Full detail goes to a file; stdout gets ONE compact line (the driver's
     # tail capture is ~2 KB — r2/r3 records were truncated to `parsed: null`
     # when the detail tables lived on the stdout line).
+    # r15 (verdict item 2): embed the core count and ALSO write a
+    # per-cpus detail file — the driver's 8-core scaling run used to
+    # clobber the 32-core record (BENCH_DETAIL.json is kept, unchanged,
+    # as the latest-run pointer the compact line names; the _c<cpus>
+    # twin makes every core count's detail survive side by side).
+    result["cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    with open(
+        os.path.join(_REPO, f"BENCH_DETAIL_c{result['cpus']}.json"), "w"
+    ) as fh:
         json.dump(result, fh, indent=1)
 
     compact = {

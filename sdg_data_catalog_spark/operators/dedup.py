@@ -140,6 +140,81 @@ def jaccard_pairs(
     )
 
 
+def _block_pair_counts(rows_a, rows_b, same):
+    """numpy set-intersection kernel over ONE block pair (r15: factored
+    out of jaccard_pairs_blocked while A/B-ing a blocked dedup_containment
+    — that rewrite was measured slower and rejected, see the query's
+    docstring; the factoring keeps the kernel reusable and the jaccard
+    path byte-identical). Returns (ka, kb, common, na_k, nb_k) int64
+    arrays: the two doc ids,
+    their distinct-shingle intersection size, and each side's
+    distinct-shingle count, with same-block pairs already reduced to the
+    ka < kb orientation. All counts are exact integers; postings sort by
+    shared int shingle ids, searchsorted range match, ragged expansion,
+    bincount-style unique — identical to the pre-refactor inline body."""
+    ids_a = np.fromiter((r["doc_id"] for r in rows_a), dtype=np.int64, count=len(rows_a))
+    ids_b = np.fromiter((r["doc_id"] for r in rows_b), dtype=np.int64, count=len(rows_b))
+    la = [r["shs"] for r in rows_a]
+    lb = [r["shs"] for r in rows_b]
+    na = np.array([len(x) for x in la], dtype=np.int64)
+    nb = np.array([len(x) for x in lb], dtype=np.int64)
+    # shared int ids for this block pair's shingle vocabulary
+    _, inv = np.unique(np.concatenate(la + lb), return_inverse=True)
+    ca, cb = inv[: na.sum()], inv[na.sum() :]
+    ra = np.repeat(np.arange(len(la)), na)
+    rb = np.repeat(np.arange(len(lb)), nb)
+    ordb = np.argsort(cb, kind="stable")
+    cb_s, rb_s = cb[ordb], rb[ordb]
+    lo = np.searchsorted(cb_s, ca, "left")
+    hi = np.searchsorted(cb_s, ca, "right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return None
+    # ragged expansion: A-posting i matches B rows rb_s[lo[i]:hi[i]]
+    a_rep = np.repeat(ra, cnt)
+    starts = np.repeat(lo, cnt)
+    offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    b_idx = rb_s[starts + offs]
+    uk, common = np.unique(a_rep * len(lb) + b_idx, return_counts=True)
+    ia, ib = uk // len(lb), uk % len(lb)
+    ka, kb = ids_a[ia], ids_b[ib]
+    if same:
+        keep = ka < kb
+        ia, ib, ka, kb, common = ia[keep], ib[keep], ka[keep], kb[keep], common[keep]
+    if not len(ka):
+        return None
+    return ka, kb, common, na[ia], nb[ib]
+
+
+def _blocked_pairs_frame(corpus: DataFrame, n: int, n_blocks: int) -> DataFrame:
+    """(rows_a, rows_b, same_block) block-pair frame shared by the blocked
+    set-intersection operators: docs hash into n_blocks blocks, the
+    B(B+1)/2 block pairs join (each block replicated B times — the only
+    shuffle)."""
+    docs = shingle_sets(corpus, n).filter(F.size("shs") > 0)
+    blk = docs.select(
+        "doc_id", "shs", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("blk")
+    )
+    # The block-pair self-join references `blocks` twice; without a lineage
+    # cut each reference re-expands the corpus scan + shingling (audited 4
+    # document scans per query at sf0.001 — at 100 TB, 4 corpus passes).
+    # One materialization of the B-row block table costs one corpus pass
+    # and the self-join then reads local partitions.
+    blocks = (
+        blk.groupBy("blk")
+        .agg(F.collect_list(F.struct("doc_id", "shs")).alias("rows"))
+        .localCheckpoint(eager=True)
+    )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    return (
+        a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        .withColumn("same_block", F.col("blk_a") == F.col("blk_b"))
+        .select("rows_a", "rows_b", "same_block")
+    )
+
+
 def jaccard_pairs_blocked(
     corpus: DataFrame, threshold: float, n: int = SHINGLE_N, n_blocks: int = 16
 ) -> DataFrame:
@@ -165,64 +240,19 @@ def jaccard_pairs_blocked(
     replication dominates). For corpora where even that is unaffordable,
     the MinHash-LSH ladder (`minhash_band_pairs`) is the candidate-pruning
     path. Measured at sf0.1: 2.9 s steady vs 11.7 s for the inverted-index
-    join (/root/repo/PERF.md)."""
-    docs = shingle_sets(corpus, n).filter(F.size("shs") > 0)
-    blk = docs.select(
-        "doc_id", "shs", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)).alias("blk")
-    )
-    # The block-pair self-join references `blocks` twice; without a lineage
-    # cut each reference re-expands the corpus scan + shingling (audited 4
-    # document scans per query at sf0.001 — at 100 TB, 4 corpus passes).
-    # One materialization of the B-row block table costs one corpus pass
-    # and the self-join then reads local partitions.
-    blocks = (
-        blk.groupBy("blk")
-        .agg(F.collect_list(F.struct("doc_id", "shs")).alias("rows"))
-        .localCheckpoint(eager=True)
-    )
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b"))
-    pairs = (
-        a.join(b, F.col("blk_a") <= F.col("blk_b"))
-        .withColumn("same_block", F.col("blk_a") == F.col("blk_b"))
-        .select("rows_a", "rows_b", "same_block")
-    )
+    join (/root/repo/PERF.md). r15: the per-block-pair intersection body
+    moved verbatim into _block_pair_counts so containment_pairs_blocked
+    shares it; the jaccard math here is unchanged."""
 
     def intersect(batches):
         for pdf in batches:
             oa, ob, oj = [], [], []
             for rows_a, rows_b, same in zip(pdf["rows_a"], pdf["rows_b"], pdf["same_block"]):
-                ids_a = np.fromiter((r["doc_id"] for r in rows_a), dtype=np.int64, count=len(rows_a))
-                ids_b = np.fromiter((r["doc_id"] for r in rows_b), dtype=np.int64, count=len(rows_b))
-                la = [r["shs"] for r in rows_a]
-                lb = [r["shs"] for r in rows_b]
-                na = np.array([len(x) for x in la], dtype=np.int64)
-                nb = np.array([len(x) for x in lb], dtype=np.int64)
-                # shared int ids for this block pair's shingle vocabulary
-                _, inv = np.unique(np.concatenate(la + lb), return_inverse=True)
-                ca, cb = inv[: na.sum()], inv[na.sum() :]
-                ra = np.repeat(np.arange(len(la)), na)
-                rb = np.repeat(np.arange(len(lb)), nb)
-                ordb = np.argsort(cb, kind="stable")
-                cb_s, rb_s = cb[ordb], rb[ordb]
-                lo = np.searchsorted(cb_s, ca, "left")
-                hi = np.searchsorted(cb_s, ca, "right")
-                cnt = hi - lo
-                tot = int(cnt.sum())
-                if tot == 0:
+                got = _block_pair_counts(rows_a, rows_b, same)
+                if got is None:
                     continue
-                # ragged expansion: A-posting i matches B rows rb_s[lo[i]:hi[i]]
-                a_rep = np.repeat(ra, cnt)
-                starts = np.repeat(lo, cnt)
-                offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-                b_idx = rb_s[starts + offs]
-                uk, common = np.unique(a_rep * len(lb) + b_idx, return_counts=True)
-                ia, ib = uk // len(lb), uk % len(lb)
-                ka, kb = ids_a[ia], ids_b[ib]
-                if same:
-                    keep = ka < kb
-                    ia, ib, ka, kb, common = ia[keep], ib[keep], ka[keep], kb[keep], common[keep]
-                jac = common / (na[ia] + nb[ib] - common)
+                ka, kb, common, na_k, nb_k = got
+                jac = common / (na_k + nb_k - common)
                 keep = jac >= threshold
                 lo_, hi_ = np.minimum(ka, kb), np.maximum(ka, kb)
                 oa.extend(lo_[keep])
@@ -236,7 +266,9 @@ def jaccard_pairs_blocked(
                 }
             )
 
-    return pairs.mapInPandas(intersect, "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE")
+    return _blocked_pairs_frame(corpus, n, n_blocks).mapInPandas(
+        intersect, "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE"
+    )
 
 
 def minhash_signatures_sql(corpus: DataFrame, n: int = SHINGLE_N) -> DataFrame:

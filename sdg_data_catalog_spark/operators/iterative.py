@@ -92,6 +92,16 @@ def _assign(
                     diff = mat[:, d] - cmat[c, d]
                     acc += diff * diff
                 d2[:, c] = acc
+            # No-NaN input contract (r15, ADVICE): np.argmin returns the
+            # index of the FIRST NaN, while the retired array_min/
+            # array_position expression (Spark SQL ordering) treats NaN
+            # as greater than any double — a NaN embedding would silently
+            # assign to the NaN-distance cluster here. Fail loud instead.
+            if not np.isfinite(d2).all():
+                raise ValueError(
+                    "_assign: non-finite distance (NaN/Inf embedding) — "
+                    "numpy argmin and Spark SQL order NaN differently"
+                )
             best = np.argmin(d2, axis=1)  # first min on ties
             out = {
                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),

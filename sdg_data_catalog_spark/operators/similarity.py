@@ -60,23 +60,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int) -> DataFrame:
-    """Exact top-k neighbors for each query vector.
-
-    queries is expected to be small (it is broadcast); candidates stream
-    partition-parallel and rank via window top-k. Output:
-    (q_id, neighbor_id, rank, cos_sim)."""
-    q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+def _topk_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Global (q_id) top-k rank + 6-dp rounding over raw cosine doubles —
+    the exact window the oracles pin (cos DESC, neighbor_id ASC)."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
-    cand = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
-    scored = (
-        cand.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -87,6 +76,158 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int) -> DataFra
             F.round("cos_sim", 6).alias("cos_sim"),
         )
     )
+
+
+def raw_cos_topk_pairs(
+    candidates: DataFrame,
+    q_rows: list[tuple[int, list[float], int | None]],
+    k: int,
+) -> DataFrame:
+    """Per-Arrow-batch top-k (q_id, neighbor_id, cos_sim) candidate pairs
+    against a bounded, already-collected query panel, scoring with the
+    DIRECT-form cosine dot(q,c) / (norm(q)·norm(c)) — the exact float
+    chain `cosine()` produces and the sim_knn/eval_pr oracles pin (NOT
+    rank_mrr's unit-vector form, which `unit_cos_pairs` serves).
+
+    r15 (guide §4.2, the unit_cos_pairs precedent): the former expression
+    form evaluated the interpreted 64-dim HOF fold once per (query,
+    candidate) pair — 23.0 s at the 100× replica for sim_knn_bruteforce
+    alone. This form streams candidates through ONE Arrow pass,
+    accumulating dot and norm² per DIMENSION across the whole batch
+    (vectorized across pairs, ordered across dims), so every accumulated
+    double rounds exactly like the JVM's sequential left fold:
+    dot = (((0+q₁c₁)+q₂c₂)+…), norm² likewise, then ONE divide by
+    (√nq·√nc) — same three IEEE ops, same order, identical bits. numpy's
+    += is a separate multiply-then-add per dimension (no FMA
+    contraction). Query norms use the same pure-Python left fold.
+
+    Bit-identity of the downstream RANK: the emitted cos doubles are
+    bit-identical to the retired expression's, and the (cos DESC,
+    neighbor_id ASC) ordering is total (ids distinct), so the global
+    top-k is invariant under the per-batch pre-filter applied here: the
+    kernel keeps only each batch's k best rows per query (lexsort on
+    (-cos, id) — negation is exact), a strict superset of the global
+    winners, cutting the Python→JVM boundary and the rank exchange from
+    N·|Q| rows to batches·k·|Q|. Pinned in tests/test_r15_arrow_kernels.py.
+
+    q_rows: (q_id, embedding, None) tuples, bounded by design (collected
+    eagerly by callers — the ivf_assign / unit_cos_pairs convention;
+    callers return an empty frame instead when no queries exist). The
+    IVF variant with the same-cell candidate restriction is the fused
+    kernel inside ivf_topk (assignment + scoring in one pass).
+
+    No-NaN contract: a non-finite cosine (zero-norm or NaN input) would
+    sort differently here (numpy orders NaN last) than in Spark SQL
+    (NaN > +Inf), so the kernel asserts finiteness and fails loud
+    instead of silently diverging from the oracle convention."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.asarray([int(q[0]) for q in q_rows], dtype=np.int64)
+    qmat = np.asarray(
+        [[float(v) for v in q[1]] for q in q_rows], dtype=np.float64
+    )
+    qn = []
+    for q in q_rows:
+        acc = 0.0
+        for x in q[1]:  # sequential left fold — the oracle's norm chain
+            fx = float(x)
+            acc += fx * fx
+        qn.append(math.sqrt(acc))
+    qn = np.asarray(qn, dtype=np.float64)
+    n_q = len(q_ids)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            nacc = np.zeros(n, dtype=np.float64)
+            for d in range(mat.shape[1]):  # ordered across dims
+                nacc += mat[:, d] * mat[:, d]
+            cn = np.sqrt(nacc)
+            dm = np.zeros((n, n_q), dtype=np.float64)
+            for d in range(mat.shape[1]):  # ordered across dims
+                dm += mat[:, d, None] * qmat[None, :, d]
+            cos = dm / (qn[None, :] * cn[:, None])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_id, out_cos = [], [], []
+            for j in range(n_q):
+                vidx = np.nonzero(ids != q_ids[j])[0]
+                if not len(vidx):
+                    continue
+                cj = cos[vidx, j]
+                if not np.isfinite(cj).all():
+                    raise ValueError(
+                        "raw_cos_topk_pairs: non-finite cosine (zero-norm or "
+                        "NaN embedding) — numpy and Spark SQL order NaN "
+                        "differently, so the rank would silently diverge"
+                    )
+                order = np.lexsort((ids[vidx], -cj))[:k]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_id.append(ids[vidx][order])
+                out_cos.append(cj[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "cos_sim": np.concatenate(out_cos),
+                }
+            )
+
+    return candidates.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, neighbor_id long, cos_sim double"
+    )
+
+
+def knn_bruteforce(embeddings: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries is expected to be small and is COLLECTED eagerly at
+    DataFrame-build time (bounded by design — the ivf_assign /
+    unit_cos_pairs convention; an empty query set returns an empty frame
+    with the declared schema, preserving the retired lazy form's
+    semantics). Candidates stream partition-parallel through the
+    raw_cos_topk_pairs Arrow kernel (bit-identical direct-form cosine —
+    see its docstring) and rank via the global window top-k. Output:
+    (q_id, neighbor_id, rank, cos_sim). The retired expression form is
+    kept as knn_bruteforce_expr for differential tests."""
+    rows = queries.select("vec_id", "embedding").collect()
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    q_rows = sorted(
+        ((int(r["vec_id"]), list(r["embedding"]), None) for r in rows),
+        key=lambda t: t[0],
+    )
+    scored = raw_cos_topk_pairs(embeddings, q_rows, k)
+    return _topk_rank(scored, k)
+
+
+def knn_bruteforce_expr(
+    embeddings: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """The retired broadcast-join + interpreted-HOF-cosine form of
+    knn_bruteforce — kept only as the differential-test reference for
+    the Arrow kernel (tests/test_r15_arrow_kernels.py)."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .select("q_id", "neighbor_id", "cos_sim")
+    )
+    return _topk_rank(scored, k)
 
 
 def unit_cos_pairs(
@@ -111,8 +252,12 @@ def unit_cos_pairs(
     dims) — bit-identical to the sequential left fold the oracles pin:
     nrm = (((0+x₁²)+x₂²)+…), u = x/nrm, cos = (((0+u₁q₁)+u₂q₂)+…).
     The ≤`anchor_max` anchor rows are a bounded driver collect (the
-    ivf_assign centroid convention); their unit vectors are computed
-    with the same pure-Python left fold (IEEE doubles, identical bits).
+    ivf_assign centroid convention) — NOTE this collect runs EAGERLY at
+    DataFrame-build time (a Spark job per call), and an empty anchor set
+    raises here instead of lazily yielding an empty result like the
+    retired expression form; callers invoke pairs() per use knowingly.
+    Their unit vectors are computed with the same pure-Python left fold
+    (IEEE doubles, identical bits).
     numpy's += here is a separate multiply then add per dimension — no
     FMA contraction — so every intermediate rounds exactly like the
     JVM chain."""
@@ -428,27 +573,129 @@ def ivf_topk(
     cell, so multi-probe never produces duplicate (query, candidate) rows.
     Recall vs the exact baseline is asserted in
     tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
     cents = ivf_centroids(embeddings, n_cells)
-    assigned = ivf_assign(embeddings, n_cells, centroids=cents).cache()
     qbase = queries if queries is not None else embeddings.filter(F.col("vec_id") < 10)
-    q = ivf_assign(qbase, n_cells, n_probe=n_probe, centroids=cents).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "cell_id"
+    # r15 (guide §4.2): cell assignment AND same-cell cosine scoring are
+    # FUSED into one Arrow pass — the former plan ran ivf_assign's
+    # mapInPandas, shipped every (embedding, cell_id) row back to the
+    # JVM, equi-joined the ≤|queries|·n_probe query rows on cell_id, and
+    # evaluated the interpreted HOF cosine per surviving pair; here the
+    # ≤n_cells centroids and the assigned query panel are bounded eager
+    # collects (the ivf_assign convention; empty queries → empty frame),
+    # candidates cross the Python boundary exactly once, and each query
+    # scores ONLY its own cell's candidate subset (the same pair set the
+    # equi-join produced — an unfused kernel that scored every candidate
+    # against all queries and masked after was measured SLOWER than the
+    # join it replaced: 2.43 → 4.45 s at the 100× replica; this fused
+    # form is the one that wins, see OPTIMIZATION_r15.md). Bit-identity:
+    # the cell argmin is ivf_assign's exact per-dimension fold + stable
+    # first-tie argmin, and the cosine is the direct-form per-dimension
+    # fold raw_cos_topk_pairs pins (ivf_assign widened to float64, which
+    # numpy reproduces exactly), so the (cos DESC, neighbor_id ASC) rank
+    # over raw doubles is unchanged; the per-batch top-k pre-filter is
+    # safe because the ordering is total. A candidate lives in exactly
+    # ONE cell, so multi-probe still cannot duplicate (query, candidate)
+    # rows.
+    c_rows = sorted(cents.collect(), key=lambda r: int(r["cell_id"]))
+    if not c_rows:
+        raise ValueError(
+            "ivf_topk: empty centroid table (n_cells=0 or empty corpus)"
+        )
+    cell_ids = np.asarray([int(r["cell_id"]) for r in c_rows], dtype=np.int64)
+    cmat = np.asarray(
+        [[float(v) for v in r["centroid"]] for r in c_rows], dtype=np.float64
     )
-    c = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell_id"
+    q_rows = ivf_assign(qbase, n_cells, n_probe=n_probe, centroids=cents).collect()
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id long, neighbor_id long, rank int, cos_sim double"
+        )
+    panel = sorted(
+        (
+            (int(r["vec_id"]), [float(v) for v in r["embedding"]], int(r["cell_id"]))
+            for r in q_rows
+        ),
+        key=lambda t: (t[0], t[2]),
     )
-    scored = (
-        q.join(c, "cell_id")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    q_ids = np.asarray([t[0] for t in panel], dtype=np.int64)
+    qmat = np.asarray([t[1] for t in panel], dtype=np.float64)
+    q_cells = np.asarray([t[2] for t in panel], dtype=np.int64)
+    qn = []
+    for t in panel:
+        acc = 0.0
+        for x in t[1]:  # sequential left fold — the oracle's norm chain
+            acc += x * x
+        qn.append(math.sqrt(acc))
+    qn = np.asarray(qn, dtype=np.float64)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            # ivf_assign's exact assignment math: per-dim fold, stable
+            # first-min tie = ascending cell_id on exact ties
+            d2 = np.empty((n, len(cell_ids)), dtype=np.float64)
+            for c in range(len(cell_ids)):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(mat.shape[1]):  # ordered across dims
+                    diff = mat[:, d] - cmat[c, d]
+                    acc += diff * diff
+                d2[:, c] = acc
+            if not np.isfinite(d2).all():
+                raise ValueError(
+                    "ivf_topk: non-finite centroid distance (NaN/Inf "
+                    "embedding) — numpy argmin and Spark SQL order NaN "
+                    "differently"
+                )
+            cand_cells = cell_ids[np.argmin(d2, axis=1)]
+            nacc = np.zeros(n, dtype=np.float64)
+            for d in range(mat.shape[1]):  # ordered across dims
+                nacc += mat[:, d] * mat[:, d]
+            cn = np.sqrt(nacc)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(q_ids)):
+                vidx = np.nonzero(
+                    (cand_cells == q_cells[j]) & (ids != q_ids[j])
+                )[0]
+                if not len(vidx):
+                    continue
+                sub = mat[vidx]
+                dj = np.zeros(len(vidx), dtype=np.float64)
+                for d in range(sub.shape[1]):  # ordered across dims
+                    dj += sub[:, d] * qmat[j, d]
+                cj = dj / (qn[j] * cn[vidx])
+                if not np.isfinite(cj).all():
+                    raise ValueError(
+                        "ivf_topk: non-finite cosine (zero-norm embedding) "
+                        "— numpy and Spark SQL order NaN differently, so "
+                        "the rank would silently diverge"
+                    )
+                order = np.lexsort((ids[vidx], -cj))[:k]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_id.append(ids[vidx][order])
+                out_cos.append(cj[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "cos_sim": np.concatenate(out_cos),
+                }
+            )
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, neighbor_id long, cos_sim double"
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
-                F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _topk_rank(scored, k)
 
 
 # --- embedding compression (storage-side scale levers) --------------------
@@ -502,11 +749,11 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     )
     scale = F.greatest(amax, F.lit(1e-30)) / F.lit(127.0)
     err = F.transform(e, lambda x: x - F.floor(x / scale + F.lit(0.5)) * scale)
-    # err is a derived array consumed 64× by the unrolled dot(): project
-    # it as a real column first so element_at indexes a materialized
-    # array instead of re-evaluating the transform chain per term
-    # (CollapseProject keeps the alias because it is non-cheap and
-    # multiply-referenced)
+    # err is a derived array referenced three times (the mse dot uses it
+    # twice, max_abs_err's transform once): project it as a real column
+    # first so the non-cheap transform chain is materialized once instead
+    # of being inlined and re-evaluated per reference (CollapseProject
+    # keeps the alias because it is non-cheap and multiply-referenced)
     staged = embeddings.select("vec_id", "label", err.alias("__err"))
     err_c = F.col("__err")
     return staged.select(

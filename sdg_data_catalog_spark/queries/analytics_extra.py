@@ -427,6 +427,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(prefix)
+    # NOTE r15: the blocked numpy set-intersection form (the shared
+    # jaccard_pairs_blocked kernel, VERDICT item 4) was A/B'd and
+    # REJECTED for THIS op: min-of-N at sf0.1 read 2.13 s inverted-index
+    # vs 4.63 s blocked at B=16, and the per-block-pair string np.unique
+    # cost is linear in B+1 so even the best block count loses (B=4
+    # 2.59 s, B=8 3.43 s, B=32 5.01 s — measured 2026-08-18, same
+    # window). The planted-prefix corpus is only 1.25× documents and its
+    # df² candidate volume stays far below the 2× near-dup corpus where
+    # the blocked form wins (2.9 vs 11.7 s) — the equi-join + hot-shingle
+    # max_df cap remains the honest scale path here.
     # shingles feed sizes + both join sides — cut lineage or the corpus
     # scan re-expands 8x (audited at sf0.001)
     sh = D.shingles(corpus).localCheckpoint(eager=True)

@@ -86,29 +86,23 @@ def emb_diversity_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode (the posexplode form shuffles 64x the rows), no second
     pass for the centroid. Output is |labels| rows."""
     emb = table(spark, sf_dir, "embeddings")
-    # r14 (guide §4.1): quantize per dimension directly and unroll the
-    # in-row sum-of-squares — the former element_at(transform(...), d+1)
-    # referenced the interpreted HOF array 64× (re-evaluating the whole
-    # transform per reference) and the rowsq fold ran interpreted; the
-    # direct expressions are value-identical (exact int64 sums) and
-    # whole-stage codegen'd.
-    def _q(d: int):
-        return F.round(F.element_at("embedding", d + 1).cast("double") * _Q).cast(
-            "bigint"
-        )
+    # r15 (guide §2.3/§4.2, operators/moments.py): quantization AND the
+    # per-label partial aggregation now run inside one numpy mapInPandas
+    # pass — the r14 expression form (64 unrolled round columns into a
+    # 65-state hash aggregate) was value-identical but paid a per-query
+    # codegen-compile constant that tripled the sf0.1 time (0.71 → 1.95 s,
+    # the disclosed r14 regression). All partial sums are exact int64
+    # (associative — the split into per-batch partials cannot change
+    # them), and the half-away quantization is bit-pinned against
+    # F.round in tests/test_r15_moments_kernel.py; everything from the
+    # decimal numerator on is unchanged.
+    from sdg_data_catalog_spark.operators.moments import label_moment_partials
 
-    rowsq = F.lit(0).cast("bigint")
-    for d in range(_DIM):
-        rowsq = rowsq + _q(d) * _q(d)
-    qd = emb.select(
-        "label",
-        *[_q(d).alias(f"q{d}") for d in range(_DIM)],
-        rowsq.alias("rsq"),
-    )
-    m = qd.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"q{d}").alias(f"s{d}") for d in range(_DIM)],
-        F.sum("rsq").alias("ssq"),
+    parts = label_moment_partials(emb, _Q, _DIM)
+    m = parts.groupBy("label").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s{d}").alias(f"s{d}") for d in range(_DIM)],
+        F.sum("ssq").alias("ssq"),
     )
     sum_sq = F.aggregate(
         F.array(*[F.col(f"s{d}") for d in range(_DIM)]),

@@ -79,28 +79,30 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds int64 past ~1e9-row labels), one double division + 1e-6
     floor. Labels with an empty half are dropped (drift undefined)."""
     emb = table(spark, sf_dir, "embeddings")
-    half = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 2
-    ).cast("int")
-    qarr = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * _Q).cast("bigint")
-    )
-    qd = emb.select(
-        "label",
-        half.alias("half"),
-        *[F.element_at(qarr, d + 1).alias(f"q{d}") for d in range(_DIM)],
-    )
+    # r15 (guide §2.3/§4.2, operators/moments.py — the documented Arrow
+    # route the r14 expression A/Bs pointed at): md5 half split,
+    # quantization AND the per-(label, half) partial aggregation run in
+    # one numpy mapInPandas pass; the 130-state wide hash aggregate over
+    # N rows becomes 130 conditional sums over the ≤ 2·|labels|·batches
+    # partial rows. All sums are exact int64 (associative), the md5 half
+    # is the same hex-prefix image both engines compute, and the
+    # half-away quantization is bit-pinned in
+    # tests/test_r15_moments_kernel.py; the decimal numerator machinery
+    # below is unchanged.
+    from sdg_data_catalog_spark.operators.moments import label_moment_partials
+
+    parts = label_moment_partials(emb, _Q, _DIM, with_half=True)
     zero = F.lit(0).cast("bigint")
-    m = qd.groupBy("label").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    is_a, is_b = F.col("half") == 0, F.col("half") == 1
+    m = parts.groupBy("label").agg(
+        F.sum(F.when(is_a, F.col("n")).otherwise(zero)).alias("n_a"),
+        F.sum(F.when(is_b, F.col("n")).otherwise(zero)).alias("n_b"),
         *[
             agg
             for d in range(_DIM)
             for agg in (
-                F.sum(F.when(F.col("half") == 0, F.col(f"q{d}")).otherwise(zero)).alias(f"a{d}"),
-                F.sum(F.when(F.col("half") == 1, F.col(f"q{d}")).otherwise(zero)).alias(f"b{d}"),
+                F.sum(F.when(is_a, F.col(f"s{d}")).otherwise(zero)).alias(f"a{d}"),
+                F.sum(F.when(is_b, F.col(f"s{d}")).otherwise(zero)).alias(f"b{d}"),
             )
         ],
     )

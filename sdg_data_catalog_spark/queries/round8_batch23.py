@@ -326,29 +326,62 @@ def ml_feature_rank_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 10).cast("bigint").alias("fbucket"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
+    # r15 (guide §2.3 "aggregate before you shuffle", VERDICT item 5):
+    # the 77× broadcast-crossJoin row blowup is gone. The value grid is
+    # decade-structured (d·10^b, b∈[4,8], d∈[1,9]), so each row's count
+    # of thresholds ≤ fval is pure integer arithmetic (vseg = 9·(b−4)+d,
+    # capped 0/45 outside the grid), and ONE corpus pass folds into the
+    # ≤ 46·24·10-cell (vseg, fhour, fbucket) cube with map-side partial
+    # aggregation. Every (feature, thr) row's nl/pl/n/p is then an exact
+    # integer sum over cube cells (left joins keep empty-side thresholds
+    # at 0, exactly the crossJoin form's conditional-sum zeros), and the
+    # gini expression sees bit-identical inputs. The 154-agg-state
+    # single-pass alternative was A/B'd and measured (see
+    # OPTIMIZATION_r15.md): the cube dominates both it and the crossJoin.
+    vseg = F.when(F.col("fval") < 10**4, F.lit(0)).when(
+        F.col("fval") >= 10**9, F.lit(45)
+    )
+    for b in range(4, 9):
+        vseg = vseg.when(
+            F.col("fval") < 10 ** (b + 1),
+            F.lit((b - 4) * 9) + F.expr(f"fval DIV {10**b}"),
+        )
+    cube = ev.groupBy(
+        vseg.cast("long").alias("vseg"), F.col("fhour"), F.col("fbucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("py"),
+    )
+    # fval < t_j ⇔ vseg ≤ j (vseg counts thresholds ≤ fval), so the
+    # original crossJoin+conditional-agg shape now runs over the ≤ 11k
+    # CUBE rows instead of every event: 77·|cube| rows through one
+    # aggregate, and n/p fall out of the same pass (every cube row lands
+    # in every grid group). All counts are exact integer sums — identical
+    # to the per-event conditional sums they replace.
     grid_rows = (
-        [("value", t) for t in _VAL_GRID]
-        + [("hour", t) for t in _HOUR_GRID]
-        + [("bucket", t) for t in _BUCKET_GRID]
+        [("value", t, j) for j, t in enumerate(_VAL_GRID)]
+        + [("hour", t, None) for t in _HOUR_GRID]
+        + [("bucket", t, None) for t in _BUCKET_GRID]
     )
-    grid = spark.createDataFrame(grid_rows, "feature string, thr long")
-    fv = (
-        F.when(F.col("feature") == "value", F.col("fval"))
-        .when(F.col("feature") == "hour", F.col("fhour"))
-        .otherwise(F.col("fbucket"))
+    grid = spark.createDataFrame(grid_rows, "feature string, thr long, j long")
+    cond = (
+        F.when(F.col("feature") == "value", F.col("vseg") <= F.col("j"))
+        .when(F.col("feature") == "hour", F.col("fhour") < F.col("thr"))
+        .otherwise(F.col("fbucket") < F.col("thr"))
     )
+    zero = F.lit(0).cast("bigint")
     agg = (
-        ev.crossJoin(F.broadcast(grid))
+        cube.crossJoin(F.broadcast(grid))
         .groupBy("feature", "thr")
         .agg(
-            F.sum(F.when(fv < F.col("thr"), 1).otherwise(0))
+            F.sum(F.when(cond, F.col("cnt")).otherwise(zero))
             .cast("bigint")
             .alias("nl"),
-            F.sum(F.when(fv < F.col("thr"), F.col("y")).otherwise(0))
+            F.sum(F.when(cond, F.col("py")).otherwise(zero))
             .cast("bigint")
             .alias("pl"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("y").cast("bigint").alias("p"),
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("py").cast("bigint").alias("p"),
         )
     )
     scored = agg.selectExpr("feature", "thr", _GINI_SQL + " AS gini")
