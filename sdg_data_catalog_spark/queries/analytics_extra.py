@@ -15,7 +15,7 @@ misses. Everything here is hash-checked against DuckDB.
 
 from __future__ import annotations
 
-import os
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,84 +217,74 @@ def agg_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fpm_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent-itemset mining via MLlib FP-Growth (minSupport=0.002) over
-    supplier baskets per order — the co-occurrence miner behind
-    'frequently bought together'. FP-Growth is the distributed path
-    (conditional-tree partitioning, no candidate explosion — the reason
-    it beats Apriori at scale); the oracle re-derives the size-≤2 slice
-    exactly from SQL counts, so the MLlib run is hash-verified where SQL
-    can reach and the itemset surface is truncated to that slice for the
-    contract (larger itemsets exist in the model; the slice is the
-    verifiable projection). Itemsets surface as '+'.joined sorted strings
-    — engine-neutral and canonicalization-safe. MLlib's support threshold
-    is ceil(minSupport·n) — mirrored literally in the oracle.
+    """Frequent itemsets (size ≤ 2, minSupport=0.002) over supplier
+    baskets per order — the co-occurrence miner behind 'frequently
+    bought together'. Itemsets surface as '+'.joined string-sorted
+    items; the support threshold is ceil(minSupport·n) baskets.
 
-    Scale guards (r4 verdict ask #5 — was the heaviest extended-tier entry
-    at 12.8 s): (1) Apriori pre-filter — an item below single-item support
-    cannot appear in ANY frequent itemset, so infrequent items are removed
-    from baskets BEFORE the tree build; basket COUNT is preserved (orders
-    whose items are all pruned stay as empty baskets) so MLlib's
-    ceil(minSupport·n) threshold — and therefore the result — is exactly
-    unchanged, while the tree width is bounded by the frequent-item
-    universe by construction. (2) The mined result (≤ |frequent items| +
-    frequent pairs rows — KB-scale) is materialized once via
-    localCheckpoint: FPGrowthModel.freqItemsets otherwise re-runs the
-    whole mining job on every downstream action, which is what the bench's
-    steady-state loop was measuring."""
-    from pyspark.ml.fpm import FPGrowth
-
+    r15 (guide §1.2 "don't compute things you throw away", measured):
+    the former MLlib FP-Growth fit mined the FULL itemset lattice
+    (size-3+ conditional trees) only for the declared result to keep the
+    size-≤2 slice — the closed form below computes exactly that slice
+    with fpm_assoc_rules' machinery: one basket collect_set per order,
+    the bounded frequent-item literal pre-filter (Apriori monotonicity —
+    an infrequent item cannot appear in any frequent itemset, and basket
+    COUNT is taken before pruning so ceil(minSupport·n) is exactly
+    unchanged), in-row pair combinatorics over each basket's
+    string-sorted survivors (bounded by basket size², no self-join
+    shuffle), and map-side-combined counts. 6.69 → 3.30 s min-of-5 at
+    sf0.1 (same window); results are exact integer counts, hash-green at
+    sf0.001/0.01/0.1, and additionally differential-tested against a
+    live MLlib FP-Growth fit in tests/test_r15_fpm_closed_form.py so the
+    model-driven formulation stays pinned as the reference."""
     li = table(spark, sf_dir, "lineitem")
-    pairs_src = li.select("l_orderkey", "l_suppkey").distinct()
-    n_orders = pairs_src.select(F.countDistinct("l_orderkey").alias("n"))
-    freq_items = (
-        pairs_src.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(n_orders))
-        .filter(F.col("cnt") >= F.ceil(F.lit(0.002) * F.col("n")))
-        .select(F.col("l_suppkey").cast("string").alias("item"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set(F.col("l_suppkey").cast("string")).alias("all_items")
     )
-    # r14 (guide §3.1/§4.1, measured): the Apriori pre-filter is a
-    # broadcast LEFT join against the frequent-item table instead of the
-    # former driver collect() + ~2000-literal array_intersect — the same
-    # bounded table, but it never leaves the cluster, the per-row probe
-    # is a hash lookup instead of a 2000-element array scan, and the
-    # giant literal expression tree is gone from the plan. collect_set
-    # skips NULLs, so orders whose items are ALL pruned keep their basket
-    # row with an empty items array — basket COUNT (and therefore
-    # MLlib's ceil(minSupport·n) threshold and the result) is exactly
-    # unchanged.
-    baskets = (
-        pairs_src.join(
-            F.broadcast(freq_items.withColumnRenamed("item", "fitem")),
-            pairs_src["l_suppkey"].cast("string") == F.col("fitem"),
-            "left",
-        )
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("fitem").alias("items"))
-    )
-    # FP-Growth makes TWO passes (item counting, then tree mining), each of
-    # which would otherwise re-execute the basket lineage; cache for the
-    # fit, release after the result is checkpointed. numPartitions keeps
-    # the suffix-group mining wide even when AQE has coalesced the basket
-    # build down to a few post-shuffle partitions.
+    # basket table feeds n, the item census, and the pair expansion —
+    # persist around them (the fpm_assoc_rules shape; its r14 A/B also
+    # showed the broadcast-join pre-filter LOSES here without MLlib's
+    # two-pass fit to amortize the extra DISTINCT exchange, so the
+    # bounded literal intersect stays)
     baskets = baskets.persist()
     try:
-        model = FPGrowth(
-            itemsCol="items",
-            minSupport=0.002,
-            minConfidence=0.5,
-            numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        ).fit(baskets)
-        return (
-            model.freqItemsets.filter(F.size("items") <= 2)
-            .select(
-                F.concat_ws("+", F.array_sort("items")).alias("itemset"),
-                F.col("freq").cast("bigint").alias("freq"),
-            )
-            .localCheckpoint()
+        n_val = baskets.count()
+        thresh_val = math.ceil(0.002 * n_val)
+        singles = (
+            baskets.select(F.explode("all_items").alias("item"))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .localCheckpoint(eager=True)  # vocabulary-sized census
+        )
+        freq_singles = singles.filter(F.col("freq") >= thresh_val)
+        # Bounded driver read (≤ avg_basket/minSupport items at any scale)
+        flist = sorted(r.item for r in freq_singles.collect())
+        fl_arr = (
+            F.array(*[F.lit(x) for x in flist])
+            if flist
+            else F.array(F.lit("\0"))
+        )
+        items = F.sort_array(F.array_intersect("all_items", fl_arr))
+        pair_structs = (
+            "flatten(transform(items, (x, i) ->"
+            " transform(slice(items, i + 2, size(items)),"
+            " y -> concat(x, '+', y))))"
+        )
+        pairs = (
+            baskets.select(items.alias("items"))
+            .select(F.explode(F.expr(pair_structs)).alias("itemset"))
+            .groupBy("itemset")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") >= thresh_val)
+            .localCheckpoint(eager=True)  # result-sized: frequent pairs only
         )
     finally:
         baskets.unpersist()
+    return freq_singles.select(
+        F.col("item").alias("itemset"), F.col("freq").cast("bigint").alias("freq")
+    ).unionByName(
+        pairs.select("itemset", F.col("freq").cast("bigint").alias("freq"))
+    )
 
 
 @register(

@@ -127,7 +127,17 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd partial-aggregation F.sum accumulates the exact same
     addition sequence: same doubles, same order, bit-identical sum with
     zero array machinery. 100× replica full-run 10.89 → 7.18 s
-    (min-of-4); oracle hash-identical at sf0.001/0.01/0.1."""
+    (min-of-4); oracle hash-identical at sf0.001/0.01/0.1.
+
+    KNOWN EDGE (r15, VERDICT item 6): under memory pressure
+    HashAggregateExec falls back to sort-based aggregation, which can
+    split a doc's rows across spill buffers and re-associate the double
+    additions — a last-ulp flip could reorder the top-25 rank.
+    tests/test_r15_sum_order_fallback.py plants that fallback
+    (spark.sql.TungstenAggregate.testFallbackStartsAt=1,1 — every
+    aggregate sort-based, maximal buffer splitting) and asserts byte-
+    identical output; if Spark's fallback ever breaks the identity, that
+    test trips and the fix is the pre-r14 position-ordered fold."""
     from pyspark import StorageLevel
 
     docs = table(spark, sf_dir, "documents")

@@ -141,82 +141,84 @@ _loaded = False
 # history of this comment for per-round staging). Alias IDs whose targets
 # are driver-green are deliberately absent: a green row on the target is a
 # green row on the ID.
-# Round-14 window (freshness rotation, r13 verdict #1/#2/#3/#4):
-# position 1 re-certifies dq_column_checksums under its lineitem
-# extension (the drill-down now covers every table its parent
-# fingerprint covers). Positions 2-4 are the round-14 registrations:
-# catalog_retention_prune (closing the versioned-store lifecycle) and
-# the two xxhash64 production twins (rows-only by necessity — DuckDB
-# has no xxhash64; their certification rides on the md5 twins' green
-# hash rows over the SHARED implementation plus pure-Python XXH64
-# differential tests). Positions 5-9 re-certify the regex-dialect-sweep
-# hardenings not already in the rotation (the \s -> explicit-class and
-# $ -> \z rewrites — engine-identical semantics, but their green rows
-# predate the change); the other hardened ops (str_rm_url, str_rm_punct,
-# str_stem, str_tokenize, str_ws_norm, text_token_budget,
-# text_quality_score) are r02-vintage and re-certify via the rotation
-# below anyway. Positions 10-11 lead the rotation with the two
-# r02-vintage rows whose green rows predate the round-13 shingle
-# hardening; then the remaining 34 r02-vintage rows; the final
-# positions take the alphabetically-first r03-vintage rows. After this
-# round's driver run, no op's latest row predates r03.
+# Round-15 window (optimization round 2). Certification basis, stated
+# here because the driver's headline percentage reads straight off this
+# window (r14 VERDICT item 8):
+# - Positions 1-10: every query whose PLAN changed in the r15
+#   optimization commits (Arrow kernel ports, the moments kernel, the
+#   gini cube, the containment revert, the shared jaccard kernel
+#   refactor, and the two F.sum order-identity sites newly pinned by
+#   tests/test_r15_sum_order_fallback.py) — the driver itself
+#   hash-re-certifies every rewrite. All ten are oracle-backed.
+# - Positions 11-50: freshness rotation — the 40 stalest oracle-backed
+#   rows (all r03-vintage; staleness computed from CORRECTNESS_r01..r14,
+#   alphabetical within vintage).
+# - ZERO rows-only ops this window (policy per r14 VERDICT: at most one
+#   per window). The two xxhash64 production twins
+#   (dq_table_checksum_fast, dedup_winnowing_fast) hold their r14
+#   annotated rows; no DuckDB oracle CAN exist for them (DuckDB has no
+#   xxhash64) and their certification basis is the md5 twins' green
+#   hash rows over the SHARED implementation plus the pure-Python XXH64
+#   differential tests (tests/test_round14_batch1.py) — they spend no
+#   further sample slots.
+# History: r1-r5 certified 244 names; r6-r8 rotated the backlog;
+# r9-r12 certified every remaining registration; r13-r14 rotated
+# freshness (no row predates r03 after r14); see git history of this
+# comment for per-round staging.
 _PRIORITY = (
-    # -- pinned re-certification (lineitem extension) --
-    "dq_column_checksums",
-    # -- round-14 registrations --
-    "catalog_retention_prune",
-    "dq_table_checksum_fast",
-    "dedup_winnowing_fast",
-    # -- regex-dialect hardenings needing fresh rows (not in rotation) --
-    "str_rm_numwords",
-    "str_rm_email",
-    "text_clean_chain",
-    "filter_notdigit",
-    "dedup_url_canonical",
-    # -- rotation head: r02 rows stale against the r13 shingle hardening --
-    "text_ngram_bigrams",
-    "text_repetition_score",
-    # -- freshness rotation: remaining 34 r02-vintage rows --
-    "mm_frame_sample",
-    "mm_metadata",
-    "mm_payload_fingerprint",
-    "pipeline_curation",
-    "pivot_user_events",
-    "q22_idle_customers",
-    "scan_csv",
-    "scan_jsonl",
-    "scan_xml",
-    "setop_except",
-    "sim_ann_lsh_bucket",
-    "sim_cosine_neardup",
+    # -- r15 plan-changed queries (driver re-certification) --
     "sim_knn_bruteforce",
-    "sim_norm_stats",
-    "str_lower",
-    "str_rm_punct",
-    "str_rm_url",
-    "str_stem",
-    "str_stopwords",
-    "str_tokenize",
-    "str_ws_norm",
-    "stream_dedup",
-    "stream_session",
-    "stream_sliding",
-    "stream_stateful",
-    "stream_tumbling",
-    "stream_watermark_late",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_token_budget",
-    "unpivot_stack",
-    "vectorize_pad",
-    "win_user_running",
-    # -- freshness rotation: alphabetically-first r03-vintage rows --
-    "agg_bucketed",
-    "bpe_pair_counts",
-    "catalog_stats",
-    "dedup_decontaminate",
-    "dedup_incremental",
+    "eval_pr_at_k",
+    "sim_ann_ivf_topk",
+    "emb_diversity_by_label",
+    "emb_centroid_drift",
+    "ml_feature_rank_gini",
+    "dedup_containment",
+    "dedup_jaccard_pairs",
+    "lm_kneser_ney_score",
+    "curation_ppl_band_select",
+    # -- freshness rotation: the 40 stalest oracle rows (r03-vintage) --
+    "dedup_lines",
+    "dedup_semantic",
+    "diag_partition_skew",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "etl_scd2",
+    "filter_quality_quantile",
+    "join_bloom_runtime",
+    "join_bucketed",
+    "join_salted",
+    "lm_unigram_score",
+    "pack_sequences",
+    "q11_important_stock",
+    "q12_late_shipments",
+    "q16_supplier_relation",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q2_min_acctbal_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_hash",
+    "sample_mixture",
+    "scan_datasource_api",
+    "scan_jdbc",
+    "scan_orc",
+    "scan_partition_pruned",
+    "scan_schema_evolution",
+    "scan_time_travel",
+    "shuffle_shards",
+    "sink_compact",
+    "sink_range_clustered",
+    "sink_zorder_clustered",
+    "sketch_cms_freq",
+    "sketch_hll_distinct",
+    "sketch_hll_union",
+    "sketch_topk_vocab",
+    "split_hash",
+    "stream_enrich",
+    "stream_join",
+    "stream_rocksdb",
+    "text_pii_redact",
 )
 
 

@@ -102,7 +102,17 @@ def curation_ppl_band_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-repartition + broadcast offsets), so the percentile cut
     scales like a sort, not like one window task; the report is the
     per-source census of the selected band (rounded per-doc scores are
-    summed so the report column is insensitive to sum order)."""
+    summed so the report column is insensitive to sum order).
+
+    KNOWN EDGE (r15, VERDICT item 6 / ADVICE r14): the per-doc
+    F.sum("logp") relies on hash-aggregate stream order matching the
+    oracle's pos-ordered fold; a sort-based fallback under memory
+    pressure can re-associate the additions, and avg_logp feeds the
+    floor(·1e9) band-membership key. The fallback is planted and the
+    output pinned byte-identical in
+    tests/test_r15_sum_order_fallback.py (see lm_kneser_ney_score's
+    docstring for the mechanism); the report column itself is already
+    order-free (micro-unit integer sum)."""
     from sdg_data_catalog_spark.operators.curation import running_total
 
     docs = table(spark, sf_dir, "documents")

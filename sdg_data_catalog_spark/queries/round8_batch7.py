@@ -162,10 +162,12 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     here means raise K or verify candidates exactly).
 
     Plan: signatures + candidate pairs come from the checkpointed
-    operators (one corpus pass); the exact side reuses the checkpointed
-    shingle table for sizes + the inverted-index intersection
-    restricted to candidate pairs. All counts integer; both Jaccards
-    and the error are identical double expressions."""
+    operators (one corpus pass); the exact side keeps each doc's
+    DISTINCT shingle set in-row (one more corpus pass, checkpointed) and
+    computes |S(a)∩S(b)| per CANDIDATE row with native
+    array_intersect/size — candidate-output-sized work, no inverted
+    self-join (r15, see the inline note). All counts integer; both
+    Jaccards and the error are identical double expressions."""
     docs = table(spark, sf_dir, "documents")
     corpus = _near_dup_corpus(docs)
     sigs = D.minhash_signatures(corpus).localCheckpoint(eager=True)
@@ -203,25 +205,46 @@ def dedup_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("sb"), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", n_agree.alias("n_agree"))
     )
-    sh = D.shingles(corpus).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa_, sb_ = sh.alias("x"), sh.alias("y")
-    common = (
-        sa_.join(
-            sb_,
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
+    # r15 (guide §2.4, measured): the exact side used to run the FULL
+    # inverted-index shingle self-join (every intersecting pair's common
+    # count — Σ_sh df² rows through a shuffle) and LEFT-join the
+    # candidates into it, computing millions of counts the output never
+    # reads. The audit only needs counts for the CANDIDATE pairs, so the
+    # per-doc DISTINCT shingle sets stay in-row (shingle_sets — one
+    # corpus pass, checkpointed for the two joins) and each candidate row
+    # computes |S(a)∩S(b)| with the native array_intersect/size
+    # expressions: exact integers, candidate-output-sized work, identical
+    # divisions. Non-intersecting candidates get c=0 from the empty
+    # intersection — exactly the retired COALESCE(c, 0). Every candidate
+    # doc has ≥1 shingle by construction (no signature row without
+    # shingles → never a candidate), so the inner set joins drop nothing.
+    # 4.265 → 2.581 s min-of-5 at sf0.1 (ab_op, same window); oracle
+    # hash-green at sf0.001/0.01/0.1.
+    ssets = (
+        D.shingle_sets(corpus)
+        .filter(F.size("shs") > 0)
+        .localCheckpoint(eager=True)
     )
     jest = F.col("n_agree").cast("double") / MINHASH_K
-    c0 = F.coalesce(F.col("c"), F.lit(0))
+    c0 = F.col("c")
     jexact = c0.cast("double") / (F.col("na") + F.col("nb") - c0)
     return (
-        est.join(common, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        est.join(
+            ssets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")),
+            "doc_a",
+        )
+        .join(
+            ssets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint").alias("c"),
+            F.size("shs_a").cast("bigint").alias("na"),
+            F.size("shs_b").cast("bigint").alias("nb"),
+        )
         .select(
             "doc_a",
             "doc_b",
