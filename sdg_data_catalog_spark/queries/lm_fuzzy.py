@@ -77,6 +77,8 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2.1 s machinery — the same explode floor
     curation_fasttext_quality's profile documents). Oracle
     hash-identical at sf0.001/0.01/0.1."""
+    from sdg_data_catalog_spark.operators.lm_counts import token_count_partials
+
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -85,20 +87,26 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.zip_with(
         left, right, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
     )
-    # train the model tables ONCE (each is vocabulary-sized): without the
-    # lineage cut c2's corpus pass and c1's (feeding both V and the probe
-    # join) re-expanded to 4 document scans in the audited plan
+    # r15 (guide §2.3/§4.2, measured): BOTH model tables now come from
+    # ONE Arrow partial-count pass (operators/lm_counts.py) instead of
+    # two corpus-sized explode+groupBy passes — the JVM never sees an
+    # exploded occurrence stream for the model build, only per-batch
+    # vocabulary-sized integer partials. Counts are exact int64 sums
+    # (associative), tokenization stays in Spark's own F.split, and the
+    # CAST/smoothing/log expressions are untouched, so every downstream
+    # double is bit-identical. Trained ONCE (checkpoint cuts the lineage:
+    # the partials feed c2, c1 and V — without the cut each consumer
+    # re-ran the corpus pass).
+    parts = token_count_partials(docs).localCheckpoint(eager=True)
     c2 = (
-        docs.select(F.explode(pairs).alias("bg"))
-        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
-        .localCheckpoint(eager=True)
+        parts.filter(F.col("kind") == 2)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").cast("double").alias("c2"))
     )
     c1 = (
-        docs.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
-        .localCheckpoint(eager=True)
+        parts.filter(F.col("kind") == 1)
+        .groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("cnt").cast("double").alias("c1"))
     )
     v = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))
     p = (F.col("c2") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))

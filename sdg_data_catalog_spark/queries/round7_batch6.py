@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sdg_data_catalog_spark.catalog import table
+from sdg_data_catalog_spark.operators.lm_counts import token_count_partials
 from sdg_data_catalog_spark.queries.registry import register
 
 _MG_DENOM = 200  # heavy hitter := count * 200 > N
@@ -61,11 +62,24 @@ def _mg_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # this corpus's ~dozens-token vocabulary but is O(uniques) Python
     # per batch, the wrong shape for a real corpus's vocabulary;
     # tools/profile_mg.py carries the A/B, output proven identical).
+    # r15: the input is now the per-DOC token ARRAY (the JVM's own
+    # regexp_extract_all, so tokenization semantics are untouched)
+    # instead of the exploded occurrence stream — the same multiset of
+    # tokens reaches the same fold, minus a corpus-sized Generate and
+    # an occurrence-sized Arrow transfer. Batch boundaries shift (docs
+    # per batch, not tokens per batch), which only moves MG prune
+    # points: the summary stays a superset of every partition-heavy
+    # token (the bound above is segmentation-free), and phase 2's exact
+    # recount makes the OUTPUT invariant to all of it.
     counters = pd.Series(dtype="int64")
     n_part = 0
     for pdf in batches:
-        n_part += len(pdf)
-        vc = pdf["token"].value_counts()
+        arrs = [a for a in pdf["toks"] if a is not None and len(a)]
+        if not arrs:
+            continue
+        flat = np.concatenate([np.asarray(a, dtype=object) for a in arrs])
+        n_part += len(flat)
+        vc = pd.Series(flat).value_counts()
         counters = (
             vc.astype("int64")
             if counters.empty
@@ -127,15 +141,20 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lands on BOTH passes since `toks` feeds phase 1 and the recount:
     # 8.14 → 6.03 s min-of-3 same-window at the 100× replica,
     # oracle-green at sf0.001/0.01/0.1 (token stream and order are
-    # identical, so the MG candidate set is unchanged too)
+    # identical, so the MG candidate set is unchanged too).
+    # r15 (guide §2.3/§4.2, measured): neither pass explodes any more —
+    # the per-doc token ARRAY (same JVM regexp_extract_all) goes
+    # straight into the Arrow kernels, so the corpus-sized occurrence
+    # stream never exists in the JVM: phase 1 folds arrays inside
+    # _mg_fold, and the recount sums the shared lm_counts kernel's
+    # vocabulary-sized per-batch integer partials (associative — exact
+    # for any batch split) under the same candidate semi-join.
     toks = docs.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                F.lit("[a-z]+"),
-                0,
-            )
-        ).alias("token")
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("[a-z]+"),
+            0,
+        ).alias("toks")
     )
 
     summary = toks.mapInPandas(_mg_fold, "token string, c long")
@@ -143,9 +162,10 @@ def sketch_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = summary.filter(F.col("token") != "").select("token").distinct()
     total = summary.agg(F.sum("c").cast("bigint").alias("n"))
     counts = (
-        toks.join(F.broadcast(cand), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        token_count_partials(toks, tokens_col="toks", mode="unigrams")
+        .join(F.broadcast(cand), F.col("w1") == F.col("token"), "left_semi")
+        .groupBy(F.col("w1").alias("token"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return (
         counts.crossJoin(F.broadcast(total))

@@ -165,21 +165,31 @@ def sketch_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sketch_topk_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary heavy-hitters in ONE aggregate via `approx_top_k` — no
-    groupBy-the-universe shuffle: each task tracks up to maxItemsTracked
-    counters (space-saving style), partials merge, and only the k winners
-    surface. Sized with maxItemsTracked ≥ vocabulary the result is exact
-    (verified against the full histogram oracle); at a 100 TB web-scale vocab
-    you size it down and accept ranked-approximate — same plan either way.
-    k is set beyond this corpus's vocab so tie-order at the cut cannot make
-    the comparison flap; output is re-sorted (n desc, tok) deterministically."""
+    """Vocabulary heavy-hitters: top-1000 tokens by count. k is set
+    beyond this corpus's vocab so tie-order at the cut cannot make the
+    comparison flap (the r02 approx_top_k contract, unchanged).
+
+    r15 (guide §2.3/§4.2, measured): the former single-aggregate
+    `approx_top_k` still streamed the corpus-sized exploded token
+    stream through per-row JVM sketch updates; the shared lm_counts
+    Arrow kernel counts each batch's tokens in Python and emits only
+    vocabulary-sized integer partials, and the winners come from a
+    TakeOrderedAndProject over the exact summed census — identical rows
+    (exact counts ≥-vocab-sized k, deterministic (n DESC, tok) order at
+    any tie), no occurrence stream in the JVM. Kernel pinned in
+    tests/test_r15_lm_counts_kernel.py."""
+    from sdg_data_catalog_spark.operators.lm_counts import token_count_partials
+
     docs = table(spark, sf_dir, "documents")
-    words = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-    topk = words.agg(F.expr("approx_top_k(tok, 1000, 100000)").alias("t"))
+    parts = token_count_partials(
+        docs.select(F.split("text", " ").alias("t")), mode="unigrams"
+    )
     return (
-        topk.select(F.explode("t").alias("e"))
-        .select(F.col("e.item").alias("tok"), F.col("e.count").cast("bigint").alias("n"))
+        parts.filter(F.col("kind") == 1)
+        .groupBy(F.col("w1").alias("tok"))
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "tok")
+        .limit(1000)
     )
 
 
@@ -339,27 +349,30 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-pair frequency — the inner loop of BPE tokenizer training
-    ('most frequent symbol pair merges next'). Pairs are formed IN-ROW with
-    array ops (slice + arrays_zip: zero joins, zero extra shuffles — compare
-    the oracle's unnest-positions form, which materializes the exploded
-    corpus); only the pair→count aggregate shuffles, and that
-    is map-side-combined down to the pair vocabulary. A full BPE trainer
-    iterates this top-1-merge-then-recount; one round is the representative
-    distributed step."""
+    ('most frequent symbol pair merges next'). A full BPE trainer
+    iterates this top-1-merge-then-recount; one round is the
+    representative distributed step.
+
+    r15 (guide §2.3/§4.2, measured): the in-row arrays_zip + explode
+    still pushed the corpus-sized OCCURRENCE stream through the
+    pair→count aggregate; the shared lm_counts Arrow kernel (the
+    lm_bigram_score model-build pass) now counts each batch's pairs in
+    Python and emits only vocabulary-sized integer partials, so the JVM
+    aggregates per-batch partial counts instead of every occurrence.
+    Counts are exact int64 sums (associative — the batch split cannot
+    change them); tokenization stays in Spark's own F.split. Kernel
+    pinned against the explode form in tests/test_r15_lm_counts_kernel.py."""
+    from sdg_data_catalog_spark.operators.lm_counts import token_count_partials
+
     docs = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("left_tok"),
-        F.expr("slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0))"
-               ).alias("right_tok"),
+    parts = token_count_partials(
+        docs.select(F.split("text", " ").alias("t")), mode="bigrams"
     )
     return (
-        docs.select(F.explode(pairs).alias("p"))
-        .groupBy(
-            F.col("p.left_tok").alias("left_tok"),
-            F.col("p.right_tok").alias("right_tok"),
+        parts.groupBy(
+            F.col("w1").alias("left_tok"), F.col("w2").alias("right_tok")
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
         .orderBy(F.desc("n"), "left_tok", "right_tok")
     )
 

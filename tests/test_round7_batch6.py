@@ -136,9 +136,14 @@ def test_mg_fold_prune_path_high_vocab():
         stream += [f"tail{i}"] * rng.randint(1, 8)
     rng.shuffle(stream)
     n = len(stream)
+    # r15 _mg_fold input shape: per-DOC token arrays (plus the explode
+    # edge cases: NULL array, empty array) instead of an exploded stream
+    rows: list = [stream[i : i + 7] for i in range(0, n, 7)]
+    rows.insert(3, None)
+    rows.insert(9, [])
     batches = [
-        pd.DataFrame({"token": stream[i : i + 4096]})
-        for i in range(0, n, 4096)
+        pd.DataFrame({"toks": pd.Series(rows[i : i + 600], dtype=object)})
+        for i in range(0, len(rows), 600)
     ]
 
     out = next(_mg_fold(iter(batches)))
@@ -155,7 +160,8 @@ def test_mg_fold_prune_path_high_vocab():
     # reference dict-fold MG with identical merge/prune semantics
     counters: dict[str, int] = {}
     for pdf in batches:
-        for tok, c in pdf["token"].value_counts().items():
+        flat = [t for a in pdf["toks"] if a is not None for t in a]
+        for tok, c in Counter(flat).items():
             counters[tok] = counters.get(tok, 0) + int(c)
         if len(counters) > _MG_CAP:
             thresh = sorted(counters.values(), reverse=True)[_MG_CAP]
