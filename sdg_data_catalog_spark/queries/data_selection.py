@@ -421,7 +421,16 @@ def curation_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered fold over its own bucket counts. Plan: explode → combinable
     (doc, bucket) count → broadcast log-ratio join → per-doc ordered fold
     → TakeOrdered top-50. Every input to the fold is an exact integer
-    count ratio; the fold order (bucket asc) is pinned on both engines."""
+    count ratio; the fold order (bucket asc) is pinned on both engines.
+
+    r15 measured-and-REJECTED: an Arrow mapInPandas bucket-count kernel
+    (per-batch np.unique over the token stream + per-distinct-token md5
+    memo, complete (doc, bucket) rows with no explode and no count
+    Exchange) measured min-of-N 2.77/3.24 s vs 2.56/2.68/3.02 s for this
+    form at the 100x replica (same window, interleaved) — the
+    object-dtype np.unique sort over ~100M tokens costs more than the
+    JVM's codegen'd per-occurrence md5 + partially-aggregated count, so
+    the explode form stays."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang",
