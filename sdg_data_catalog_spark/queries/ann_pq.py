@@ -154,42 +154,72 @@ WHERE rnk <= 10
 """
 
 
+def _driver_assign(unit: "np.ndarray", cmat: "np.ndarray", probe: int) -> "np.ndarray":
+    """Driver-side replica of ivf_assign's kernel math over a BOUNDED
+    matrix of unit vectors: per-dimension sequential accumulation
+    (bit-identical to the SQL left fold — same elementwise IEEE ops in
+    the same order, vectorization across rows changes nothing), stable
+    argsort = the (d2 ASC, cell_id ASC) ROW_NUMBER ordering. Returns the
+    (n, probe) matrix of centroid INDICES (positions into cmat's sorted
+    cell order)."""
+    n = unit.shape[0]
+    d2 = np.empty((n, cmat.shape[0]), dtype=np.float64)
+    for c in range(cmat.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(unit.shape[1]):
+            diff = unit[:, d] - cmat[c, d]
+            acc += diff * diff
+        d2[:, c] = acc
+    return np.argsort(d2, axis=1, kind="stable")[:, :probe]
+
+
 def _ivfpq_codebooks(spark: SparkSession, sf_dir: str):
     """The frozen quantizer convention: (cents dict, cents_df, books).
     Centroids = the first N_CELLS unit vectors; residual codewords =
     unit vectors 16..31 against their assigned cells. Deriving both
     from fixed vec_ids (never from whichever batch a vector ships in)
     is what makes every encode path — batch, incremental upsert, and
-    the streaming ingest — provably produce identical codes."""
-    cents_df = _normalized(spark, sf_dir, where=F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
-    )
-    cents = {
-        int(r.cell_id): np.asarray(r.centroid, dtype=np.float64)
-        for r in cents_df.collect()  # N_CELLS rows — bounded by design
-    }
-    book_rows = sorted(
-        sim.ivf_assign(
-            _normalized(
-                spark, sf_dir,
-                where=(F.col("vec_id") >= 16) & (F.col("vec_id") < 32),
-            ),
-            N_CELLS,
-            centroids=cents_df,
-        ).collect(),  # 16 rows — bounded by design (filter BEFORE the
-        # Python barrier; filtering the full assignment would re-run the
-        # whole-corpus assignment just to keep 16 rows)
+    the streaming ingest — provably produce identical codes.
+
+    r15 (guide §5.3, measured): ONE bounded Spark job (the 32-row
+    vec_id < 32 normalize+collect — the filter reaches the parquet scan
+    before the Python barrier) instead of three: the 16..31 codeword
+    assignment runs driver-side in numpy with the exact ivf_assign fold
+    (`_driver_assign`), and cents_df is rebuilt as a LOCAL DataFrame
+    (collected doubles round-trip exactly, so downstream values are
+    bit-identical). The pre-r15 form paid a cents collect, then
+    ivf_assign's internal re-collect of the distributed cents_df (a
+    second normalize job), then the 16-row assignment job."""
+    head = sorted(
+        _normalized(spark, sf_dir, where=F.col("vec_id") < 32).collect(),
         key=lambda r: int(r.vec_id),
+    )  # 32 rows — bounded by design
+    cents = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in head
+        if int(r.vec_id) < N_CELLS
+    }
+    cents_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cell_id long, centroid array<double>",
     )
+    book_rows = [r for r in head if 16 <= int(r.vec_id) < 32]
     m, k, dsub = 16, 16, 4
-    if len(book_rows) != k:
+    if len(book_rows) != k or len(cents) != N_CELLS:
         raise ValueError(
-            f"IVF-PQ codebook init needs vec_ids 16..31 present; got {len(book_rows)}"
+            f"IVF-PQ codebook init needs vec_ids 0..31 present; got "
+            f"{len(cents)} centroids / {len(book_rows)} codewords"
         )
+    cell_ids = np.asarray(sorted(cents), dtype=np.int64)
+    cmat = np.stack([cents[int(c)] for c in cell_ids])
+    bmat = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in book_rows]
+    )
+    assigned = _driver_assign(bmat, cmat, 1)[:, 0]
     books = np.zeros((m, k, dsub), dtype=np.float64)
-    for r in book_rows:
+    for i, r in enumerate(book_rows):
         j = int(r.vec_id) - 16
-        res_j = np.asarray(r.embedding, dtype=np.float64) - cents[int(r.cell_id)]
+        res_j = bmat[i] - cmat[assigned[i]]
         for s in range(m):
             books[s][j] = res_j[s * dsub : (s + 1) * dsub]
     return cents, cents_df, books
@@ -227,6 +257,59 @@ def _ivfpq_encode(assigned: DataFrame, cents, books) -> DataFrame:
     return assigned.mapInPandas(_enc, "vec_id long, cell_id long, codes array<int>")
 
 
+def _ivfpq_assign_encode(emb: DataFrame, cents, books) -> DataFrame:
+    """FUSED normalize → cell-assign → residual-PQ-encode in ONE Arrow
+    pass (r15, guide §4.2/§4.4): the pre-r15 chain ran three mapInPandas
+    stages (_normalized → ivf_assign → _ivfpq_encode), shipping the full
+    64-double embedding array across the Python↔JVM boundary twice
+    between them; this kernel reads raw embeddings once and emits only
+    (vec_id, cell_id, codes). Every float op is copied verbatim from the
+    stage it replaces — per-dimension squared-norm fold, per-dimension
+    cell-distance fold + stable argmin (d2 ASC, cell_id ASC), residual
+    subtract, per-subspace 4-element codeword distances with first-min
+    (j ASC) argmin — so the emitted codes are bit-identical (pinned
+    against the unfused chain in tests/test_ann_pq.py)."""
+    import pandas as pd
+
+    m, k, dsub = books.shape
+    sc = emb.sparkSession.sparkContext
+    cell_ids = np.asarray(sorted(cents), dtype=np.int64)
+    cmat = np.stack([cents[int(c)] for c in cell_ids])
+    bc = sc.broadcast((cell_ids, cmat, books))
+
+    def _fused(batches):
+        cids, cm, bks = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(mat.shape[1]):
+                acc += mat[:, d] * mat[:, d]
+            unit = mat / np.sqrt(acc)[:, None]
+            pos = _driver_assign(unit, cm, 1)[:, 0]
+            res = unit - cm[pos]
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                x = res[:, s * dsub : (s + 1) * dsub]
+                d2 = ((x[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cids[pos],
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _fused, "vec_id long, cell_id long, codes array<int>"
+    )
+
+
 def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
     """The deterministic IVF-PQ build: (cents dict, codebooks ndarray,
     encoded DataFrame of (vec_id, cell_id, codes)). Shared by the
@@ -235,41 +318,54 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str, subset=None):
     same index. `subset` (an optional boolean Column over vec_id)
     restricts WHICH vectors are encoded — the codebook/centroids always
     derive from the full-corpus convention (vectors 0-31), which is what
-    makes incremental encoding consistent with the batch build."""
-    cents, cents_df, books = _ivfpq_codebooks(spark, sf_dir)
-    src = sim.ivf_assign(
-        _normalized(spark, sf_dir, where=subset), N_CELLS, centroids=cents_df
-    )
-    encoded = _ivfpq_encode(src, cents, books)
+    makes incremental encoding consistent with the batch build. The
+    corpus pass is the fused `_ivfpq_assign_encode` kernel; the `subset`
+    filter applies BEFORE the Python barrier so vec_id predicates reach
+    the parquet scan."""
+    cents, _cents_df, books = _ivfpq_codebooks(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    if subset is not None:
+        emb = emb.filter(subset)
+    encoded = _ivfpq_assign_encode(emb, cents, books)
     return cents, books, encoded
 
 
 def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, cents, books):
     """Per-(query, probe-cell) ADC lookup tables + probe list — bounded
-    (N_QUERIES × N_PROBE rows) driver state, broadcast to executors."""
+    (N_QUERIES × N_PROBE rows) driver state, broadcast to executors.
+
+    r15: the probe assignment runs driver-side (`_driver_assign` — the
+    exact ivf_assign fold over 10 bounded rows) on ONE collected
+    normalize job, instead of a distributed ivf_assign whose centroid
+    collect and mapInPandas pass each cost a Spark job. Values are
+    bit-identical: same fold, same stable (d2 ASC, cell_id ASC) order,
+    and the probe ROW ORDER (by vec_id, then probe rank) matches the
+    retired kernel's batch emit order."""
     m, k, dsub = books.shape
-    cents_df = spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
-        "cell_id long, centroid array<double>",
+    q_rows = sorted(
+        _normalized(
+            spark, sf_dir, where=F.col("vec_id") < N_QUERIES
+        ).collect(),  # N_QUERIES rows — bounded
+        key=lambda r: int(r.vec_id),
     )
-    q_assigned = sim.ivf_assign(
-        _normalized(spark, sf_dir, where=F.col("vec_id") < N_QUERIES),
-        N_CELLS,
-        n_probe=N_PROBE,
-        centroids=cents_df,
-    ).collect()  # N_QUERIES × N_PROBE rows — bounded
+    cell_ids = np.asarray(sorted(cents), dtype=np.int64)
+    cmat = np.stack([cents[int(c)] for c in cell_ids])
+    qmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in q_rows])
+    order = _driver_assign(qmat, cmat, min(N_PROBE, len(cell_ids)))
     luts: dict[tuple[int, int], np.ndarray] = {}
     probes = []
-    for r in q_assigned:
-        qid, cell = int(r.vec_id), int(r.cell_id)
-        res = np.asarray(r.embedding, dtype=np.float64) - cents[cell]
-        lut = np.empty((m, k), dtype=np.float64)
-        for s in range(m):
-            lut[s] = ((books[s] - res[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(
-                axis=1
-            )
-        luts[(qid, cell)] = lut
-        probes.append((qid, cell))
+    for i, r in enumerate(q_rows):
+        qid = int(r.vec_id)
+        for p in range(order.shape[1]):
+            cell = int(cell_ids[order[i, p]])
+            res = qmat[i] - cmat[order[i, p]]
+            lut = np.empty((m, k), dtype=np.float64)
+            for s in range(m):
+                lut[s] = (
+                    (books[s] - res[s * dsub : (s + 1) * dsub][None, :]) ** 2
+                ).sum(axis=1)
+            luts[(qid, cell)] = lut
+            probes.append((qid, cell))
     return luts, probes
 
 

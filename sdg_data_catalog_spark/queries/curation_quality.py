@@ -151,9 +151,23 @@ def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = toks.select(
         "doc_id", F.explode(bigs).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # r15 (guide §2.3/§4.2, measured): the bigram TYPE table comes from
+    # the Arrow partial-count kernel (operators/lm_counts.py — the
+    # lm_bigram_score model-build precedent) instead of an occurrence
+    # explode + corpus-sized hash aggregate: the JVM only aggregates
+    # per-batch vocabulary-sized integer partials. c12 stays an exact
+    # int64 sum (associative — the batch split cannot change it); the
+    # kernel's zip(toks, toks[1:]) pairs are exactly the zip_with slice
+    # pairs the probe explode emits, so every downstream double is
+    # bit-identical. The probe side (occ → broadcast join → stream-order
+    # F.sum) is untouched.
+    from sdg_data_catalog_spark.operators.lm_counts import token_count_partials
+
     types = (
-        occ.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+        token_count_partials(toks, mode="bigrams")
+        .filter(F.col("kind") == 2)
+        .groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c12"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ctx = types.groupBy("w1").agg(
@@ -390,6 +404,92 @@ _FT_B = 256  # hashed bigram feature buckets
 _FT_BIAS = -0.25
 
 
+def _ft_wint(bucket: int) -> int:
+    """The fixed integer weight image wint = 98·w of a feature bucket —
+    the exact arithmetic both engines' SQL computes (all non-negative
+    integer ops, so Python % == SQL %)."""
+    return (bucket * 2654435761) % 1000003 % 197 - 98
+
+
+def _ft_doc_features(toks: DataFrame) -> DataFrame:
+    """Per-document fastText features (doc_id, n_bigrams, swint) in ONE
+    Arrow pass — no exploded occurrence stream, no per-occurrence md5,
+    no per-doc groupBy Exchange (each doc's tokens live in one input
+    row, so its row is COMPLETE). Per batch: tokens are integer-
+    factorized (C-speed hash), adjacent within-doc pairs become int64
+    keys c1·V + c2, np.unique reduces them to the batch's DISTINCT
+    bigrams, and only those get the "w1 w2" string build + md5 + weight
+    map (memoized for the task lifetime) — the retired expression form
+    concat-built and md5'd every one of the ~100M occurrences. swint is
+    an exact int64 sum of the same per-occurrence wint values
+    (np.add.reduceat over doc segments — integer sums are associative,
+    so batch/segment splits cannot change them); n_bigrams = len(t)−1
+    exactly as the explode counted. Bit-identity is therefore
+    arithmetic-free on the float side: the kernel emits only exact
+    integers and the caller's sigmoid/round/rank expressions are
+    untouched. Pinned against the explode+md5 expression form in
+    tests/test_r15_fasttext_kernel.py."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    wint_memo: dict = {}
+
+    def feats(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["t"]
+            lens = np.asarray(
+                [0 if a is None else len(a) for a in arrs], dtype=np.int64
+            )
+            keep = lens >= 2
+            if not keep.any():
+                continue
+            klens = lens[keep]
+            flat = np.concatenate(
+                [np.asarray(a, dtype=object) for a in arrs[keep]]
+            )
+            codes, uniques = pd.factorize(flat)
+            v = len(uniques)
+            # adjacent within-doc pair positions: every index except the
+            # last of each doc
+            mask = np.ones(len(flat), dtype=bool)
+            mask[np.cumsum(klens) - 1] = False
+            idx = np.nonzero(mask)[0]
+            keys = codes[idx].astype(np.int64) * v + codes[idx + 1]
+            ukeys, inv = np.unique(keys, return_inverse=True)
+            uw = np.empty(len(ukeys), dtype=np.int64)
+            for i, kk in enumerate(ukeys):
+                # integer pair keys are batch-local (v varies); the memo
+                # key is the pair STRING, stable for the task lifetime
+                w1 = uniques[int(kk) // v]
+                w2 = uniques[int(kk) % v]
+                s = w1 + " " + w2
+                wi = wint_memo.get(s)
+                if wi is None:
+                    b = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _FT_B
+                    wi = _ft_wint(b)
+                    wint_memo[s] = wi
+                uw[i] = wi
+            wvals = uw[inv]
+            nb = klens - 1
+            offsets = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            swint = np.add.reduceat(wvals, offsets)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "n_bigrams": nb,
+                    "swint": swint.astype(np.int64),
+                }
+            )
+
+    return toks.select("doc_id", "t").mapInPandas(
+        feats, "doc_id long, n_bigrams long, swint long"
+    )
+
+
 @register(
     "curation_fasttext_quality",
     oracle=f"""
@@ -443,33 +543,19 @@ def curation_fasttext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence-sized exchange and the per-occurrence broadcast hash
     probe costs more than the md5 it avoids (same direction as
     curation_contamination_report's rejected inversion: on one node the
-    vectorized in-row hash beats a per-row hash-table probe). The
-    md5-per-occurrence form stays."""
+    vectorized in-row hash beats a per-row hash-table probe).
+
+    r15 (guide §2.3/§4.2, measured): the occurrence stream is gone
+    entirely — `_ft_doc_features` computes (n_bigrams, swint) per doc in
+    ONE Arrow pass with md5 running once per DISTINCT bigram per task
+    (integer-factorized pair keys; see its docstring). Unlike the
+    rejected r14 TYPE rewrite, there is no distinct exchange and no
+    probe join: the dedup happens in numpy inside the batch and the
+    kernel emits complete per-doc rows. The sigmoid/round/rank float
+    expressions are untouched and consume the same exact integers."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tok_array().alias("t")).filter(F.size("t") >= 2)
-    n = F.size("t")
-    bigs = F.zip_with(
-        F.slice("t", 1, n - 1),
-        F.slice(F.col("t"), 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("bg")), 1, 8), 16, 10).cast("long")
-        % _FT_B
-    )
-    # integer weight image wint = 98·w — the dot product is ONE exact
-    # integer sum (map-side combinable; no ordered float fold, no
-    # (doc, bucket) intermediate): measured 24.8 → 10.9 s at the 100× tier
-    wint = (F.col("bucket") * F.lit(2654435761)) % 1000003 % 197 - 98
-    perdoc = (
-        toks.select("doc_id", F.explode(bigs).alias("bg"))
-        .select("doc_id", bucket.alias("bucket"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(wint).alias("swint"),
-        )
-    )
+    perdoc = _ft_doc_features(toks)
     z = F.col("swint").cast("double") / F.lit(98.0) / F.col("n_bigrams")
     return (
         perdoc.orderBy(z.desc(), F.col("doc_id").asc())

@@ -591,3 +591,39 @@ def test_compaction_refreshes_when_source_rebuilt(spark, sf_dir):
     assert v_after > v_before and vdir2 != vdir
     # and the refreshed snapshot is itself stable again
     assert _ensure_ann_compacted(spark, sf_dir) == vdir2
+
+
+def test_fused_assign_encode_bit_matches_unfused_chain(spark, sf_dir):
+    """r15 fused kernel pin: _ivfpq_assign_encode (one Arrow pass doing
+    normalize -> cell assign -> residual PQ encode) must emit EXACTLY the
+    rows of the retired three-stage chain (_normalized -> ivf_assign ->
+    _ivfpq_encode) — same vec_id/cell_id/codes, compared as exact
+    integers over the full embeddings table, across a multi-partition
+    repartition so per-batch boundaries differ between the two paths."""
+    from pyspark.sql import functions as F
+
+    from sdg_data_catalog_spark.operators import similarity as sim
+    from sdg_data_catalog_spark.queries.ann_pq import (
+        N_CELLS,
+        _ivfpq_assign_encode,
+        _ivfpq_codebooks,
+        _ivfpq_encode,
+        _normalized,
+    )
+    from sdg_data_catalog_spark.catalog import table
+
+    cents, cents_df, books = _ivfpq_codebooks(spark, sf_dir)
+    fused = {
+        int(r.vec_id): (int(r.cell_id), tuple(r.codes))
+        for r in _ivfpq_assign_encode(
+            table(spark, sf_dir, "embeddings").repartition(7), cents, books
+        ).collect()
+    }
+    unfused_src = sim.ivf_assign(
+        _normalized(spark, sf_dir), N_CELLS, centroids=cents_df
+    )
+    unfused = {
+        int(r.vec_id): (int(r.cell_id), tuple(r.codes))
+        for r in _ivfpq_encode(unfused_src, cents, books).collect()
+    }
+    assert fused == unfused and len(fused) > 0
