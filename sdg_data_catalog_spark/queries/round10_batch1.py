@@ -184,21 +184,32 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, one shuffle back to the doc grain. Both aggregations are
     partial-agg friendly; candidate work is proportional to corpus
     tokens, never quadratic. At 100 TB the shingle key would be a 64-bit
-    hash instead of the string (same plan, 8× narrower shuffle) — kept
-    as the string here so the oracle joins on identical keys."""
+    hash instead of the string (same plan, 8× narrower shuffle).
+
+    r15 (guide §2.3, measured — the curation_contamination_report struct
+    precedent): the shingle key is a struct of the 8 tokens, not their
+    concatenation — no per-shingle string build on the explode path, and
+    every downstream equality (the cardinality groupBy, the occurrence
+    join) compares the same 8 words fieldwise. Space-joined concat is
+    injective on space-split tokens, so key equality — the ONLY thing
+    the key is used for (it never reaches the output) — is unchanged,
+    and the oracle, which only sees per-doc counts, is untouched."""
     docs = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    t = F.col("t")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(t) - _SHINGLE),
+        lambda i: F.struct(
+            *[
+                F.element_at(t, i + j + 1).alias(f"w{j}")
+                for j in range(_SHINGLE)
+            ]
+        ),
+    )
     shingles = (
         docs.filter(F.size(w) >= _SHINGLE)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {_SHINGLE - 1}),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {_SHINGLE})))"
-                )
-            ).alias("shingle"),
-        )
+        .select("doc_id", w.alias("t"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
     )
     card = shingles.groupBy("shingle").agg(
         F.count_distinct("doc_id").alias("n_docs")

@@ -566,9 +566,18 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup among quality survivors only: q_ok rows sort first in each fp
     # group, so rn==1 ∧ q_ok ⇔ min-doc_id quality survivor of the group
     wfp = Window.partitionBy("fp").orderBy(F.col("q_ok").desc(), F.col("doc_id"))
+    # r15 (guide §5.2, measured): persist the windowed relation — it is
+    # consumed TWICE (the candidate-shingle branch and the final flags
+    # join), and without the persist the whole scan → quality features →
+    # per-doc fingerprint sort+md5 → fp exchange → window subtree
+    # executed twice inside the one eager-checkpoint job (ReuseExchange
+    # shares only the exchange, not the window sort above it). In-query
+    # multi-pass reuse, inside the timed region.
+    from pyspark import StorageLevel
+
     flagged = flagged.withColumn(
         "s2", F.col("q_ok") & (F.row_number().over(wfp) == 1)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shingle = lambda t: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.size(t) - 3),
         lambda i: F.concat_ws(
