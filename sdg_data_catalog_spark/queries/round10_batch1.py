@@ -186,14 +186,26 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, never quadratic. At 100 TB the shingle key would be a 64-bit
     hash instead of the string (same plan, 8× narrower shuffle).
 
-    r15 (guide §2.3, measured — the curation_contamination_report struct
-    precedent): the shingle key is a struct of the 8 tokens, not their
-    concatenation — no per-shingle string build on the explode path, and
-    every downstream equality (the cardinality groupBy, the occurrence
-    join) compares the same 8 words fieldwise. Space-joined concat is
-    injective on space-split tokens, so key equality — the ONLY thing
-    the key is used for (it never reaches the output) — is unchanged,
-    and the oracle, which only sees per-doc counts, is untouched."""
+    r15 (guide §2.2/§2.3, measured — three rewrites, one A/B'd pair of
+    plans, all value-identical):
+    - the shingle key is a struct of the 8 tokens, not their
+      concatenation (the curation_contamination_report precedent) — no
+      per-shingle string build on the explode path; space-joined concat
+      is injective on space-split tokens, so key equality — the ONLY
+      thing the key is used for (it never reaches the output) — is
+      unchanged. 49.6 → 25.6 s at the 100× replica on its own.
+    - "appears in >1 document" is computed as MIN(doc_id) ≠ MAX(doc_id)
+      instead of COUNT(DISTINCT doc_id) > 1 — the same predicate exactly,
+      but min/max partial-aggregate to one row per (shingle, partition)
+      where count-distinct expands to a (shingle, doc_id)-grain exchange
+      (occurrence-sized for mostly-unique shingles).
+    - per-doc n_shingles is size(t) − 7 straight off the token array
+      (the explode emits exactly that many rows per doc by construction)
+      and the occurrence join shrinks to a LEFT SEMI against only the
+      DUPLICATED shingles, so the doc-grain rollup aggregates dup
+      occurrences only, not the whole corpus stream; zero-dup docs
+      come back via COALESCE over the doc-grain left join — exactly the
+      oracle's tot LEFT JOIN hits shape."""
     docs = table(spark, sf_dir, "documents")
     w = F.split("text", " ")
     t = F.col("t")
@@ -206,20 +218,30 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
-    shingles = (
-        docs.filter(F.size(w) >= _SHINGLE)
-        .select("doc_id", w.alias("t"))
-        .select("doc_id", F.explode(sh).alias("shingle"))
+    base = docs.filter(F.size(w) >= _SHINGLE).select("doc_id", w.alias("t"))
+    shingles = base.select("doc_id", F.explode(sh).alias("shingle"))
+    dup = (
+        shingles.groupBy("shingle")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("multi"))
+        .filter(F.col("multi"))
+        .select("shingle")
     )
-    card = shingles.groupBy("shingle").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    hits = (
+        shingles.join(dup, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    tot = base.select(
+        "doc_id", (F.size(t) - (_SHINGLE - 1)).cast("bigint").alias("n_shingles")
     )
     return (
-        shingles.join(card, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("n_dup_shingles"),
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias(
+                "n_dup_shingles"
+            ),
         )
         .orderBy("doc_id")
     )
