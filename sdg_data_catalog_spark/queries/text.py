@@ -359,32 +359,84 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-5 at the 100× replica, oracle-green at sf0.001/0.01/0.1).
     No shuffle, no UDF; real
     deployments swap the profiles for char-trigram frequency tables (same
-    plan shape, wider accumulators)."""
+    plan shape, wider accumulators).
+
+    r15 (guide §4.2, measured): the interpreted fold moved into one
+    Arrow pass — per batch the token arrays are integer-factorized
+    (C-speed hash), the four marker probes run once per DISTINCT token
+    (np.isin over the batch vocabulary instead of 4 isin probes per
+    OCCURRENCE in the interpreted evaluator), and per-doc counts are
+    np.add.reduceat over doc segments. Counts are exact integers
+    (associative — batch/segment splits cannot change them); the
+    tokenization stays Spark's own F.split, shipped through Arrow, and
+    the argmax/tie-preference when-chain is computed in the JVM from
+    the kernel's counts exactly as it was from the fold's struct — a
+    NULL token array emits NULL counts, reproducing the retired
+    aggregate(NULL) = NULL → pred 'es' semantics. Pinned against the
+    fold form in tests/test_r15_langid_kernel.py."""
+    import numpy as np
+    import pandas as pd
+
     docs = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    langs = ("en", "fr", "de", "es")
+    profs = {k: np.asarray(v, dtype=object) for k, v in _LANG_PROFILES.items()}
 
-    def _hit(x, prof):
-        return x.isin(*prof).cast("int")
+    def _counts(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["t"]
+            nn = np.asarray([a is not None for a in arrs])
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+            }
+            if nn.any():
+                lens = np.asarray(
+                    [len(a) for a in arrs[nn]], dtype=np.int64
+                )
+                flat = (
+                    np.concatenate(
+                        [np.asarray(a, dtype=object) for a in arrs[nn]]
+                    )
+                    if lens.sum()
+                    else np.empty(0, dtype=object)
+                )
+                codes, uniques = pd.factorize(flat)
+                offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                for k in langs:
+                    hit = np.isin(np.asarray(uniques, dtype=object), profs[k])
+                    per_tok = (
+                        hit[codes].astype(np.int64)
+                        if len(flat)
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    seg = np.zeros(len(lens), dtype=np.int64)
+                    nz = lens > 0
+                    if nz.any():
+                        seg[nz] = np.add.reduceat(per_tok, offsets[nz])
+                    col = np.full(len(pdf), np.nan)
+                    col[nn] = seg
+                    out[f"s_{k}"] = pd.array(
+                        [None if np.isnan(x) else int(x) for x in col],
+                        dtype="Int64",
+                    )
+            else:
+                for k in langs:
+                    out[f"s_{k}"] = pd.array([None] * len(pdf), dtype="Int64")
+            yield pd.DataFrame(out)
 
-    acc0 = F.struct(
-        F.lit(0).alias("en"), F.lit(0).alias("fr"),
-        F.lit(0).alias("de"), F.lit(0).alias("es"),
+    scored = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    ).mapInPandas(
+        _counts,
+        "doc_id long, lang string, s_en int, s_fr int, s_de int, s_es int",
     )
-    folded = F.aggregate(
-        toks,
-        acc0,
-        lambda a, x: F.struct(
-            (a.getField("en") + _hit(x, _LANG_PROFILES["en"])).alias("en"),
-            (a.getField("fr") + _hit(x, _LANG_PROFILES["fr"])).alias("fr"),
-            (a.getField("de") + _hit(x, _LANG_PROFILES["de"])).alias("de"),
-            (a.getField("es") + _hit(x, _LANG_PROFILES["es"])).alias("es"),
-        ),
-    )
-    docs = docs.withColumn("__s", folded)
-    s_en = F.col("__s").getField("en")
-    s_fr = F.col("__s").getField("fr")
-    s_de = F.col("__s").getField("de")
-    s_es = F.col("__s").getField("es")
+    docs = scored
+    s_en = F.col("s_en")
+    s_fr = F.col("s_fr")
+    s_de = F.col("s_de")
+    s_es = F.col("s_es")
     pred = (
         F.when((s_en >= s_fr) & (s_en >= s_de) & (s_en >= s_es), "en")
         .when((s_fr >= s_de) & (s_fr >= s_es), "fr")
